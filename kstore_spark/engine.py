@@ -1,0 +1,191 @@
+"""The DSL interpreter: a session of named intermediates over the catalog.
+
+Mirrors the reference's evaluation model (src/server/server.c:752-871):
+each parsed op resolves variables in the session environment, invokes one
+operator, then either binds the result or prints it. Two deliberate
+differences, both Spark-idiomatic:
+
+- **Lazy until observed**: assignments build DataFrame lineage only;
+  Catalyst sees the whole chain (select→fetch→join→agg) as ONE logical
+  plan when a printing op finally forces an action — so filter pushdown /
+  join reordering apply across DSL statements, which the reference's
+  eager per-op execution could never do.
+- **No storage-type restrictions**: the reference rejects update/delete on
+  sorted/b+tree columns (storage.c:1730-1735); we allow them everywhere
+  (SURVEY.md §2.1 — must not rely on the limitation).
+
+Reference parity notes are in each operator module's docstring.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstore_spark import parser
+from kstore_spark.catalog import Catalog, with_pos
+from kstore_spark.operators import (
+    agg_avg, agg_count, agg_max, agg_min, agg_sum,
+    apply_delete, apply_insert, apply_update,
+    equijoin, fetch, select_all, select_range, select_value,
+    vec_add, vec_div, vec_mul, vec_sub,
+)
+from kstore_spark.operators import output as out_ops
+from kstore_spark.operators.types import POS, VAL, PosList, ValVec
+
+
+class EngineError(RuntimeError):
+    pass
+
+
+_AGGS = {"min": agg_min, "max": agg_max, "sum": agg_sum, "avg": agg_avg, "count": agg_count}
+_MATH = {"add": vec_add, "sub": vec_sub, "mul": vec_mul, "div": vec_div}
+
+
+class Engine:
+    """One engine ≈ one reference server; ``session()`` ≈ one client."""
+
+    def __init__(self, spark: SparkSession, db_dir: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, db_dir)
+        self.env: dict[str, PosList | ValVec] = {}
+
+    # -- variable resolution ------------------------------------------
+    def _var(self, name: str):
+        if name not in self.env:
+            raise EngineError(f"undefined variable: {name}")
+        return self.env[name]
+
+    def _posvar(self, name: str) -> PosList:
+        v = self._var(name)
+        if isinstance(v, ValVec):
+            # the reference accepts value vectors where ids are needed by
+            # using their id array (server.c:720-724); positions = keys
+            return PosList(v.df, keys=v.keys, pos_col=v.pos_col)
+        return v
+
+    def _valvar(self, name: str) -> ValVec:
+        v = self._var(name)
+        if not isinstance(v, ValVec):
+            raise EngineError(f"{name} is a position list, expected a value vector")
+        return v
+
+    def _column(self, name: str) -> DataFrame:
+        return self.catalog.read(name)
+
+    # -- op dispatch ---------------------------------------------------
+    def eval(self, op: parser.Op) -> str | None:
+        return getattr(self, f"_op_{op.kind}")(op)
+
+    def run_script(self, text: str) -> str:
+        outputs = [self.eval(op) for op in parser.parse_script(text)]
+        return "\n".join(o for o in outputs if o is not None)
+
+    def run_file(self, path: str) -> str:
+        with open(path) as f:
+            return self.run_script(f.read())
+
+    # -- DDL / load / mutation ----------------------------------------
+    def _op_create(self, op) -> None:
+        self.catalog.create(op.args["column"], op.args["stype"])
+
+    def _op_load(self, op) -> None:
+        path = op.args["path"]
+        raw = self.spark.read.csv(path, header=True, inferSchema=False)
+        cols = raw.columns
+        for c in cols:
+            if not self.catalog.exists(c):
+                raise EngineError(f"load: column {c} not created")
+        typed = raw.select(*[F.col(c).cast("int").alias(c) for c in cols])
+        n = typed.count()
+        # one shared pos assignment for the whole row-aligned file
+        offset = self.catalog.next_pos(cols[0])
+        for c in cols:
+            if self.catalog.next_pos(c) != offset:
+                raise EngineError("load: columns in one file must be row-aligned")
+        with_ids = with_pos(typed, offset).persist()
+        try:
+            for c in cols:
+                seg = with_ids.select(F.col(POS), F.col(c).alias(VAL))
+                self.catalog.append_segment(c, seg, n)
+        finally:
+            with_ids.unpersist()
+
+    def _op_insert(self, op) -> None:
+        for col, value in op.args["pairs"]:
+            pos = self.catalog.next_pos(col)
+            row = apply_insert(
+                self.spark.createDataFrame([], "pos long, val int"), self.spark, pos, value
+            )
+            self.catalog.append_segment(col, row, 1)
+
+    def _op_delete(self, op) -> None:
+        ids = self._posvar(op.args["posvar"])
+        for col in op.args["columns"]:
+            self.catalog.replace(col, apply_delete(self._column(col), ids))
+
+    def _op_update(self, op) -> None:
+        ids = self._posvar(op.args["posvar"])
+        col = op.args["column"]
+        self.catalog.replace(col, apply_update(self._column(col), ids, op.args["value"]))
+
+    # -- query ops -----------------------------------------------------
+    def _op_select(self, op) -> str | None:
+        cdf = self._column(op.args["column"])
+        mode = op.args["mode"]
+        if mode == "all":
+            res = select_all(cdf)
+        elif mode == "value":
+            res = select_value(cdf, op.args["value"])
+        else:
+            res = select_range(cdf, op.args["low"], op.args["high"])
+        return self._bind_or_print_pos(op, res)
+
+    def _op_fetch(self, op) -> str | None:
+        ids = self._posvar(op.args["posvar"])
+        res = fetch(self._column(op.args["column"]), ids, source_col=op.args["column"])
+        return self._bind_or_print_val(op, res)
+
+    def _op_agg(self, op) -> str | None:
+        v = self._valvar(op.args["var"])
+        res = ValVec(_AGGS[op.args["fn"]](v), keys=())
+        return self._bind_or_print_val(op, res)
+
+    def _op_math(self, op) -> str | None:
+        res = _MATH[op.args["fn"]](self._valvar(op.args["left"]), self._valvar(op.args["right"]))
+        return self._bind_or_print_val(op, res)
+
+    def _op_join(self, op) -> None:
+        l_ids, r_ids = equijoin(
+            self._valvar(op.args["left"]), self._valvar(op.args["right"]),
+            algorithm=op.args["algorithm"],
+        )
+        l_name, r_name = op.assign
+        self.env[l_name] = l_ids
+        self.env[r_name] = r_ids
+
+    def _op_tuple(self, op) -> str:
+        vecs = [self._valvar(v) for v in op.args["vars"]]
+        rows = out_ops.zip_vectors(vecs).collect()
+        return out_ops.format_tuple_rows(rows)
+
+    def _op_print(self, op) -> str:
+        v = self._var(op.args["var"])
+        if isinstance(v, ValVec):
+            return out_ops.format_vector(v)
+        return out_ops.format_poslist(v)
+
+    # -- bind-or-print helpers ----------------------------------------
+    def _bind_or_print_pos(self, op, res: PosList) -> str | None:
+        if op.assign:
+            self.env[op.assign[0]] = res
+            return None
+        return out_ops.format_poslist(res)
+
+    def _bind_or_print_val(self, op, res: ValVec) -> str | None:
+        if op.assign:
+            self.env[op.assign[0]] = res
+            return None
+        return out_ops.format_vector(res)

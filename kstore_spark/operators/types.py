@@ -1,0 +1,67 @@
+"""Intermediate result types of the column-algebra engine.
+
+The reference binds two kinds of intermediates to session variables
+(reference: src/common/include/results.h:12-40):
+
+- a *position list* (``column_ids``): bitmap (from selects) or explicit id
+  array (from joins);
+- a *value vector* (``column_vals``): values + the parallel array of source
+  row ids.
+
+In Spark both become DataFrames. The critical invariant is **alignment**:
+two vectors fetched with the two halves of a join output must stay
+row-aligned (reference: src/server/storage.c:1324-1366 restores id-array
+order after gather). A global row index would serialize on one partition
+at 100 TB, so instead every intermediate carries its *alignment keys* —
+the set of columns that uniquely identify a row of the vector:
+
+- select-derived:   keys = ('pos',)        — position in the base column
+- join-derived:     keys = ('l_pos','r_pos') — one row per join match
+
+Zipping two vectors (math ops, tuple) is then an equi-join on the shared
+keys: shuffle-partitioned, no driver materialization, no windows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+POS = "pos"
+VAL = "val"
+
+
+@dataclass(frozen=True)
+class PosList:
+    """A set/sequence of positions into one base column.
+
+    ``df`` holds the alignment-key columns; ``pos_col`` names the column
+    whose values are positions into the base column. For select outputs
+    keys == (pos_col,) == ('pos',); for a join output's left half,
+    keys == ('l_pos','r_pos') and pos_col == 'l_pos' (duplicates allowed —
+    full join multiplicity).
+    """
+
+    df: DataFrame
+    keys: tuple[str, ...] = (POS,)
+    pos_col: str = POS
+
+
+@dataclass(frozen=True)
+class ValVec:
+    """A value vector aligned to ``keys``; the values live in column 'val'."""
+
+    df: DataFrame
+    keys: tuple[str, ...] = (POS,)
+    source_col: str | None = None  # base column name values came from
+
+    @property
+    def pos_col(self) -> str:
+        # A select+fetch-derived vector's ids are its 'pos' key; a
+        # join-derived vector keeps the originating half in source_pos.
+        return self.keys[0]
+
+
+def aligned(a: "ValVec", b: "ValVec") -> bool:
+    return a.keys == b.keys

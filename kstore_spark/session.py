@@ -1,0 +1,39 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[N]`` (single JVM); the configuration is
+chosen so the same code scales to a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy)
+- shuffle partitions sized for the local core count; on a real cluster the
+  AQE coalescer makes the static number mostly irrelevant
+- ANSI mode OFF: the reference has C integer semantics (wraparound,
+  truncating division, no overflow errors) — see operators/cints.py
+- Arrow enabled for the Pandas-UDF paths (similarity / multimodal ops)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kstore-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
