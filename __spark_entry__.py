@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query on sf0.001 (smoke check).
+- ``queries()``: one entry per implemented operator/query from
+  SURVEY.md §2 plus the large-scale pipeline extensions.
+- ``oracle_sql()``: DuckDB-equivalent SQL for each query (omitted only
+  for genuinely non-SQL-expressible ops → weaker rows-only check).
 """
 
 from __future__ import annotations
@@ -15,24 +15,53 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: shipping-priority top-k (join + group + top-k) at sf0.001."""
+    from kstore_spark.plans import analytics
+
+    return analytics.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kstore_spark.plans import analytics, kparity
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(kparity.QUERIES)
+    out.update(analytics.QUERIES)
+    try:
+        from kstore_spark.functions import dedup, similarity, text
+
+        out.update(dedup.QUERIES)
+        out.update(similarity.QUERIES)
+        out.update(text.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from kstore_spark.streaming import windows as stream_windows
+
+        out.update(stream_windows.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kstore_spark.plans import analytics, kparity
+
+    out: dict[str, str] = {}
+    out.update(kparity.ORACLES)
+    out.update(analytics.ORACLES)
+    try:
+        from kstore_spark.functions import dedup, similarity, text
+
+        out.update(dedup.ORACLES)
+        out.update(similarity.ORACLES)
+        out.update(text.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kstore_spark.streaming import windows as stream_windows
+
+        out.update(stream_windows.ORACLES)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,310 @@
+"""Analytic query suite — the capabilities the reference explicitly lacks
+(SURVEY.md §2.8: no group-by, sorts, limits, distinct, windows, set ops),
+built Spark-first as the engine's extension surface.
+
+Determinism discipline for the DuckDB oracle: monetary doubles carry ≤2
+decimal digits, so they cast exactly into DECIMAL(18,4); all sums/products
+are computed in decimal (exact, order-independent) and only the final
+result is cast back to double — bit-identical across engines regardless
+of aggregation order. Doubles with arbitrary mantissas (events.value) are
+only aggregated with order-independent functions (min/max/count).
+
+Scale notes (100 TB design):
+- group-bys are partial-aggregated map-side by Spark automatically;
+- the dimension sides of every join here (region/nation/customer/
+  supplier at TPC-H ratios) are broadcast — no shuffle of the fact table
+  except where the group key demands it;
+- top-k is TakeOrderedAndProject (per-partition heap + driver merge of
+  k rows), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+
+def _dec(c, scale=4):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# -- q1: pricing summary (grouped aggregation, TPC-H Q1 shape) ---------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(18,4)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- q3: shipping priority (join + group + deterministic top-k) --------
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-06-15"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-06-15"))
+    revenue = F.round(F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    ), 2).cast("double")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-06-15' AND l_shipdate > TIMESTAMP '1995-06-15'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- q5: local supplier volume (multi-way broadcast join chain) --------
+
+def q5_local_supplier(spark, sf_dir):
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.round(F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    ), 2).cast("double")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# -- q6: forecast revenue (pure scan-filter-aggregate) -----------------
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2).cast("double").alias("revenue"))
+    )
+
+Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# -- top-k / distinct / set ops / windows ------------------------------
+
+def top_customers(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spent"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey ASC LIMIT 20
+"""
+
+
+def distinct_segments(spark, sf_dir):
+    return table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def set_ops_customers(spark, sf_dir):
+    """INTERSECT: big-spender custkeys that are also BUILDING-segment."""
+    cust = table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    return rich.intersect(bld)
+
+SET_OPS_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def window_top_orders_per_customer(spark, sf_dir):
+    """Rank orders within each customer — window functions (absent in the
+    reference). Deterministic: ties broken by orderkey."""
+    from pyspark.sql.window import Window
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+WINDOW_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# -- events: grouped stats, time buckets, sessionization ---------------
+
+def events_by_type(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    # events.value has arbitrary mantissas → only order-independent aggs
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def events_hourly(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap): a stateful
+    pattern the reference cannot express. Batch formulation = windowed
+    lag + running sum; the streaming twin lives in kstore_spark.streaming."""
+    from pyspark.sql.window import Window
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(w)
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"))
+    )
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), c AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM c GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "top_customers": top_customers,
+    "distinct_segments": distinct_segments,
+    "set_ops_customers": set_ops_customers,
+    "window_top_orders": window_top_orders_per_customer,
+    "events_by_type": events_by_type,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "distinct_segments": DISTINCT_SEGMENTS_SQL,
+    "set_ops_customers": SET_OPS_SQL,
+    "window_top_orders": WINDOW_TOP_ORDERS_SQL,
+    "events_by_type": EVENTS_BY_TYPE_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+}

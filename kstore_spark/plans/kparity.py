@@ -1,0 +1,248 @@
+"""Reference-operator parity queries over the driver's testdata.
+
+One query per operator row of SURVEY.md §2, exercised through the actual
+operator layer (kstore_spark.operators) against the TPC-H-ish parquet
+tables — with a matching DuckDB oracle in ORACLES. Stable key columns of
+the tables play the role of the reference's positional row id (the
+catalog path materializes real ``pos`` ids; these queries validate the
+operator algebra itself).
+
+Column-name discipline: every output column is aliased identically here
+and in the oracle SQL (the driver hash-compares after sorting columns by
+name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstore_spark.operators import (
+    agg_avg, agg_count, agg_max, agg_min, agg_sum,
+    apply_delete, apply_insert, apply_update,
+    equijoin, fetch, select_all, select_range, select_value,
+)
+from kstore_spark.operators.types import POS, VAL, PosList, ValVec
+from kstore_spark.tables import table
+
+
+def _part_col(spark, sf_dir) -> DataFrame:
+    """part.p_size as a kstore column: (pos=p_partkey, val=p_size)."""
+    return table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias(POS), F.col("p_size").alias(VAL)
+    )
+
+
+def _orders_col(spark, sf_dir) -> DataFrame:
+    """orders.o_custkey as a kstore column keyed by o_orderkey (unique)."""
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias(POS), F.col("o_custkey").cast("int").alias(VAL)
+    )
+
+
+# -- selection ---------------------------------------------------------
+
+def q_select_all(spark, sf_dir):
+    return select_all(_part_col(spark, sf_dir)).df
+
+def q_select_value(spark, sf_dir):
+    return select_value(_part_col(spark, sf_dir), 25).df
+
+def q_select_range(spark, sf_dir):
+    return select_range(_orders_col(spark, sf_dir), 100, 400).df
+
+
+# -- fetch -------------------------------------------------------------
+
+def q_fetch(spark, sf_dir):
+    ids = select_range(_part_col(spark, sf_dir), 10, 20)
+    price = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias(POS), F.col("p_retailprice").alias(VAL)
+    )
+    return fetch(price, ids).df
+
+
+# -- joins (all four keywords = same logical result) -------------------
+
+def _join_inputs(spark, sf_dir) -> tuple[ValVec, ValVec]:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias(POS), F.col("c_nationkey").alias(VAL)
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias(POS), F.col("s_nationkey").alias(VAL)
+    )
+    return ValVec(cust), ValVec(supp)
+
+def _q_join(algorithm):
+    def q(spark, sf_dir):
+        l, r = _join_inputs(spark, sf_dir)
+        l_ids, r_ids = equijoin(l, r, algorithm=algorithm)
+        return l_ids.df  # carries both aligned halves (l_pos, r_pos)
+    return q
+
+q_join_hash = _q_join("hash")
+q_join_sort = _q_join("sort")
+q_join_tree = _q_join("tree")
+q_join_loop = _q_join("loop")
+
+_JOIN_SQL = (
+    "SELECT c_custkey AS l_pos, s_suppkey AS r_pos "
+    "FROM customer JOIN supplier ON c_nationkey = s_nationkey"
+)
+
+
+# -- aggregates (C int semantics) --------------------------------------
+
+def _sizes_vec(spark, sf_dir) -> ValVec:
+    ids = select_range(_part_col(spark, sf_dir), 1, 30)
+    return fetch(_part_col(spark, sf_dir), ids)
+
+def q_agg_min(spark, sf_dir):
+    return agg_min(_sizes_vec(spark, sf_dir))
+
+def q_agg_max(spark, sf_dir):
+    return agg_max(_sizes_vec(spark, sf_dir))
+
+def q_agg_sum(spark, sf_dir):
+    return agg_sum(_sizes_vec(spark, sf_dir))
+
+def q_agg_count(spark, sf_dir):
+    return agg_count(_sizes_vec(spark, sf_dir))
+
+def q_agg_avg_trunc(spark, sf_dir):
+    return agg_avg(_sizes_vec(spark, sf_dir))
+
+_SIZES_SQL = "SELECT p_size FROM part WHERE p_size BETWEEN 1 AND 30"
+
+
+# -- elementwise math (C int32) ----------------------------------------
+
+def _math_operands(spark, sf_dir) -> tuple[ValVec, ValVec]:
+    """Two aligned int vectors over part: a = p_size, b = p_partkey%7+1
+    (pure integer derivations — bit-identical in any engine)."""
+    part = table(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias(POS), F.col("p_size").alias(VAL))
+    b = part.select(
+        F.col("p_partkey").alias(POS),
+        (F.col("p_partkey") % 7 + 1).cast("int").alias(VAL),
+    )
+    return ValVec(a), ValVec(b)
+
+def _q_math(op_name):
+    from kstore_spark.operators import vec_add, vec_div, vec_mul, vec_sub
+    ops = {"add": vec_add, "sub": vec_sub, "mul": vec_mul, "div": vec_div}
+    def q(spark, sf_dir):
+        a, b = _math_operands(spark, sf_dir)
+        return ops[op_name](a, b).df
+    return q
+
+q_math_add = _q_math("add")
+q_math_sub = _q_math("sub")
+q_math_mul = _q_math("mul")
+q_math_div = _q_math("div")
+
+def _math_sql(op):
+    # p_size in 1..50, p_partkey%7+1 in 1..7: all positive, so DuckDB's
+    # floor-division matches C truncation. Outer CAST pins int32.
+    return (
+        f"SELECT p_partkey AS pos, CAST(p_size {op} (p_partkey % 7 + 1) AS INTEGER) AS val "
+        "FROM part"
+    )
+
+
+# -- mutations as copy-on-write transforms -----------------------------
+
+def q_mutation_delete(spark, sf_dir):
+    col = _part_col(spark, sf_dir)
+    doomed = select_range(col, 40, 50)
+    return apply_delete(col, doomed)
+
+def q_mutation_update(spark, sf_dir):
+    col = _part_col(spark, sf_dir)
+    hit = select_range(col, 1, 5)
+    return apply_update(col, hit, 999)
+
+def q_mutation_insert(spark, sf_dir):
+    col = _part_col(spark, sf_dir)
+    out = apply_insert(col, spark, 10_000_001, 7)
+    return apply_insert(out, spark, 10_000_002, 8)
+
+
+# -- tuple (positional zip) --------------------------------------------
+
+def q_tuple_zip(spark, sf_dir):
+    from kstore_spark.operators.output import zip_vectors
+    a, b = _math_operands(spark, sf_dir)
+    ids = select_range(a.df, 46, 50)
+    va = fetch(a.df, ids)
+    vb = fetch(b.df, ids)
+    return zip_vectors([va, vb])
+
+
+QUERIES = {
+    "select_all": q_select_all,
+    "select_value": q_select_value,
+    "select_range": q_select_range,
+    "fetch": q_fetch,
+    "join_hash": q_join_hash,
+    "join_sort": q_join_sort,
+    "join_tree": q_join_tree,
+    "join_loop": q_join_loop,
+    "agg_min": q_agg_min,
+    "agg_max": q_agg_max,
+    "agg_sum": q_agg_sum,
+    "agg_count": q_agg_count,
+    "agg_avg_trunc": q_agg_avg_trunc,
+    "math_add": q_math_add,
+    "math_sub": q_math_sub,
+    "math_mul": q_math_mul,
+    "math_div": q_math_div,
+    "mutation_delete": q_mutation_delete,
+    "mutation_update": q_mutation_update,
+    "mutation_insert": q_mutation_insert,
+    "tuple_zip": q_tuple_zip,
+}
+
+ORACLES = {
+    "select_all": "SELECT p_partkey AS pos FROM part",
+    "select_value": "SELECT p_partkey AS pos FROM part WHERE p_size = 25",
+    "select_range": (
+        "SELECT o_orderkey AS pos FROM orders WHERE o_custkey BETWEEN 100 AND 400"
+    ),
+    "fetch": (
+        "SELECT p_partkey AS pos, p_retailprice AS val FROM part "
+        "WHERE p_size BETWEEN 10 AND 20"
+    ),
+    "join_hash": _JOIN_SQL,
+    "join_sort": _JOIN_SQL,
+    "join_tree": _JOIN_SQL,
+    "join_loop": _JOIN_SQL,
+    "agg_min": f"SELECT CAST(MIN(p_size) AS INTEGER) AS val FROM ({_SIZES_SQL})",
+    "agg_max": f"SELECT CAST(MAX(p_size) AS INTEGER) AS val FROM ({_SIZES_SQL})",
+    "agg_sum": f"SELECT CAST(SUM(p_size) AS INTEGER) AS val FROM ({_SIZES_SQL})",
+    "agg_count": f"SELECT COUNT(*) AS val FROM ({_SIZES_SQL})",
+    "agg_avg_trunc": (
+        f"SELECT CAST(SUM(p_size) // COUNT(*) AS INTEGER) AS val FROM ({_SIZES_SQL})"
+    ),
+    "math_add": _math_sql("+"),
+    "math_sub": _math_sql("-"),
+    "math_mul": _math_sql("*"),
+    "math_div": _math_sql("//"),
+    "mutation_delete": (
+        "SELECT p_partkey AS pos, p_size AS val FROM part "
+        "WHERE p_size NOT BETWEEN 40 AND 50"
+    ),
+    "mutation_update": (
+        "SELECT p_partkey AS pos, "
+        "CAST(CASE WHEN p_size BETWEEN 1 AND 5 THEN 999 ELSE p_size END AS INTEGER) AS val "
+        "FROM part"
+    ),
+    "mutation_insert": (
+        "SELECT p_partkey AS pos, p_size AS val FROM part "
+        "UNION ALL SELECT * FROM (VALUES (10000001, 7), (10000002, 8)) t(pos, val)"
+    ),
+    "tuple_zip": (
+        "SELECT p_size AS c0, CAST(p_partkey % 7 + 1 AS INTEGER) AS c1 "
+        "FROM part WHERE p_size BETWEEN 46 AND 50"
+    ),
+}
