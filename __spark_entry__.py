@@ -28,11 +28,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(kparity.QUERIES)
     out.update(analytics.QUERIES)
     try:
-        from kstore_spark.functions import dedup, similarity, text
+        from kstore_spark.functions import dedup, multimodal, similarity, text
 
         out.update(dedup.QUERIES)
         out.update(similarity.QUERIES)
         out.update(text.QUERIES)
+        out.update(multimodal.QUERIES)
     except ImportError:
         pass
     try:
@@ -51,11 +52,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(kparity.ORACLES)
     out.update(analytics.ORACLES)
     try:
-        from kstore_spark.functions import dedup, similarity, text
+        from kstore_spark.functions import dedup, multimodal, similarity, text
 
         out.update(dedup.ORACLES)
         out.update(similarity.ORACLES)
         out.update(text.ORACLES)
+        out.update(multimodal.ORACLES)
     except ImportError:
         pass
     try:

@@ -1,0 +1,137 @@
+"""Benchmark harness. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two workload groups:
+1. kstore_perftest — the reference's canonical perftest join workload
+   (BASELINE.md; reference perftests/gen.py defaults: numr=600k,
+   nums=10k, selrater=0.75, selrates=1.0, amax=1000, seed=42),
+   regenerated with the same distributions and run through the operator
+   layer exactly as the reference plan does (select→fetch→join→fetch→
+   aggs→tuple). Baseline to beat: hash 9.86 s / sort 9.88 s (includes
+   load, 2014 hardware).
+2. Headline engine queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Each query is timed to full materialization (count/collect), cold plans,
+shared SparkSession (JVM startup excluded — the reference baseline also
+excludes server startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+NUMR, NUMS, AMAX, SEED = 600_000, 10_000, 1000, 42
+SELRATER = 0.75
+
+
+def gen_perftest_frames(spark):
+    """Same distributions as the reference's perftests/gen.py (seed 42):
+    ra/sa uniform join keys in [0, amax]; rc selective in [1,9] for 75%
+    of rows else 10; sf in [31,99]; rd negative / sg positive payloads."""
+    rng = np.random.RandomState(SEED)
+    n_sel = int(NUMR * SELRATER)
+    rc = np.concatenate([rng.randint(1, 10, n_sel), np.full(NUMR - n_sel, 10)])
+    r = {
+        "pos": np.arange(NUMR, dtype=np.int64),
+        "ra": rng.randint(0, AMAX + 1, NUMR).astype(np.int32),
+        "rc": rc.astype(np.int32),
+        "rd": (-rng.randint(0, 2**30, NUMR)).astype(np.int32),
+    }
+    s = {
+        "pos": np.arange(NUMS, dtype=np.int64),
+        "sa": rng.randint(0, AMAX + 1, NUMS).astype(np.int32),
+        "sf": rng.randint(31, 100, NUMS).astype(np.int32),
+        "sg": rng.randint(0, 2**30, NUMS).astype(np.int32),
+    }
+    import pandas as pd
+
+    return (
+        spark.createDataFrame(pd.DataFrame(r)),
+        spark.createDataFrame(pd.DataFrame(s)),
+    )
+
+
+def perftest_query(spark, algorithm: str):
+    """select(rc,1,9) → fetch(ra) ; select(sf,31,99) → fetch(sa) ;
+    join ; fetch(rd), fetch(sg) ; max/min/count/count → one row."""
+    from kstore_spark.operators import equijoin, fetch
+    from kstore_spark.operators.output import zip_vectors
+    from kstore_spark.operators.select import select_range
+    from kstore_spark.operators.types import Prov
+
+    r_df, s_df = gen_perftest_frames(spark)
+    # late-materialization provenance: selects/fetches/join compose into
+    # ONE shuffle join over the two frames (see operators/types.Prov)
+    r_prov = Prov(frame=r_df, cols={c: c for c in ("ra", "rc", "rd")})
+    s_prov = Prov(frame=s_df, cols={c: c for c in ("sa", "sf", "sg")})
+
+    r_ids = select_range(None, 1, 9, prov=r_prov, column="rc")
+    ra = fetch(None, r_ids, source_col="ra")
+    s_ids = select_range(None, 31, 99, prov=s_prov, column="sf")
+    sa = fetch(None, s_ids, source_col="sa")
+    l_ids, r_ids2 = equijoin(ra, sa, algorithm=algorithm)
+    rd = fetch(None, l_ids, source_col="rd")
+    sg = fetch(None, r_ids2, source_col="sg")
+    zipped = zip_vectors([rd, sg])  # shared-frame fast path: one select
+    return zipped.agg(
+        F.max("c0").alias("max_rd"), F.min("c1").alias("min_sg"),
+        F.count("c0").alias("cnt_rd"), F.count("c1").alias("cnt_sg"),
+    ).collect()
+
+
+def headline_queries():
+    from kstore_spark.functions import dedup, similarity, text
+    from kstore_spark.plans import analytics, kparity
+
+    return {
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_local_supplier": analytics.q5_local_supplier,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "events_sessionize": analytics.events_sessionize,
+        "join_hash": kparity.q_join_hash,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
+        "text_quality": text.text_quality,
+    }
+
+
+def main():
+    from kstore_spark.session import get_spark
+
+    spark = get_spark("kstore-bench")
+    spark.range(1).count()  # warm the JVM/session before timing
+
+    times: dict[str, float] = {}
+
+    for algo in ("hash", "sort"):
+        t0 = time.time()
+        perftest_query(spark, algo)
+        times[f"kstore_perftest_{algo}"] = round(time.time() - t0, 3)
+
+    for name, fn in headline_queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    main()

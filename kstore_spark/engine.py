@@ -63,7 +63,7 @@ class Engine:
         if isinstance(v, ValVec):
             # the reference accepts value vectors where ids are needed by
             # using their id array (server.c:720-724); positions = keys
-            return PosList(v.df, keys=v.keys, pos_col=v.pos_col)
+            return PosList(v.df, keys=v.keys, pos_col=v.pos_col, prov=v.prov)
         return v
 
     def _valvar(self, name: str) -> ValVec:
@@ -105,13 +105,9 @@ class Engine:
         for c in cols:
             if self.catalog.next_pos(c) != offset:
                 raise EngineError("load: columns in one file must be row-aligned")
-        with_ids = with_pos(typed, offset).persist()
-        try:
-            for c in cols:
-                seg = with_ids.select(F.col(POS), F.col(c).alias(VAL))
-                self.catalog.append_segment(c, seg, n)
-        finally:
-            with_ids.unpersist()
+        # the whole file becomes ONE group segment: aligned columns stay
+        # physically row-aligned, enabling late-materialization scans
+        self.catalog.load_group(with_pos(typed, offset), cols, offset, n)
 
     def _op_insert(self, op) -> None:
         for col, value in op.args["pairs"]:
@@ -133,19 +129,27 @@ class Engine:
 
     # -- query ops -----------------------------------------------------
     def _op_select(self, op) -> str | None:
-        cdf = self._column(op.args["column"])
+        column = op.args["column"]
+        prov = self.catalog.group_prov(column)
+        cdf = None if prov is not None else self._column(column)
         mode = op.args["mode"]
         if mode == "all":
-            res = select_all(cdf)
+            res = select_all(cdf, prov=prov, column=column)
         elif mode == "value":
-            res = select_value(cdf, op.args["value"])
+            res = select_value(cdf, op.args["value"], prov=prov, column=column)
         else:
-            res = select_range(cdf, op.args["low"], op.args["high"])
+            res = select_range(cdf, op.args["low"], op.args["high"], prov=prov, column=column)
         return self._bind_or_print_pos(op, res)
 
     def _op_fetch(self, op) -> str | None:
         ids = self._posvar(op.args["posvar"])
-        res = fetch(self._column(op.args["column"]), ids, source_col=op.args["column"])
+        column = op.args["column"]
+        if ids.prov is not None and self.catalog.meta(column)["group"] is None:
+            # column was detached (mutated) after the position list was
+            # built: its group-frame snapshot is stale → use the join path
+            # against current data, matching the reference's read-latest
+            ids = PosList(ids.df, keys=ids.keys, pos_col=ids.pos_col)
+        res = fetch(self._column(column), ids, source_col=column)
         return self._bind_or_print_val(op, res)
 
     def _op_agg(self, op) -> str | None:

@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four strategies over the ``documents`` table, each designed for the
+100 TB regime (shuffle on fixed-size keys, inverted-index joins instead
+of cross products, integer threshold arithmetic):
+
+- exact:         hash-groupBy on a content digest (never shuffles text)
+- ngram_jaccard: exact word-3-gram Jaccard via inverted-index self-join
+- minhash_lsh:   MinHash signatures + banded LSH candidate generation,
+                 candidates verified with exact Jaccard
+- simhash:       64-bit SimHash + pigeonhole band join for hamming ≤ 3
+
+All pair outputs are (doc_a, doc_b) with doc_a < doc_b; thresholds are
+evaluated in integer arithmetic (5*inter >= 4*union ⇔ J >= 0.8) so the
+DuckDB oracle is float-free. minhash/simhash have no SQL oracle (the
+hash functions are Spark-side xxhash64); their recall against the exact
+Jaccard baseline is pinned by tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+# Jaccard threshold 0.8 as a ratio — integer comparison, no floats
+_J_NUM, _J_DEN = 4, 5  # J >= _J_NUM/_J_DEN
+
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.split("text", " ").alias("t"))
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word 3-grams. The explode keeps each
+    row small; the downstream joins shuffle only (id, shingle-hash)-sized
+    data, never whole documents."""
+    tok = _tokens(spark, sf_dir).filter(F.size("t") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
+    )
+    return tok.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+
+
+def _verified_pairs(sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard pairs from a (doc_id, s) shingle relation."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(_J_DEN * F.col("i") >= _J_NUM * (F.col("na") + F.col("nb") - F.col("i")))
+        .select("doc_a", "doc_b")
+    )
+
+
+# -- exact dedup -------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Canonical doc per distinct text: group on a 256-bit digest so the
+    shuffle key is 32 bytes regardless of document size."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "n_dups")
+    )
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+# -- exact n-gram Jaccard (inverted index) -----------------------------
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return _verified_pairs(_shingles(spark, sf_dir))
+
+DEDUP_NGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(t)-2)) u(i)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE {_J_DEN} * i >= {_J_NUM} * (x.n + y.n - i)
+"""
+
+
+# -- MinHash + LSH -----------------------------------------------------
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS  # 4 → s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — one xxhash64 family member per
+    permutation, min-reduced per doc in a single aggregation pass."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidates(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """Banded LSH: bucket key = hash of each band's signature slice; a
+    pair becomes a candidate if any band collides. The band explode keeps
+    the shuffle at |docs|×bands rows of (int, long)."""
+    band_arr = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "bh")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidates verified with exact Jaccard — the scale path: LSH
+    prunes the pair space from O(n²) to near-linear, verification touches
+    only candidates. No SQL oracle (Spark-side hash family); recall vs
+    the exact baseline is pinned in tests."""
+    sh = _shingles(spark, sf_dir).persist()
+    cands = lsh_candidates(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+        .join(F.broadcast(cands), ["doc_a", "doc_b"])  # verify candidates only
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
+        .filter(_J_DEN * F.col("i") >= _J_NUM * (F.col("na") + F.col("nb") - F.col("i")))
+        .select("doc_a", "doc_b")
+    )
+
+
+# -- SimHash -----------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAMMING_MAX = 7
+SIM_BANDS = 8  # pigeonhole: hamming ≤ 7 ⇒ at least one 8-bit band equal.
+# Band width trades candidate volume for recall: 8-bit bands admit ~n²/256
+# random collisions per band — fine at dedup-shard sizes; at larger shard
+# cardinalities, widen bands (and lower HAMMING_MAX) or shard by prefix.
+
+
+def simhash(spark, sf_dir) -> DataFrame:
+    """(doc_id, sim: bigint) — 64-bit SimHash over token xxhash64 bits,
+    computed as 64 parallel ±1 sums in one aggregation."""
+    tok = _tokens(spark, sf_dir).select("doc_id", F.explode("t").alias("w"))
+    h = F.xxhash64("w")
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return per_doc.select("doc_id", sim.alias("sim"))
+
+
+def dedup_simhash(spark, sf_dir):
+    """Near-dup pairs with hamming(simhash) ≤ 3 via 16-bit pigeonhole
+    bands; verification = exact popcount on the 64-bit XOR. No SQL oracle
+    (hash family is Spark-side); recall pinned in tests."""
+    sims = simhash(spark, sf_dir)
+    width = SIMHASH_BITS // SIM_BANDS
+    mask = (1 << width) - 1
+    banded = sims.select(
+        "doc_id", "sim",
+        F.posexplode(F.array(*[
+            F.shiftright("sim", width * i).bitwiseAND(F.lit(mask)) for i in range(SIM_BANDS)
+        ])).alias("band", "chunk"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "chunk")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band", "chunk")
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.filter(hamming <= HAMMING_MAX).select("doc_a", "doc_b")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    # dedup_minhash_lsh / dedup_simhash: Spark-side hash families are not
+    # reproducible in ANSI SQL → rows-only driver check + pytest recall gate
+}

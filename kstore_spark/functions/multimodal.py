@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; per-item processing (decode, resize, frame-sample,
+feature-extract) runs as Arrow-batched ``mapInPandas`` so each Python
+worker handles a columnar batch of payloads — the pattern that scales to
+100 TB of media (payloads never pass through the driver; batch size
+bounds worker memory).
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic fake (`_fake_decode`) behind the same
+interface a real libjpeg/ffmpeg call would use; the Spark-side plumbing —
+schema, batching, partition flow — is real and tested.
+
+``multimodal_bytes`` is the oracle-checkable slice (pure JVM byte ops);
+the mapInPandas feature path is pinned by tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kstore_spark.tables import table
+
+CHUNK = 256  # bytes per storage chunk in the chunk-count metadata
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.IntegerType()),
+    T.StructField("checksum", T.LongType()),
+    T.StructField("histogram", T.ArrayType(T.IntegerType())),  # 16-bin byte histogram
+])
+
+
+def binary_payloads(spark, sf_dir) -> DataFrame:
+    """documents.text re-encoded as an opaque binary payload column —
+    the stand-in for an image/audio blob column in the testdata."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_bytes(spark, sf_dir) -> DataFrame:
+    """Typed metadata over the binary column — pure JVM expressions."""
+    p = binary_payloads(spark, sf_dir)
+    n = F.col("meta.n_bytes")
+    return p.select(
+        "doc_id",
+        n.alias("byte_len"),
+        ((n + CHUNK - 1) / CHUNK).cast("int").alias("n_chunks"),
+    )
+
+MULTIMODAL_BYTES_SQL = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       CAST((octet_length(encode(text)) + {CHUNK} - 1) // {CHUNK} AS INTEGER) AS n_chunks
+FROM documents
+"""
+
+
+def _fake_decode(payload: bytes) -> bytes:
+    """STUB for the codec call (no image/audio libs in this container).
+
+    A real deployment replaces this with e.g. PIL.Image.open /
+    torchaudio.load; everything around it (Arrow batching, schema,
+    partition flow) is unchanged. Deterministic so tests can pin outputs.
+    """
+    return payload  # identity "decode"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each executor core pulls columnar batches, runs the
+    (vectorizable) Python body, emits columnar batches — payload bytes
+    never leave the executor.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(_fake_decode(bytes(payload)), dtype=np.uint8)
+                hist = np.bincount(raw >> 4, minlength=16).astype("int32")
+                rows.append((
+                    int(doc_id),
+                    int(raw.size),
+                    int(raw.sum()) % (2**31),
+                    hist.tolist(),
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "byte_len", "checksum", "histogram"])
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def multimodal_features(spark, sf_dir) -> DataFrame:
+    return extract_features(binary_payloads(spark, sf_dir))
+
+
+QUERIES = {
+    "multimodal_bytes": multimodal_bytes,
+    # multimodal_features exercises the mapInPandas path; its checksum is
+    # SQL-expressible too (sum of utf-8 bytes), oracle below
+    "multimodal_features_checksum": lambda spark, sf_dir: multimodal_features(
+        spark, sf_dir
+    ).select("doc_id", "byte_len", "checksum"),
+}
+
+ORACLES = {
+    "multimodal_bytes": MULTIMODAL_BYTES_SQL,
+    # documents are pure ASCII (verified: octet_length == length for all
+    # rows), so per-char ord == per-byte value
+    "multimodal_features_checksum": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                    i -> ord(text[i]))) % 2147483648 AS BIGINT) AS checksum
+FROM documents
+""",
+}

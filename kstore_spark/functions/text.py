@@ -1,0 +1,155 @@
+"""Text analysis operators over the ``documents`` table.
+
+All four run entirely in JVM expressions (split / filter / aggregate —
+whole-stage-codegen'd, no Python UDFs), so they stream at scan speed on
+any corpus size:
+
+- token counting (total + distinct)
+- quality scoring (length / stopword-ratio / mean token length)
+- language ID (marker-word n-gram heuristic, deterministic tie-break)
+- document fingerprint (sequential 31-ary rolling hash — a stand-in for
+  rolling content-defined chunking signatures)
+
+Ratios are single double divisions of exact integers → bit-identical in
+any IEEE engine, so everything here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+# marker vocab per language for the heuristic language guesser
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+_FP_MOD = 2147483647  # 2^31-1, Mersenne prime
+
+
+def _tok(spark, sf_dir):
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("t")
+    )
+
+
+def _count_in(tokens_col, words: tuple[str, ...]):
+    """Occurrence count (not distinct) of any of `words` among tokens."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col, lambda x: F.array_contains(arr, x)))
+
+
+def text_tokens(spark, sf_dir):
+    return _tok(spark, sf_dir).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+
+TEXT_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+FROM documents
+"""
+
+
+def text_quality(spark, sf_dir):
+    t = _tok(spark, sf_dir)
+    n_tokens = F.size("t")
+    stop = _count_in(F.col("t"), STOPWORDS)
+    # mean token length from exact ints: (chars - separators) / tokens
+    mean_len = (F.length("text") - n_tokens + 1).cast("double") / n_tokens.cast("double")
+    return t.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+    )
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(tok, x -> x IN {STOPWORDS!r})) AS DOUBLE) / len(tok) AS stopword_ratio,
+       CAST(length(text) - len(tok) + 1 AS DOUBLE) / len(tok) AS mean_token_len
+FROM t
+"""
+
+
+def text_langid(spark, sf_dir):
+    """Deterministic marker-count argmax; ties resolve in fixed lang
+    order en > es > de > fr, then 'unk' when all scores are zero."""
+    t = _tok(spark, sf_dir)
+    scores = {lang: _count_in(F.col("t"), words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("unk"))
+    for lang in ("en", "es", "de", "fr"):
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return t.select("doc_id", pred.alias("pred_lang"))
+
+
+def _langid_sql():
+    cnt = {
+        lang: f"len(list_filter(tok, x -> x IN {words!r}))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = f"greatest({cnt['en']}, {cnt['es']}, {cnt['de']}, {cnt['fr']})"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'unk'
+            WHEN {cnt['en']} = {best} THEN 'en'
+            WHEN {cnt['es']} = {best} THEN 'es'
+            WHEN {cnt['de']} = {best} THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM t
+"""
+
+TEXT_LANGID_SQL = _langid_sql()
+
+
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling hash over token lengths: a cheap stable
+    content fingerprint (reordering tokens changes it, unlike bag-of-words
+    digests). Sequential left fold — same associativity in DuckDB."""
+    t = _tok(spark, sf_dir)
+    fp = F.aggregate(
+        F.transform("t", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _FP_MOD,
+    )
+    return t.select("doc_id", fp.alias("fingerprint"))
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_transform(tok, x -> CAST(length(x) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % {_FP_MOD}
+       ) AS fingerprint
+FROM t
+"""
+
+
+QUERIES = {
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_tokens": TEXT_TOKENS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -35,10 +35,28 @@ def zip_vectors(vecs: list[ValVec]) -> DataFrame:
         for v in keyed[1:]:
             if v.keys != keys:
                 raise AlignmentError(f"tuple() vectors have mismatched keys {v.keys} vs {keys}")
-        frames = [
-            v.df.select(*keys, F.col(VAL).alias(f"c{i}")) for i, v in enumerate(keyed)
-        ]
-        out = reduce(lambda a, b: a.join(b, on=list(keys), how="inner"), frames)
+        shared = (
+            all(
+                v.prov is not None
+                and v.prov.frame is keyed[0].prov.frame
+                and v.source_col in v.prov.cols
+                for v in keyed
+            )
+            if keyed[0].prov is not None
+            else False
+        )
+        if shared:
+            # all vectors project one frame → a single select, no joins
+            frame = keyed[0].prov.frame
+            out = frame.select(
+                *keys,
+                *[F.col(v.prov.cols[v.source_col]).alias(f"c{i}") for i, v in enumerate(keyed)],
+            )
+        else:
+            frames = [
+                v.df.select(*keys, F.col(VAL).alias(f"c{i}")) for i, v in enumerate(keyed)
+            ]
+            out = reduce(lambda a, b: a.join(b, on=list(keys), how="inner"), frames)
         out = out.orderBy(*keys).select(*[f"c{i}" for i in range(len(keyed))])
     for i, v in enumerate(scalars):
         sdf = v.df.select(F.col(VAL).alias(f"s{i}"))

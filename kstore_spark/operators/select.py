@@ -9,8 +9,13 @@ binary search on sorted index / b+tree descend — storage.c:1123-1137). In
 Spark all three collapse into a single declarative ``filter``: Catalyst
 pushes the predicate into the Parquet scan, and for sorted-written columns
 row-group min/max + page-index pruning provides the same skip-scan
-acceleration the sorted/b+tree paths provide natively. One logical
-implementation, storage-type-equivalent results by construction.
+acceleration. One logical implementation, storage-type-equivalent results
+by construction.
+
+When the column is covered by a table group (catalog group storage), the
+select carries a ``Prov`` — the *filtered group frame* — so downstream
+fetches over sibling columns become projections of this same scan instead
+of pos-joins (late materialization; see operators/types.Prov).
 """
 
 from __future__ import annotations
@@ -18,23 +23,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kstore_spark.operators.types import POS, VAL, PosList
+from kstore_spark.operators.types import POS, VAL, PosList, Prov
 
 
-def select_all(col_df: DataFrame, pos_col: str = POS) -> PosList:
+def _from_prov(prov: Prov, column: str, pred) -> PosList:
+    fcol = prov.cols[column]
+    filtered = prov.frame.filter(pred(F.col(fcol))) if pred else prov.frame
+    return PosList(
+        filtered.select(POS), prov=Prov(frame=filtered, cols=prov.cols)
+    )
+
+
+def select_all(col_df: DataFrame, pos_col: str = POS,
+               prov: Prov | None = None, column: str | None = None) -> PosList:
     """Every live position. select(C)."""
+    if prov is not None and column in prov.cols:
+        return _from_prov(prov, column, None)
     return PosList(col_df.select(F.col(pos_col).alias(POS)))
 
 
-def select_value(col_df: DataFrame, value, pos_col: str = POS, val_col: str = VAL) -> PosList:
+def select_value(col_df: DataFrame, value, pos_col: str = POS, val_col: str = VAL,
+                 prov: Prov | None = None, column: str | None = None) -> PosList:
     """Positions where val == value. select(C, x)."""
-    return PosList(col_df.filter(F.col(val_col) == F.lit(value)).select(F.col(pos_col).alias(POS)))
-
-
-def select_range(col_df: DataFrame, lo, hi, pos_col: str = POS, val_col: str = VAL) -> PosList:
-    """Positions where lo <= val <= hi (both inclusive). select(C, lo, hi)."""
+    if prov is not None and column in prov.cols:
+        return _from_prov(prov, column, lambda c: c == F.lit(value))
     return PosList(
-        col_df.filter(F.col(val_col).between(F.lit(lo), F.lit(hi))).select(F.col(pos_col).alias(POS))
+        col_df.filter(F.col(val_col) == F.lit(value)).select(F.col(pos_col).alias(POS))
+    )
+
+
+def select_range(col_df: DataFrame, lo, hi, pos_col: str = POS, val_col: str = VAL,
+                 prov: Prov | None = None, column: str | None = None) -> PosList:
+    """Positions where lo <= val <= hi (both inclusive). select(C, lo, hi)."""
+    if prov is not None and column in prov.cols:
+        return _from_prov(prov, column, lambda c: c.between(F.lit(lo), F.lit(hi)))
+    return PosList(
+        col_df.filter(F.col(val_col).between(F.lit(lo), F.lit(hi)))
+        .select(F.col(pos_col).alias(POS))
     )
 
 

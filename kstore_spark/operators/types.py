@@ -24,12 +24,40 @@ keys: shuffle-partitioned, no driver materialization, no windows.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
 POS = "pos"
 VAL = "val"
+
+
+@dataclass(frozen=True)
+class Prov:
+    """Late-materialization provenance: the filtered/joined *table frame*
+    an intermediate was derived from.
+
+    ``frame`` holds the alignment keys plus every still-reachable base
+    column, under the names in ``cols`` (base column name → frame column
+    name). Operators use it to turn positional gathers into projections:
+
+    - fetch(C, ids) where C ∈ ids.prov.cols → ``frame.select(keys, C)``
+      — NO self-join on pos; the filter and the projection fuse into one
+      Parquet scan with pushdown. This is a column store's late
+      materialization, expressed as Catalyst-visible lineage.
+    - equijoin(L, R) with both provs → join the two frames directly,
+      keeping both sides' columns reachable; post-join fetches become
+      projections of the single join output instead of three more joins.
+    - math/tuple over vectors sharing one frame → column arithmetic on
+      that frame, no zip-join.
+
+    Every fast path has a semantics-identical join fallback, so prov is
+    purely an optimization layer. At 100 TB the difference is structural:
+    the challenge-style query runs as ONE shuffle join instead of six.
+    """
+
+    frame: DataFrame
+    cols: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -46,6 +74,7 @@ class PosList:
     df: DataFrame
     keys: tuple[str, ...] = (POS,)
     pos_col: str = POS
+    prov: Prov | None = None
 
 
 @dataclass(frozen=True)
@@ -55,6 +84,7 @@ class ValVec:
     df: DataFrame
     keys: tuple[str, ...] = (POS,)
     source_col: str | None = None  # base column name values came from
+    prov: Prov | None = None
 
     @property
     def pos_col(self) -> str:

@@ -33,6 +33,20 @@ def _zip(l: ValVec, r: ValVec, op: Callable[[Column, Column], Column]) -> ValVec
             f"cannot zip vectors with alignment keys {l.keys} vs {r.keys}; "
             "math operands must derive from the same select or join"
         )
+    # late-materialization fast path: both vectors project one shared
+    # frame → the zip is column arithmetic on that frame, no self-join
+    if (
+        l.prov is not None and r.prov is not None
+        and l.prov.frame is r.prov.frame
+        and l.source_col in l.prov.cols and r.source_col in r.prov.cols
+    ):
+        frame = l.prov.frame
+        out = frame.select(
+            *l.keys,
+            op(F.col(l.prov.cols[l.source_col]), F.col(r.prov.cols[r.source_col])).alias(VAL),
+        )
+        return ValVec(out, keys=l.keys, prov=l.prov)
+
     lf = l.df.select(*l.keys, F.col(VAL).alias("__l"))
     rf = r.df.select(*r.keys, F.col(VAL).alias("__r"))
     out = lf.join(rf, on=list(l.keys), how="inner").select(

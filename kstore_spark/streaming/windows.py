@@ -1,0 +1,85 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming of any kind (SURVEY.md §2.8); this module
+is the engine's streaming extension, built on the file source so the same
+parquet feeds both batch and streaming paths:
+
+    readStream → event-time watermark → tumbling-window aggregation
+    → availableNow trigger → memory sink
+
+``stream_hourly_counts`` runs the stream to completion and returns the
+result as a batch DataFrame — which is exactly how a backfill-over-history
+job runs in production (availableNow processes the backlog incrementally
+with bounded state, then stops). The oracle is plain GROUP BY date_trunc:
+tumbling windows are epoch-aligned, so window.start ≡ date_trunc('hour').
+
+At scale: the watermark bounds state (late events beyond 1h are dropped);
+the shuffle key is (window, event_type) — low cardinality → the state
+store stays tiny regardless of input volume.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # the file streaming source ingests directories; stage the single
+        # parquet file behind a symlink dir (no data copy)
+        stage = os.path.join(
+            "/tmp", f"kstore_stream_{abs(hash((path, os.path.getmtime(path)))):x}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    stream = spark.readStream.schema(schema).parquet(path)
+    if dict(stream.dtypes).get("ts") == "bigint":  # nanosAsLong read path
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts per type, computed by an actual
+    Structured Streaming query (not a batch rewrite)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"), "event_type", "n"
+    )
+
+
+STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "stream_hourly_counts": stream_hourly_counts,
+}
+
+ORACLES = {
+    "stream_hourly_counts": STREAM_HOURLY_SQL,
+}
