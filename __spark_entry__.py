@@ -22,11 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from kstore_spark.plans import analytics, kparity
+    from kstore_spark.plans import analytics, extended, kparity
 
     out: dict[str, Callable] = {}
     out.update(kparity.QUERIES)
     out.update(analytics.QUERIES)
+    out.update(extended.QUERIES)
     try:
         from kstore_spark.functions import dedup, multimodal, similarity, text
 
@@ -46,11 +47,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kstore_spark.plans import analytics, kparity
+    from kstore_spark.plans import analytics, extended, kparity
 
     out: dict[str, str] = {}
     out.update(kparity.ORACLES)
     out.update(analytics.ORACLES)
+    out.update(extended.ORACLES)
     try:
         from kstore_spark.functions import dedup, multimodal, similarity, text
 

@@ -1,0 +1,299 @@
+"""Extended analytic operators — second wave of capabilities beyond the
+reference's surface (SURVEY.md §2.8 lists every category below as absent
+there): as-of joins, exact percentiles, rollup/grouping sets, pivot,
+semi/anti joins, EXCEPT, JSON/string/date functions, token top-k.
+
+Same determinism discipline as plans/analytics.py: integer or decimal
+arithmetic inside, deterministic tie-breaks on every top-k/rank, floats
+only as final exact casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kstore_spark.tables import table
+
+
+# -- as-of join (events: each purchase → latest same-user signup) -------
+
+def events_asof(spark, sf_dir):
+    """As-of join via the union+running-last trick: tag both streams,
+    sort-merge once per user, carry the last signup event_id forward.
+    This is the shuffle-minimal distributed formulation (one window over
+    (user_id, ts) — state is one value per partition key), vs. the naive
+    per-row subquery which is O(n²).
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    tagged = purchases.select(
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("sig_id")
+    ).unionByName(
+        signups.select(
+            "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("sig_id"),
+        )
+    )
+    # at equal ts the signup row must sort BEFORE the purchase row so the
+    # purchase sees it (ASOF >= semantics): purchases carry NULL sig_id →
+    # nulls_last puts signups first
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("sig_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup", F.last("sig_id", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", F.col("last_signup").alias("signup_event_id"))
+    )
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       s.event_id AS signup_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# -- exact median (discrete percentile, fully deterministic) ------------
+
+def median_price_by_segment(spark, sf_dir):
+    """Exact lower-median per group via row_number — no interpolation, no
+    approx sketch, so the result is a value that exists in the data."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    n = Window.partitionBy("c_mktsegment")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(n))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("c_mktsegment", F.col("o_totalprice").alias("median_price"))
+    )
+
+MEDIAN_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT c_mktsegment, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+  FROM j
+)
+SELECT c_mktsegment, o_totalprice AS median_price
+FROM r WHERE rn = FLOOR((cnt + 1) / 2)
+"""
+
+
+# -- histogram / date buckets / rollup / pivot --------------------------
+
+def price_histogram(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS bucket, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def orders_by_month(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+ORDERS_BY_MONTH_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def rollup_orders(spark, sf_dir):
+    """ROLLUP (grouping sets): subtotals per (year, priority), per year,
+    and grand total — NULL marks the rolled-up level in both engines."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("y"), F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+ROLLUP_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (1, 2)
+"""
+
+
+def pivot_event_types(spark, sf_dir):
+    """Hourly counts pivoted to one column per event type (fixed pivot
+    value list → the plan is a single pass, no second distinct scan)."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+PIVOT_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'view')     AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY 1
+"""
+
+
+# -- semi / anti / except ----------------------------------------------
+
+def semi_join_customers(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def anti_join_customers(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey"
+    )
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def except_suppliers(spark, sf_dir):
+    """Nations having customers but no suppliers (EXCEPT)."""
+    cust_nations = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust_nations.subtract(supp_nations)  # EXCEPT (set semantics)
+
+EXCEPT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# -- JSON / string functions -------------------------------------------
+
+def events_json_extract(spark, sf_dir):
+    """props is a JSON string; extract k and aggregate per type."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k"), F.max(k).alias("max_k")
+    )
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def string_funcs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.substring("text", 1, 12).alias("prefix"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_consonant_chars"),
+    )
+
+STRING_FUNCS_SQL = """
+SELECT doc_id,
+       UPPER(source) AS src_upper,
+       SUBSTRING(text, 1, 12) AS prefix,
+       lang || '|' || source AS tag,
+       CAST(LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS n_consonant_chars
+FROM documents
+"""
+
+
+# -- corpus token top-k -------------------------------------------------
+
+def top_tokens(spark, sf_dir):
+    """Global token frequencies, top 20 (deterministic tie-break). The
+    explode→partial-agg plan map-side combines before the shuffle, so
+    shuffle volume is |vocab|, not |tokens|."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+TOP_TOKENS_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+QUERIES = {
+    "events_asof": events_asof,
+    "median_price_by_segment": median_price_by_segment,
+    "price_histogram": price_histogram,
+    "orders_by_month": orders_by_month,
+    "rollup_orders": rollup_orders,
+    "pivot_event_types": pivot_event_types,
+    "semi_join_customers": semi_join_customers,
+    "anti_join_customers": anti_join_customers,
+    "except_suppliers": except_suppliers,
+    "events_json_extract": events_json_extract,
+    "string_funcs": string_funcs,
+    "top_tokens": top_tokens,
+}
+
+ORACLES = {
+    "events_asof": EVENTS_ASOF_SQL,
+    "median_price_by_segment": MEDIAN_SQL,
+    "price_histogram": PRICE_HISTOGRAM_SQL,
+    "orders_by_month": ORDERS_BY_MONTH_SQL,
+    "rollup_orders": ROLLUP_SQL,
+    "pivot_event_types": PIVOT_SQL,
+    "semi_join_customers": SEMI_JOIN_SQL,
+    "anti_join_customers": ANTI_JOIN_SQL,
+    "except_suppliers": EXCEPT_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "string_funcs": STRING_FUNCS_SQL,
+    "top_tokens": TOP_TOKENS_SQL,
+}
