@@ -30,19 +30,30 @@ _J_NUM, _J_DEN = 4, 5  # J >= _J_NUM/_J_DEN
 
 def _tokens(spark, sf_dir) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.split("text", " ").alias("t"))
+    # a small parquet arrives as one partition; spread the (CPU-heavy)
+    # shingling across cores — on a cluster this is a no-op cost
+    npart = spark.sparkContext.defaultParallelism
+    return docs.repartition(npart, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
 
 
-def _shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle) — DISTINCT word 3-grams. The explode keeps each
-    row small; the downstream joins shuffle only (id, shingle-hash)-sized
-    data, never whole documents."""
+def _shingle_arrays(spark, sf_dir) -> DataFrame:
+    """(doc_id, sh: array<string>) — DISTINCT word 3-grams per doc, kept
+    array-native (one row per doc; per-doc ops never shuffle)."""
     tok = _tokens(spark, sf_dir).filter(F.size("t") >= 3)
     sh = F.transform(
         F.sequence(F.lit(0), F.size("t") - 3),
         lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
     )
-    return tok.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+    return tok.select("doc_id", F.array_distinct(sh).alias("sh"))
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) — exploded view for inverted-index joins."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
 
 
 def _verified_pairs(sh: DataFrame) -> DataFrame:
@@ -115,16 +126,32 @@ BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS  # 4 → s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
 
-def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — one xxhash64 family member per
-    permutation, min-reduced per doc in a single aggregation pass."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)
+_MERSENNE31 = 2**31 - 1
+
+
+def _perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Seeded affine permutation family h_i(x) = (a_i·x + b_i) mod p."""
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_perm)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
-    )
+
+
+def minhash_signatures(sh_arr: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — classic affine MinHash over the
+    per-doc shingle ARRAY: one base xxhash64 per shingle, then num_perm
+    multiply-adds mod a Mersenne prime, array_min per permutation. Fully
+    row-local: no explode, no groupBy, zero shuffles."""
+    base = F.transform("sh", lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE31)))
+    arred = sh_arr.select("doc_id", base.alias("hb"))
+    sig = F.array(*[
+        F.array_min(F.transform("hb", lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE31))
+        for (a, b) in _perm_coeffs(num_perm)
+    ])
+    return arred.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidates(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
@@ -137,7 +164,7 @@ def lsh_candidates(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
     ])
     banded = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "bh")
-    )
+    ).persist()  # consumed by both sides of the self-join
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
@@ -153,14 +180,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     prunes the pair space from O(n²) to near-linear, verification touches
     only candidates. No SQL oracle (Spark-side hash family); recall vs
     the exact baseline is pinned in tests."""
-    sh = _shingles(spark, sf_dir).persist()
-    cands = lsh_candidates(minhash_signatures(sh))
+    sh_arr = _shingle_arrays(spark, sf_dir).persist()
+    cands = lsh_candidates(minhash_signatures(sh_arr)).persist()
+    cands.count()  # materialize so the explode below is candidate-only
+    # verification touches ONLY candidate docs: semi-join first, then
+    # explode just those docs' shingles — the full inverted-index pair
+    # expansion (what LSH exists to avoid) never materializes
+    in_cands = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select("doc_b")
+    ).distinct()
+    sh = sh_arr.join(F.broadcast(in_cands), "doc_id", "left_semi").select(
+        "doc_id", F.explode("sh").alias("s")
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
-        a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
-        .join(F.broadcast(cands), ["doc_a", "doc_b"])  # verify candidates only
+        F.broadcast(cands)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -185,7 +223,7 @@ SIM_BANDS = 8  # pigeonhole: hamming ≤ 7 ⇒ at least one 8-bit band equal.
 def simhash(spark, sf_dir) -> DataFrame:
     """(doc_id, sim: bigint) — 64-bit SimHash over token xxhash64 bits,
     computed as 64 parallel ±1 sums in one aggregation."""
-    tok = _tokens(spark, sf_dir).select("doc_id", F.explode("t").alias("w"))
+    tok = _shingles(spark, sf_dir).select("doc_id", F.col("s").alias("w"))
     h = F.xxhash64("w")
     bit_aggs = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
