@@ -154,11 +154,19 @@ class Engine:
 
     def _op_agg(self, op) -> str | None:
         v = self._valvar(op.args["var"])
+        if op.args["fn"] == "avg" and v.df.limit(1).count() == 0:
+            # reference: avg of an empty vector is DBEDIVZERO (aggregate.c:80-84)
+            raise EngineError("avg of empty vector (DBEDIVZERO)")
         res = ValVec(_AGGS[op.args["fn"]](v), keys=())
         return self._bind_or_print_val(op, res)
 
     def _op_math(self, op) -> str | None:
-        res = _MATH[op.args["fn"]](self._valvar(op.args["left"]), self._valvar(op.args["right"]))
+        right = self._valvar(op.args["right"])
+        if op.args["fn"] == "div":
+            # reference: DBEDIVZERO on any zero divisor (aggregate.c:18-22)
+            if right.df.filter(F.col("val") == 0).limit(1).count() > 0:
+                raise EngineError("division by zero (DBEDIVZERO)")
+        res = _MATH[op.args["fn"]](self._valvar(op.args["left"]), right)
         return self._bind_or_print_val(op, res)
 
     def _op_join(self, op) -> None:

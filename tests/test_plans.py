@@ -1,0 +1,107 @@
+"""Plan-regression tests: pin the physical-plan properties the 100 TB
+design depends on. Breaking one of these silently turns a scan-speed
+query into a shuffle storm, so they are asserted, not just documented."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_select_pushes_predicate_to_parquet(spark):
+    """select predicates must reach the scan as PushedFilters. (Note:
+    a cast() on the value column would block pushdown — catalog columns
+    are stored int32 precisely so no cast sits between the predicate and
+    the scan; p_size is int32 in the testdata too.)"""
+    from kstore_spark.plans.kparity import q_select_value
+
+    txt = _formatted(spark, q_select_value(spark, SF_DIR))
+    assert "PushedFilters" in txt
+    assert "EqualTo(p_size,25)" in txt
+
+
+def test_fetch_prunes_columns(spark):
+    """fetch reads only the columns it needs (ReadSchema pruning)."""
+    from kstore_spark.plans.kparity import q_fetch
+
+    txt = _formatted(spark, q_fetch(spark, SF_DIR))
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines
+    for ln in read_lines:
+        assert "p_name" not in ln and "p_brand" not in ln  # untouched cols
+
+
+def test_q3_broadcasts_dimensions(spark):
+    """q3's customer/orders sides must broadcast — the lineitem fact
+    table is never shuffled for the join."""
+    from kstore_spark.plans.analytics import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heap), never a global Sort."""
+    from kstore_spark.plans.analytics import top_customers
+
+    plan = _plan(top_customers(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_prov_join_is_single_join(spark):
+    """The late-materialized challenge plan: select→fetch→join→fetch→zip
+    must contain exactly ONE join and no pos-self-joins."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.operators import equijoin, fetch
+    from kstore_spark.operators.output import zip_vectors
+    from kstore_spark.operators.select import select_range
+    from kstore_spark.operators.types import Prov
+    from kstore_spark.tables import table
+
+    part = table(spark, SF_DIR, "part").select(
+        F.col("p_partkey").alias("pos"), "p_size", "p_retailprice"
+    )
+    supp = table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("pos"), "s_nationkey", "s_acctbal"
+    )
+    p_prov = Prov(frame=part, cols={"p_size": "p_size", "p_retailprice": "p_retailprice"})
+    s_prov = Prov(frame=supp, cols={"s_nationkey": "s_nationkey", "s_acctbal": "s_acctbal"})
+    p_ids = select_range(None, 1, 25, prov=p_prov, column="p_size")
+    pv = fetch(None, p_ids, source_col="p_size")
+    sv = fetch(None, select_range(None, 0, 25, prov=s_prov, column="s_nationkey"),
+               source_col="s_nationkey")
+    l_ids, r_ids = equijoin(pv, sv, algorithm="hash")
+    a = fetch(None, l_ids, source_col="p_retailprice")
+    b = fetch(None, r_ids, source_col="s_acctbal")
+    plan = _plan(zip_vectors([a, b]))
+    joins = plan.count("HashJoin") + plan.count("SortMergeJoin") + plan.count("NestedLoop")
+    assert joins == 1, plan
+
+
+def test_engine_division_by_zero_errors(spark, tmp_path):
+    from kstore_spark.engine import Engine, EngineError
+
+    e = Engine(spark, str(tmp_path / "db"))
+    e.run_script('create(da,"unsorted")\ncreate(db,"unsorted")\n'
+                 "insert(da,4,db,2)\ninsert(da,9,db,0)")
+    with pytest.raises(EngineError, match="DBEDIVZERO"):
+        e.run_script("s=select(da)\nfa=fetch(da,s)\nfb=fetch(db,s)\nq=div(fa,fb)")
+
+
+def test_engine_avg_empty_errors(spark, tmp_path):
+    from kstore_spark.engine import Engine, EngineError
+
+    e = Engine(spark, str(tmp_path / "db"))
+    e.run_script('create(ea,"unsorted")')
+    with pytest.raises(EngineError, match="DBEDIVZERO"):
+        e.run_script("s=select(ea)\nf=fetch(ea,s)\na=avg(f)")
