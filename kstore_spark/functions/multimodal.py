@@ -110,6 +110,66 @@ def multimodal_features(spark, sf_dir) -> DataFrame:
     return extract_features(binary_payloads(spark, sf_dir))
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image-resize plumbing over binary payloads (Arrow-batched).
+
+    The decode+resample body is the deterministic fake (`_fake_decode` +
+    stride sampling standing in for PIL's `Image.resize`); the Spark
+    contract — binary in, fixed-shape binary out, schema, batching — is
+    exactly what a real thumbnailing pipeline uses at scale.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        target = width * height
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(_fake_decode(bytes(payload)), dtype=np.uint8)
+                # deterministic stride resample to width×height "pixels"
+                idx = (np.arange(target) * max(raw.size, 1) // target) % max(raw.size, 1)
+                pix = raw[idx] if raw.size else np.zeros(target, dtype=np.uint8)
+                rows.append((int(doc_id), width, height, pix.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixels"])
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: one input payload fans out to every
+    n-th fixed-size 'frame' (a 1→N mapInPandas — the shape a video
+    decode-and-sample job has; ffmpeg stands behind `_fake_decode` in a
+    real deployment)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = _fake_decode(bytes(payload))
+                n_frames = max(len(raw) // frame_bytes, 0)
+                for i in range(0, n_frames, every_n):
+                    rows.append((int(doc_id), i, raw[i * frame_bytes:(i + 1) * frame_bytes]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 QUERIES = {
     "multimodal_bytes": multimodal_bytes,
     # multimodal_features exercises the mapInPandas path; its checksum is

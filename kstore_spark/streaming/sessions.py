@@ -1,0 +1,117 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch twin lives in plans/analytics.events_sessionize (window + lag);
+this is the streaming formulation: per-user state carries the open
+session (start, last-seen, count) across micro-batches, closing a session
+when the 30-minute inactivity gap passes or the event-time timeout fires.
+
+Scale properties:
+- state is O(#active users), not O(#events): each user holds one open
+  session tuple;
+- the stream is hash-partitioned by user_id (groupBy) — adding executors
+  scales state linearly;
+- GroupStateTimeout.EventTimeTimeout + watermark bound both state size
+  and late-data wait.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SECONDS = 1800
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    """Fold this micro-batch's events (sorted by ts) into the open
+    session; emit every session closed by a gap. On event-time timeout,
+    emit the still-open session and clear."""
+    user_id = key[0]
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame({
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+        })
+        return
+
+    ts_list: list[int] = []
+    for pdf in pdf_iter:
+        ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    ts_list.sort()
+
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_list:
+        if start_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > GAP_SECONDS * 1_000_000:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp(last_us // 1000 + GAP_SECONDS * 1000)
+
+    if closed:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(closed),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+            "n_events": [c for _, _, c in closed],
+        })
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful sessionizer over the events table with an
+    availableNow trigger; returns the *closed* sessions as a batch frame.
+    (Sessions still open at end-of-stream stay in state — exactly the
+    production semantics; the batch twin closes everything.)"""
+    from kstore_spark.streaming.windows import _events_stream
+
+    stream = _events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,58 @@
+"""Multimodal binary plumbing: the mapInPandas paths must be
+deterministic, schema-stable, and consistent with JVM-side byte math."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_features_match_jvm_byte_math(spark):
+    """Python-side checksum (numpy over decoded bytes) must equal a pure
+    JVM computation over the same payloads — pins the Arrow round-trip."""
+    from kstore_spark.functions.multimodal import binary_payloads, extract_features
+
+    feats = extract_features(binary_payloads(spark, SF_DIR))
+    jvm = binary_payloads(spark, SF_DIR).select(
+        "doc_id",
+        F.aggregate(
+            # payload bytes as ints via substring-per-position would be
+            # O(n²); unbase64/encode tricks aside, ascii text means
+            # char codepoints == bytes
+            F.transform(F.split(F.decode("payload", "UTF-8"), ""), F.ascii),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("jvm_sum"),
+    )
+    j = feats.join(jvm, "doc_id")
+    bad = j.filter((F.col("checksum") != F.col("jvm_sum") % (2**31))).count()
+    assert bad == 0
+    row = feats.first()
+    assert len(row["histogram"]) == 16
+    assert sum(row["histogram"]) == row["byte_len"]
+
+
+def test_resize_fixed_shape(spark):
+    from kstore_spark.functions.multimodal import binary_payloads, resize_images
+
+    out = resize_images(binary_payloads(spark, SF_DIR), width=8, height=8)
+    rows = out.collect()
+    assert all(len(r["pixels"]) == 64 for r in rows)
+    assert len(rows) == binary_payloads(spark, SF_DIR).count()
+    # determinism across runs
+    again = {r["doc_id"]: r["pixels"] for r in
+             resize_images(binary_payloads(spark, SF_DIR), 8, 8).collect()}
+    assert all(again[r["doc_id"]] == r["pixels"] for r in rows)
+
+
+def test_frame_sampling_fanout(spark):
+    from kstore_spark.functions.multimodal import binary_payloads, sample_frames
+
+    src = binary_payloads(spark, SF_DIR)
+    frames = sample_frames(src, frame_bytes=64, every_n=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    sizes = {r["doc_id"]: r["n_bytes"] for r in
+             src.select("doc_id", "meta.n_bytes").collect()}
+    for r in per_doc:
+        expected = (max(sizes[r["doc_id"]] // 64, 0) + 3) // 4
+        assert r["count"] == expected
+    assert frames.filter(F.length("frame") > 64).count() == 0

@@ -1,0 +1,80 @@
+"""Structured Streaming tests: the windowed aggregation equals its batch
+twin, and the stateful sessionizer's closed sessions agree with the batch
+window formulation."""
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.windows import stream_hourly_counts
+    from kstore_spark.tables import table
+
+    got = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in stream_hourly_counts(spark, SF_DIR).collect()
+    }
+    exp = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stream_sessionize_matches_batch(spark):
+    """Closed streaming sessions must be a subset of the batch sessions
+    with identical (user, start, count) tuples; only end-of-stream open
+    sessions may be missing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kstore_spark.streaming.sessions import GAP_SECONDS, stream_sessionize
+    from kstore_spark.tables import table
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in stream_sessionize(spark, SF_DIR).collect()
+    }
+
+    ev = table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > GAP_SECONDS), 1).otherwise(0)
+    ).over(w)
+    batch = (
+        ev.withColumn("sid", sess)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    exp_all = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    # every user's LAST session never closes in the stream (no later event
+    # pushes the watermark past its timeout) — exclude them from the
+    # expectation
+    from pyspark.sql import functions as F2
+
+    last = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.withColumn(
+            "rn",
+            F2.row_number().over(
+                Window.partitionBy("user_id").orderBy(F2.desc("session_start"))
+            ),
+        ).filter("rn = 1").collect()
+    }
+    exp_closed = exp_all - last
+    # gap-closed sessions must ALL be emitted; the only extra emissions
+    # allowed are last-sessions closed by the final watermark's timeout
+    assert exp_closed <= got <= exp_all
+    assert got - exp_closed <= last
+    assert len(got) > 0
