@@ -268,7 +268,68 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+# -- scalar-subquery shapes (TPC-H Q17 / Q2 patterns) -------------------
+
+def q17_small_quantity(spark, sf_dir):
+    """Lineitems whose quantity is below 50%% of their part's average —
+    the scalar-correlated-subquery shape, executed as aggregate + self
+    broadcast-join (how Catalyst decorrelates it)."""
+    li = table(spark, sf_dir, "lineitem")
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+              / F.count(F.lit(1))).alias("avg_q"))
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == avg_q.pk)
+        .filter(F.col("l_quantity").cast("decimal(18,4)") * 2 < F.col("avg_q"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_small"),
+             F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_small_qty"))
+    )
+
+Q17_SQL = """
+WITH a AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS avg_q
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, COUNT(*) AS n_small,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_small_qty
+FROM lineitem JOIN a ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,4)) * 2 < avg_q
+GROUP BY l_partkey
+"""
+
+
+def argmin_supplier_per_nation(spark, sf_dir):
+    """Cheapest-supplier-per-nation (argmin via window rank — the TPC-H
+    Q2 min-per-group pattern, deterministic tie-break on key)."""
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    best = (
+        supp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_suppkey", "s_acctbal")
+    )
+    return best
+
+ARGMIN_SQL = """
+SELECT n_name, s_suppkey, s_acctbal
+FROM (
+  SELECT s_nationkey, s_suppkey, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM supplier
+) s JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "q17_small_quantity": q17_small_quantity,
+    "argmin_supplier_per_nation": argmin_supplier_per_nation,
     "events_asof": events_asof,
     "median_price_by_segment": median_price_by_segment,
     "price_histogram": price_histogram,
@@ -284,6 +345,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_small_quantity": Q17_SQL,
+    "argmin_supplier_per_nation": ARGMIN_SQL,
     "events_asof": EVENTS_ASOF_SQL,
     "median_price_by_segment": MEDIAN_SQL,
     "price_histogram": PRICE_HISTOGRAM_SQL,
