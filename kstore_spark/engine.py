@@ -93,7 +93,14 @@ class Engine:
 
     def _op_load(self, op) -> None:
         path = op.args["path"]
-        raw = self.spark.read.csv(path, header=True, inferSchema=False)
+        # the reference ingests only CSV (src/common/csv.c); parquet/json
+        # are source extensions — same row-aligned group semantics
+        if path.endswith(".parquet"):
+            raw = self.spark.read.parquet(path)
+        elif path.endswith((".json", ".jsonl", ".ndjson")):
+            raw = self.spark.read.json(path)
+        else:
+            raw = self.spark.read.csv(path, header=True, inferSchema=False)
         cols = raw.columns
         for c in cols:
             if not self.catalog.exists(c):
