@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns ts
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
