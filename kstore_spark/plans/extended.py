@@ -327,7 +327,55 @@ WHERE rn = 1
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least one late lineitem (EXISTS →
+    left-semi join), counted per priority."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    late = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    including zero-order customers (left outer join + double group-by)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
 QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity": q17_small_quantity,
     "argmin_supplier_per_nation": argmin_supplier_per_nation,
     "events_asof": events_asof,
@@ -345,6 +393,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q4_order_priority": Q4_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q17_small_quantity": Q17_SQL,
     "argmin_supplier_per_nation": ARGMIN_SQL,
     "events_asof": EVENTS_ASOF_SQL,
