@@ -30,6 +30,8 @@ def get_spark(app_name: str = "kstore-spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
+        # deterministic epoch math for NTZ↔LTZ timestamp conversions
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS) which the
