@@ -177,10 +177,14 @@ class Engine:
         return self._bind_or_print_val(op, res)
 
     def _op_join(self, op) -> None:
-        l_ids, r_ids = equijoin(
-            self._valvar(op.args["left"]), self._valvar(op.args["right"]),
-            algorithm=op.args["algorithm"],
-        )
+        left, right = self._valvar(op.args["left"]), self._valvar(op.args["right"])
+        if op.args["algorithm"] == "salt":
+            # extension verb: skew-salted join (operators/skew.py)
+            from kstore_spark.operators.skew import salted_equijoin
+
+            l_ids, r_ids = salted_equijoin(left, right)
+        else:
+            l_ids, r_ids = equijoin(left, right, algorithm=op.args["algorithm"])
         l_name, r_name = op.assign
         self.env[l_name] = l_ids
         self.env[r_name] = r_ids

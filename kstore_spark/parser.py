@@ -19,6 +19,7 @@ Accepted forms (reference README.md:120-200, assts/p2-p4.txt):
     [v=]min|max|sum|avg|count(V)
     [v=]add|sub|mul|div(V1,V2)
     l,r=hashjoin|sortjoin|treejoin|loopjoin(LV,RV)
+    l,r=saltjoin(LV,RV)            -- extension: skew-salted equi-join
     tuple(v1[,...])
     print(v)
 
@@ -128,7 +129,7 @@ def _math(m, assign):
     return Op("math", assign, {"fn": m.group(1), "left": m.group(2), "right": m.group(3)})
 
 
-@_rule(rf"^(hash|sort|tree|loop)join\(\s*({_ID})\s*,\s*({_ID})\s*\)$")
+@_rule(rf"^(hash|sort|tree|loop|salt)join\(\s*({_ID})\s*,\s*({_ID})\s*\)$")
 def _join(m, assign):
     if len(assign) != 2:
         raise ParseError("joins bind exactly two variables: l,r=hashjoin(L,R)")

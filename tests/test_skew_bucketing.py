@@ -52,3 +52,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert joined.count() == 5000
     spark.sql("DROP TABLE IF EXISTS bt_a")
     spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_saltjoin_dsl_verb(spark, tmp_path):
+    """The saltjoin extension verb produces the same result as hashjoin."""
+    from kstore_spark.engine import Engine
+
+    csv = tmp_path / "t.csv"
+    csv.write_text(
+        "qa,qb\n" + "\n".join(f"{i % 3},{i}" for i in range(30))
+    )
+    csv2 = tmp_path / "u.csv"
+    csv2.write_text("ra,rb\n0,100\n1,200\n2,300\n")
+    e = Engine(spark, str(tmp_path / "db"))
+    e.run_script(
+        f'create(qa,"unsorted")\ncreate(qb,"unsorted")\n'
+        f'create(ra,"unsorted")\ncreate(rb,"unsorted")\n'
+        f'load("{csv}")\nload("{csv2}")'
+    )
+    script = (
+        "s1=select(qa)\nf1=fetch(qa,s1)\ns2=select(ra)\nf2=fetch(ra,s2)\n"
+        "l,r={algo}join(f1,f2)\ng=fetch(rb,r)\nx=sum(g)\nprint(x)"
+    )
+    assert e.run_script(script.format(algo="salt")) == e.run_script(script.format(algo="hash"))
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Date-partitioned writes prune at the directory level — the scan
+    lists only the queried partition (PartitionFilters in the plan)."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "ev_part")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "2024-01-05" in plan or "isnotnull(day" in plan
+    assert q.count() > 0
