@@ -194,6 +194,13 @@ class Engine:
         rows = out_ops.zip_vectors(vecs).collect()
         return out_ops.format_tuple_rows(rows)
 
+    def _op_explain(self, op) -> str:
+        """Extension verb: the optimized physical plan for a bound
+        variable — surfacing Catalyst's work (the reference has no
+        optimizer to inspect; this engine does)."""
+        v = self._var(op.args["var"])
+        return v.df._jdf.queryExecution().executedPlan().toString()
+
     def _op_print(self, op) -> str:
         v = self._var(op.args["var"])
         if isinstance(v, ValVec):

@@ -140,8 +140,32 @@ FROM t
 """
 
 
+_BPE_RE = "[a-z]+|[A-Z][a-z]*|[0-9]{1,3}|[^a-zA-Z0-9 ]"
+
+
+def text_tokens_regex(spark, sf_dir):
+    """BPE-ish subword tokenization via regex (the GPT-2-style pretoken
+    split, simplified): counts per doc, computed with the JVM regex
+    engine — the cheap first stage of any tokenizer-throughput estimate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_subtokens"),
+    )
+
+TEXT_TOKENS_REGEX_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_subtokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS INTEGER) AS n_distinct_subtokens
+FROM documents
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
+    "text_tokens_regex": text_tokens_regex,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -149,6 +173,7 @@ QUERIES = {
 
 ORACLES = {
     "text_tokens": TEXT_TOKENS_SQL,
+    "text_tokens_regex": TEXT_TOKENS_REGEX_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

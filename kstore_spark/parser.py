@@ -22,6 +22,7 @@ Accepted forms (reference README.md:120-200, assts/p2-p4.txt):
     l,r=saltjoin(LV,RV)            -- extension: skew-salted equi-join
     tuple(v1[,...])
     print(v)
+    explain(v)                     -- extension: show the Catalyst plan
 
 Whitespace is not significant around tokens; lines starting with ``--`` or
 empty lines are skipped (comment convention of the reference's test
@@ -148,6 +149,51 @@ def _print(m, assign):
     if assign:
         raise ParseError("print() does not bind a variable")
     return Op("print", (), {"var": m.group(1)})
+
+
+@_rule(rf"^explain\(\s*({_ID})\s*\)$")
+def _explain(m, assign):
+    if assign:
+        raise ParseError("explain() does not bind a variable")
+    return Op("explain", (), {"var": m.group(1)})
+
+
+def op_to_string(op: Op) -> str:
+    """Serialize an Op back to canonical DSL text (round-trip validation,
+    mirroring the reference's op_string strcmp check, parser.c:395-401)."""
+    a = ",".join(op.assign) + "=" if op.assign else ""
+    k, g = op.kind, op.args
+    if k == "create":
+        return f'create({g["column"]},"{g["stype"]}")'
+    if k == "load":
+        return f'load("{g["path"]}")'
+    if k == "insert":
+        return "insert(" + ",".join(f"{c},{v}" for c, v in g["pairs"]) + ")"
+    if k == "delete":
+        return f'delete({g["posvar"]},{",".join(g["columns"])})'
+    if k == "update":
+        return f'update({g["posvar"]},{g["column"]},{g["value"]})'
+    if k == "select":
+        if g["mode"] == "all":
+            return f'{a}select({g["column"]})'
+        if g["mode"] == "value":
+            return f'{a}select({g["column"]},{g["value"]})'
+        return f'{a}select({g["column"]},{g["low"]},{g["high"]})'
+    if k == "fetch":
+        return f'{a}fetch({g["column"]},{g["posvar"]})'
+    if k == "agg":
+        return f'{a}{g["fn"]}({g["var"]})'
+    if k == "math":
+        return f'{a}{g["fn"]}({g["left"]},{g["right"]})'
+    if k == "join":
+        return f'{a}{g["algorithm"]}join({g["left"]},{g["right"]})'
+    if k == "tuple":
+        return f'tuple({",".join(g["vars"])})'
+    if k == "print":
+        return f'print({g["var"]})'
+    if k == "explain":
+        return f'explain({g["var"]})'
+    raise ValueError(f"unknown op kind {k}")
 
 
 _ASSIGN_RE = re.compile(rf"^({_ID}(?:\s*,\s*{_ID})*)\s*=\s*(.+)$")

@@ -83,3 +83,24 @@ def test_garbage_rejected():
 def test_script_skips_blank_and_comments():
     ops = parse_script("\n-- comment\nv=select(ta)\n\nprint(v)\n")
     assert [o.kind for o in ops] == ["select", "print"]
+
+
+def test_explain_verb():
+    op = parse_line("explain(v)")
+    assert op.kind == "explain" and op.args["var"] == "v"
+
+
+def test_round_trip_serialization():
+    from kstore_spark.parser import op_to_string
+
+    lines = [
+        'create(ta,"b+tree")', 'load("/x/y.csv")', "insert(a,1,b,-2)",
+        "delete(p,c,d)", "update(p,c,7)", "v=select(ta)", "v=select(ta,3)",
+        "v=select(ta,-1,9)", "f=fetch(tb,v)", "m=avg(f)", "z=div(f,g)",
+        "l,r=hashjoin(a,b)", "l,r=saltjoin(a,b)", "tuple(a,b)", "print(v)",
+        "explain(v)",
+    ]
+    for line in lines:
+        op = parse_line(line)
+        assert op_to_string(op) == line, line
+        assert parse_line(op_to_string(op)) == op
