@@ -80,8 +80,29 @@ class Engine:
         return getattr(self, f"_op_{op.kind}")(op)
 
     def run_script(self, text: str) -> str:
-        outputs = [self.eval(op) for op in parser.parse_script(text)]
-        return "\n".join(o for o in outputs if o is not None)
+        ops = parser.parse_script(text)
+        # static ref-count: a join whose outputs are consumed 2+ times
+        # would recompute per action (the engine is lazy); persist its
+        # frame for the duration of the script
+        refs: dict[str, int] = {}
+        for op in ops:
+            for key in ("posvar", "var", "left", "right"):
+                if key in op.args and op.kind != "join":
+                    refs[op.args[key]] = refs.get(op.args[key], 0) + 1
+            for v in op.args.get("vars", []):
+                refs[v] = refs.get(v, 0) + 1
+        self._hot_vars = {
+            v for op in ops if op.kind == "join" for v in op.assign
+            if refs.get(v, 0) >= 2
+        }
+        self._persisted: list = []
+        try:
+            outputs = [self.eval(op) for op in ops]
+            return "\n".join(o for o in outputs if o is not None)
+        finally:
+            for df in self._persisted:
+                df.unpersist()
+            self._hot_vars, self._persisted = set(), []
 
     def run_file(self, path: str) -> str:
         with open(path) as f:
@@ -186,6 +207,11 @@ class Engine:
         else:
             l_ids, r_ids = equijoin(left, right, algorithm=op.args["algorithm"])
         l_name, r_name = op.assign
+        if getattr(self, "_hot_vars", None) and {l_name, r_name} & self._hot_vars:
+            # both halves share one frame (prov or df) — persist it once
+            target = l_ids.prov.frame if l_ids.prov is not None else l_ids.df
+            target.persist()
+            self._persisted.append(target)
         self.env[l_name] = l_ids
         self.env[r_name] = r_ids
 
