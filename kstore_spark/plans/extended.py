@@ -438,8 +438,68 @@ GROUP BY l_linestatus
 """
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of conditional revenue to total revenue —
+    two decimal sums in one pass, exact division only at the end."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (F.round(F.sum(promo), 2).cast("double") * 100
+         / F.round(F.sum(rev), 2).cast("double")).alias("promo_pct")
+    )
+
+Q14_SQL = """
+SELECT CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) * 100
+       / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive predicates (brand ×
+    quantity bands) — the OR-of-ANDs form Catalyst still pushes to the
+    scan as a single combined filter."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_size") >= 45) & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+Q19_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND (
+      (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_size >= 45 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q13_customer_distribution": q13_customer_distribution,
@@ -461,6 +521,8 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": Q4_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q19_discounted_revenue": Q19_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_shipmode_priority": Q12_SQL,
     "q13_customer_distribution": Q13_SQL,
