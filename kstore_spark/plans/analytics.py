@@ -11,9 +11,11 @@ only aggregated with order-independent functions (min/max/count).
 
 Scale notes (100 TB design):
 - group-bys are partial-aggregated map-side by Spark automatically;
-- the dimension sides of every join here (region/nation/customer/
-  supplier at TPC-H ratios) are broadcast — no shuffle of the fact table
-  except where the group key demands it;
+- only genuinely bounded dimensions (region: 5 rows, nation: 25) carry
+  an explicit broadcast hint; customer/orders/supplier grow with SF, so
+  their join strategy is left to AQE (autoBroadcastJoinThreshold) — at
+  small SF it picks broadcast, at cluster scale it degrades gracefully
+  to shuffle joins instead of OOMing executors on a forced hint;
 - top-k is TakeOrderedAndProject (per-partition heap + driver merge of
   k rows), never a global sort.
 """
@@ -71,8 +73,8 @@ def q3_shipping_priority(spark, sf_dir):
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     ), 2).cast("double")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -91,7 +93,7 @@ LIMIT 10
 """
 
 
-# -- q5: local supplier volume (multi-way broadcast join chain) --------
+# -- q5: local supplier volume (multi-way join chain) ------------------
 
 def q5_local_supplier(spark, sf_dir):
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -106,9 +108,9 @@ def q5_local_supplier(spark, sf_dir):
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     ), 2).cast("double")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
