@@ -27,7 +27,14 @@ Mutation model (copy-on-write):
 - ``delete`` keeps surviving pos values (no renumbering); ``insert``
   appends a tiny delta segment (the multi-path Parquet scan unions it).
 - The catalog JSON swap is atomic; readers of the old version keep
-  their snapshot (Delta/Iceberg-style, scaled down).
+  their snapshot (Delta/Iceberg-style, scaled down). Replaced segments
+  are never deleted during the session that replaced them — they are
+  tombstoned in catalog.json and garbage-collected on the next catalog
+  open, so lazily-bound session variables (PosList/ValVec DataFrames
+  over the old paths) stay readable for the rest of the session.
+- Tiny delta segments (per-op inserts) are folded together by a
+  size-tiered compaction pass once enough of them accumulate; large
+  segments are never rewritten.
 
 Storage types: "sorted"/"b+tree" columns are written range-partitioned
 and sorted by value so Parquet min/max + page-index pruning supplies the
@@ -36,17 +43,21 @@ Group segments are written sorted by pos; a per-column sorted projection
 is added for sorted/b+tree members at detach time only (results are
 storage-type-independent by construction — reference p2 tests).
 
-``pos`` is assigned once at ingest via zipWithIndex (per-partition count
-pass + offset pass, both distributed — no global sort, no
-monotonically_increasing_id non-density).
+``pos`` is assigned once at ingest by the all-JVM partition-offset
+technique in ``with_pos`` (per-partition counts + broadcast offsets —
+no global sort, no Python/RDD stage, densified
+monotonically_increasing_id).
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,17 +80,80 @@ class Catalog:
         os.makedirs(os.path.join(db_dir, "data"), exist_ok=True)
         self.columns: dict[str, dict] = {}
         self.groups: dict[str, dict] = {}
+        self.tombstones: list = []  # [relpath, tombstoned_epoch] entries
+        self._lock_depth = 0
+        self._lock_file = None
+        if os.path.exists(self.path):
+            with self._locked():  # _locked reloads from disk
+                self._gc()
+
+    # -- concurrency ---------------------------------------------------
+    # The reference serializes writers with a storage lock + per-column
+    # rwlocks (storage.c:314,1115; server.c:967-1006). Here every
+    # metadata mutation runs under an exclusive flock on .catalog.lock
+    # and RE-READS catalog.json first, so two Engines over one db_dir
+    # compose their changes instead of clobbering each other's swap.
+    # Readers don't lock: they see their session's snapshot (tombstoned
+    # segments stay on disk, so old DataFrames keep working).
+    @contextmanager
+    def _locked(self):
+        if self._lock_depth == 0:
+            self._lock_file = open(os.path.join(self.db_dir, ".catalog.lock"), "w")
+            fcntl.flock(self._lock_file, fcntl.LOCK_EX)
+            self._reload()
+        self._lock_depth += 1
+        try:
+            yield
+        finally:
+            self._lock_depth -= 1
+            if self._lock_depth == 0:
+                fcntl.flock(self._lock_file, fcntl.LOCK_UN)
+                self._lock_file.close()
+                self._lock_file = None
+
+    def _reload(self) -> None:
         if os.path.exists(self.path):
             with open(self.path) as f:
                 meta = json.load(f)
             self.columns = meta["columns"]
             self.groups = meta.get("groups", {})
+            self.tombstones = meta.get("tombstones", [])
+
+    # Tombstoned segments are only deleted once they are old enough that
+    # no live session can still hold lazy DataFrames over them (another
+    # process's open must not yank this session's snapshot mid-script).
+    _GC_TTL_SECONDS = 3600
+
+    def _gc(self) -> None:
+        """Delete segments replaced by sufficiently-old sessions. Deferred
+        to open time so that within a session, variables bound before a
+        mutation keep reading their snapshot (the reference's eager
+        intermediates never dangle; our lazy ones must not either)."""
+        now = time.time()
+        keep = []
+        for entry in self.tombstones:
+            rel, ts = (entry, 0.0) if isinstance(entry, str) else entry
+            if now - ts >= self._GC_TTL_SECONDS:
+                shutil.rmtree(os.path.join(self.db_dir, rel), ignore_errors=True)
+            else:
+                keep.append(entry)
+        if len(keep) != len(self.tombstones):
+            self.tombstones = keep
+            self._save()
+
+    def _tombstone(self, *relpaths: str) -> None:
+        now = int(time.time())
+        self.tombstones.extend([rel, now] for rel in relpaths)
 
     # -- persistence ---------------------------------------------------
     def _save(self) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"columns": self.columns, "groups": self.groups}, f, indent=1)
+            json.dump(
+                {"columns": self.columns, "groups": self.groups,
+                 "tombstones": self.tombstones},
+                f, indent=1,
+            )
         os.replace(tmp, self.path)  # atomic catalog swap
 
     def _new_segment_dir(self, owner: str) -> str:
@@ -89,12 +163,13 @@ class Catalog:
     def create(self, column: str, stype: str = "unsorted") -> None:
         if stype not in STYPES:
             raise ValueError(f"unknown storage type {stype!r}")
-        if column in self.columns:
-            return  # idempotent, like the reference (storage.c:195-304)
-        self.columns[column] = {
-            "stype": stype, "next_pos": 0, "segments": [], "group": None,
-        }
-        self._save()
+        with self._locked():
+            if column in self.columns:
+                return  # idempotent, like the reference (storage.c:195-304)
+            self.columns[column] = {
+                "stype": stype, "next_pos": 0, "segments": [], "group": None,
+            }
+            self._save()
 
     def exists(self, column: str) -> bool:
         return column in self.columns
@@ -110,20 +185,32 @@ class Catalog:
         """Append one row-aligned file (already carrying pos) as a group
         segment shared by all its columns."""
         gid = "g_" + "_".join(sorted(cols))
-        grp = self.groups.setdefault(gid, {"columns": sorted(cols), "segments": []})
-        if grp["columns"] != sorted(cols):
-            raise CatalogError(f"group {gid} column set mismatch")
-        seg_dir = self._new_segment_dir(f"_group_{gid}")
-        out = df.select(F.col(POS).cast("long"), *[F.col(c).cast("int") for c in cols])
-        out.sortWithinPartitions(POS).write.mode("overwrite").parquet(seg_dir)
-        grp["segments"].append(os.path.basename(seg_dir))
-        for c in cols:
-            m = self.meta(c)
-            if m["segments"] and m["group"] is None:
-                raise CatalogError(f"load into detached column {c} unsupported mid-life")
-            m["group"] = gid
-            m["next_pos"] = offset + rows
-        self._save()
+        with self._locked():
+            for c in cols:  # validate before any write / in-memory mutation
+                m = self.meta(c)
+                if m["group"] is not None and m["group"] != gid:
+                    # reparenting would orphan the rows stored under the
+                    # old group — read(c) would silently drop them
+                    raise CatalogError(
+                        f"column {c} is aligned with group {m['group']}; "
+                        f"loading it in a different column set ({gid}) would "
+                        "orphan its existing rows"
+                    )
+                if m["segments"] and m["group"] is None:
+                    raise CatalogError(f"load into detached column {c} unsupported mid-life")
+            grp = self.groups.setdefault(gid, {"columns": sorted(cols), "segments": []})
+            if grp["columns"] != sorted(cols):
+                raise CatalogError(f"group {gid} column set mismatch")
+            seg_dir = self._new_segment_dir(f"_group_{gid}")
+            out = df.select(F.col(POS).cast("long"), *[F.col(c).cast("int") for c in cols])
+            out.sortWithinPartitions(POS).write.mode("overwrite").parquet(seg_dir)
+            grp["segments"].append(os.path.basename(seg_dir))
+            for c in cols:
+                m = self.meta(c)
+                m["group"] = gid
+                m["next_pos"] = offset + rows
+            self._save()
+            self._maybe_compact_group(gid)
 
     def _group_df(self, gid: str) -> DataFrame:
         grp = self.groups[gid]
@@ -177,41 +264,105 @@ class Catalog:
     def detach(self, column: str) -> None:
         """Materialize a group-covered column into its own segments (first
         mutation on it). Group siblings keep their shared storage."""
-        m = self.meta(column)
-        if m["group"] is None:
-            return
-        current = self._group_df(m["group"]).select(
-            F.col(POS), F.col(column).alias(VAL)
-        )
-        seg = self._write_column_segment(column, current)
-        m["segments"] = [seg]
-        m["group"] = None
-        self._save()
+        with self._locked():
+            m = self.meta(column)
+            if m["group"] is None:
+                return
+            current = self._group_df(m["group"]).select(
+                F.col(POS), F.col(column).alias(VAL)
+            )
+            seg = self._write_column_segment(column, current)
+            m["segments"] = [seg]
+            m["group"] = None
+            self._save()
 
     def append_segment(self, column: str, df: DataFrame, rows: int) -> None:
         """Append rows already carrying correct pos; advances next_pos."""
-        self.detach(column)
-        m = self.meta(column)
-        seg = self._write_column_segment(column, df)
-        m["segments"].append(seg)
-        m["next_pos"] += rows
-        self._save()
+        with self._locked():
+            self.detach(column)
+            m = self.meta(column)
+            seg = self._write_column_segment(column, df)
+            m["segments"].append(seg)
+            m["next_pos"] += rows
+            self._save()
+            self._maybe_compact_column(column)
 
     def replace(self, column: str, df: DataFrame) -> None:
         """Copy-on-write rewrite: consolidate into one new segment and
-        swap; next_pos preserved (deletes never renumber)."""
-        m = self.meta(column)
-        was_grouped = m["group"] is not None
-        old = list(m["segments"])
-        seg = self._write_column_segment(column, df)
-        m["segments"] = [seg]
-        m["group"] = None
-        self._save()
-        if not was_grouped:
-            for s in old:  # unreachable after the swap
-                shutil.rmtree(
-                    os.path.join(self.db_dir, "data", column, s), ignore_errors=True
-                )
+        swap; next_pos preserved (deletes never renumber). Old segments
+        are tombstoned, NOT deleted — session variables bound before the
+        mutation still hold lazy DataFrames over those paths; the next
+        catalog open garbage-collects them (see _gc)."""
+        with self._locked():
+            m = self.meta(column)
+            was_grouped = m["group"] is not None
+            old = list(m["segments"])
+            seg = self._write_column_segment(column, df)
+            m["segments"] = [seg]
+            m["group"] = None
+            if not was_grouped:
+                self._tombstone(*[os.path.join("data", column, s) for s in old])
+            self._save()
+
+    # -- compaction ----------------------------------------------------
+    # Per-op insert deltas are single-row files; without folding, an
+    # insert burst creates file counts linear in inserts (the p4 shape).
+    # Size-tiered: once >= _COMPACT_MIN small segments accumulate, merge
+    # just those into one. Large segments are never rewritten, so
+    # compaction cost is bounded by the delta volume, not column size.
+    _COMPACT_MIN = 8
+    _COMPACT_SMALL_BYTES = 8 << 20  # segments under 8 MB count as "small"
+
+    def _dir_bytes(self, path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def _small_segments(self, base_dir: str, segments: list[str]) -> list[str]:
+        return [
+            s for s in segments
+            if self._dir_bytes(os.path.join(base_dir, s)) < self._COMPACT_SMALL_BYTES
+        ]
+
+    def _maybe_compact_column(self, column: str) -> None:
+        with self._locked():
+            m = self.meta(column)
+            base = os.path.join(self.db_dir, "data", column)
+            smalls = self._small_segments(base, m["segments"])
+            if len(smalls) < self._COMPACT_MIN:
+                return
+            merged = self.spark.read.schema(COLUMN_SCHEMA).parquet(
+                *[os.path.join(base, s) for s in smalls]
+            ).coalesce(1)
+            seg = self._write_column_segment(column, merged)
+            m["segments"] = [s for s in m["segments"] if s not in smalls] + [seg]
+            self._tombstone(*[os.path.join("data", column, s) for s in smalls])
+            self._save()
+
+    def _maybe_compact_group(self, gid: str) -> None:
+        with self._locked():
+            grp = self.groups[gid]
+            base = os.path.join(self.db_dir, "data", f"_group_{gid}")
+            smalls = self._small_segments(base, grp["segments"])
+            if len(smalls) < self._COMPACT_MIN:
+                return
+            merged = self.spark.read.parquet(
+                *[os.path.join(base, s) for s in smalls]
+            ).coalesce(1)
+            seg_dir = self._new_segment_dir(f"_group_{gid}")
+            merged.sortWithinPartitions(POS).write.mode("overwrite").parquet(seg_dir)
+            grp["segments"] = [s for s in grp["segments"] if s not in smalls] + [
+                os.path.basename(seg_dir)
+            ]
+            self._tombstone(
+                *[os.path.join("data", f"_group_{gid}", s) for s in smalls]
+            )
+            self._save()
 
     def next_pos(self, column: str) -> int:
         return self.meta(column)["next_pos"]
@@ -220,11 +371,38 @@ class Catalog:
 def with_pos(df: DataFrame, offset: int = 0) -> DataFrame:
     """Assign dense, stable row ids 0..n-1 (+offset) in input order.
 
-    Implemented with RDD zipWithIndex: one distributed count pass to
-    compute per-partition offsets, one map pass to stamp ids — no global
-    sort, no single-partition window. This is the scalable way to reify
-    the reference's implicit positional row id at 100 TB.
+    All-JVM partition-offset technique (no RDD/Python stage — a
+    zipWithIndex here would pickle every ingested row through a Python
+    worker and back, the load-path scale-killer at 100 TB):
+
+    1. ``monotonically_increasing_id()`` encodes (partition id << 33) +
+       local record number, both assigned JVM-side during the scan;
+    2. per-partition counts (ONE ROW PER PARTITION — bounded by task
+       count, not data size) are prefix-summed into dense starting
+       offsets with a window over that tiny frame; the "global" window
+       orders partition-count rows, never data rows;
+    3. a broadcast join of the offset table stamps
+       ``pos = offset[pid] + local`` — no shuffle of the data, no global
+       sort over rows, no driver round-trip, no Python/RDD stage.
+
+    Requires the source to enumerate partitions deterministically across
+    the two jobs (true for file sources) — the same contract RDD
+    zipWithIndex relies on.
     """
-    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + offset))
-    out_schema = df.schema.add(POS, "long", False)
-    return df.sparkSession.createDataFrame(rdd, schema=out_schema)
+    from pyspark.sql.window import Window
+
+    tagged = df.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftright(F.col("__mid"), 33)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = tagged.groupBy(pid.alias("__pid")).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = counts.select(
+        "__pid",
+        (F.coalesce(F.sum("__n").over(w), F.lit(0)) + F.lit(offset)).alias("__off"),
+    )
+    return (
+        tagged.withColumn("__pid", pid)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(POS, (F.col("__off") + local).cast("long"))
+        .drop("__mid", "__pid", "__off")
+    )

@@ -45,7 +45,9 @@ _MATH = {"add": vec_add, "sub": vec_sub, "mul": vec_mul, "div": vec_div}
 
 
 class Engine:
-    """One engine ≈ one reference server; ``session()`` ≈ one client."""
+    """One engine ≈ one reference server session: a variable environment
+    over a shared persistent catalog (one Engine per client; Engines on
+    one db_dir coordinate through the catalog's locked swap)."""
 
     def __init__(self, spark: SparkSession, db_dir: str):
         self.spark = spark
@@ -79,6 +81,50 @@ class Engine:
     def eval(self, op: parser.Op) -> str | None:
         return getattr(self, f"_op_{op.kind}")(op)
 
+    @staticmethod
+    def _consumed(op: parser.Op) -> set[str]:
+        ins = {op.args[k] for k in ("posvar", "var", "left", "right") if k in op.args}
+        ins.update(op.args.get("vars", []))
+        return ins
+
+    def _observed_later(self, idx: int, assigned: set[str]) -> bool:
+        """True if a var assigned at script index ``idx`` transitively
+        reaches an action (print/tuple/mutation or a bare printing op)
+        later in the current script. Used to decide whether a DBEDIVZERO
+        guard embedded in the lineage will fire on its own (lazy) or
+        needs an eager probe because the result is never observed —
+        matching the reference's eager per-op error semantics either way.
+        """
+        ops = getattr(self, "_script_ops", None)
+        if ops is None:
+            return False
+        derived = set(assigned)
+        for op in ops[idx + 1:]:
+            ins = self._consumed(op)
+            feeds = bool(ins & derived)
+            if feeds:
+                if op.kind in ("print", "tuple", "delete", "update") or not op.assign:
+                    return True
+                derived.update(op.assign)
+            else:
+                derived.difference_update(op.assign)  # rebound elsewhere
+        return False
+
+    def _action(self, fn):
+        """Run a Spark action, translating lineage-embedded guard errors
+        (raise_error in vmath/aggregates) into the reference's error codes."""
+        try:
+            return fn()
+        except EngineError:
+            raise
+        except Exception as e:
+            msg = str(e)
+            for tag in ("DBEDIVZERO", "DBEINTERMDIFFLEN"):
+                if tag in msg:
+                    start = msg.index(tag)
+                    raise EngineError(msg[start:].split("\n")[0].rstrip("' ")) from None
+            raise
+
     def run_script(self, text: str) -> str:
         ops = parser.parse_script(text)
         # static ref-count: a join whose outputs are consumed 2+ times
@@ -96,13 +142,18 @@ class Engine:
             if refs.get(v, 0) >= 2
         }
         self._persisted: list = []
+        self._script_ops = ops
         try:
-            outputs = [self.eval(op) for op in ops]
+            outputs = []
+            for i, op in enumerate(ops):
+                self._op_idx = i
+                outputs.append(self.eval(op))
             return "\n".join(o for o in outputs if o is not None)
         finally:
             for df in self._persisted:
                 df.unpersist()
             self._hot_vars, self._persisted = set(), []
+            self._script_ops, self._op_idx = None, 0
 
     def run_file(self, path: str) -> str:
         with open(path) as f:
@@ -138,7 +189,37 @@ class Engine:
         self.catalog.load_group(with_pos(typed, offset), cols, offset, n)
 
     def _op_insert(self, op) -> None:
-        for col, value in op.args["pairs"]:
+        # the whole op runs under the catalog's exclusive lock so the
+        # next_pos read and the segment append are one atomic
+        # read-modify-write — two Engines inserting into one column from
+        # different processes cannot bake the same pos into both rows
+        # (the reference's storage-lock window, storage.c:1617-1653)
+        with self.catalog._locked():
+            self._do_insert(op)
+
+    def _do_insert(self, op) -> None:
+        pairs = op.args["pairs"]
+        cols = [c for c, _ in pairs]
+        # batched path: when the insert touches exactly the column set of
+        # one live group (the common case — the reference's insert is one
+        # row across a loaded file's columns, storage.c:1617-1653), write
+        # ONE full-width group segment for the whole op instead of one
+        # tiny per-column segment each. Keeps the group alive for
+        # late-materialization scans and divides file count by #columns.
+        metas = [self.catalog.meta(c) for c in cols]
+        gids = {m["group"] for m in metas}
+        if len(cols) > 1 and len(gids) == 1 and None not in gids:
+            gid = next(iter(gids))
+            offsets = {self.catalog.next_pos(c) for c in cols}
+            if sorted(cols) == self.catalog.groups[gid]["columns"] and len(offsets) == 1:
+                offset = offsets.pop()
+                schema = "pos long, " + ", ".join(f"{c} int" for c in cols)
+                row_df = self.spark.createDataFrame(
+                    [(offset, *[int(v) for _, v in pairs])], schema
+                )
+                self.catalog.load_group(row_df, cols, offset, 1)
+                return
+        for col, value in pairs:
             pos = self.catalog.next_pos(col)
             row = apply_insert(
                 self.spark.createDataFrame([], "pos long, val int"), self.spark, pos, value
@@ -147,13 +228,15 @@ class Engine:
 
     def _op_delete(self, op) -> None:
         ids = self._posvar(op.args["posvar"])
-        for col in op.args["columns"]:
-            self.catalog.replace(col, apply_delete(self._column(col), ids))
+        with self.catalog._locked():  # read-modify-write atomicity
+            for col in op.args["columns"]:
+                self._action(lambda c=col: self.catalog.replace(c, apply_delete(self._column(c), ids)))
 
     def _op_update(self, op) -> None:
         ids = self._posvar(op.args["posvar"])
         col = op.args["column"]
-        self.catalog.replace(col, apply_update(self._column(col), ids, op.args["value"]))
+        with self.catalog._locked():
+            self._action(lambda: self.catalog.replace(col, apply_update(self._column(col), ids, op.args["value"])))
 
     # -- query ops -----------------------------------------------------
     def _op_select(self, op) -> str | None:
@@ -182,19 +265,32 @@ class Engine:
 
     def _op_agg(self, op) -> str | None:
         v = self._valvar(op.args["var"])
-        if op.args["fn"] == "avg" and v.df.limit(1).count() == 0:
-            # reference: avg of an empty vector is DBEDIVZERO (aggregate.c:80-84)
-            raise EngineError("avg of empty vector (DBEDIVZERO)")
         res = ValVec(_AGGS[op.args["fn"]](v), keys=())
+        # the empty-avg DBEDIVZERO guard is embedded in agg_avg's
+        # expression (fires inside the observing action — zero extra
+        # jobs); only when nothing in the script ever observes the result
+        # do we probe eagerly, to keep the reference's per-op error
+        # semantics (aggregate.c:80-84)
+        if (
+            op.args["fn"] == "avg" and op.assign
+            and not self._observed_later(getattr(self, "_op_idx", 0), set(op.assign))
+            and v.df.limit(1).count() == 0
+        ):
+            raise EngineError("DBEDIVZERO: avg of empty vector")
         return self._bind_or_print_val(op, res)
 
     def _op_math(self, op) -> str | None:
         right = self._valvar(op.args["right"])
-        if op.args["fn"] == "div":
-            # reference: DBEDIVZERO on any zero divisor (aggregate.c:18-22)
-            if right.df.filter(F.col("val") == 0).limit(1).count() > 0:
-                raise EngineError("division by zero (DBEDIVZERO)")
         res = _MATH[op.args["fn"]](self._valvar(op.args["left"]), right)
+        # DBEDIVZERO is embedded in vec_div's expression (aggregate.c:18-22,
+        # fires inside the observing action); eager probe only for results
+        # the script never observes
+        if (
+            op.args["fn"] == "div" and op.assign
+            and not self._observed_later(getattr(self, "_op_idx", 0), set(op.assign))
+            and right.df.filter(F.col("val") == 0).limit(1).count() > 0
+        ):
+            raise EngineError("DBEDIVZERO: division by zero")
         return self._bind_or_print_val(op, res)
 
     def _op_join(self, op) -> None:
@@ -217,7 +313,7 @@ class Engine:
 
     def _op_tuple(self, op) -> str:
         vecs = [self._valvar(v) for v in op.args["vars"]]
-        rows = out_ops.zip_vectors(vecs).collect()
+        rows = self._action(lambda: out_ops.zip_vectors(vecs).collect())
         return out_ops.format_tuple_rows(rows)
 
     def _op_explain(self, op) -> str:
@@ -230,18 +326,18 @@ class Engine:
     def _op_print(self, op) -> str:
         v = self._var(op.args["var"])
         if isinstance(v, ValVec):
-            return out_ops.format_vector(v)
-        return out_ops.format_poslist(v)
+            return self._action(lambda: out_ops.format_vector(v))
+        return self._action(lambda: out_ops.format_poslist(v))
 
     # -- bind-or-print helpers ----------------------------------------
     def _bind_or_print_pos(self, op, res: PosList) -> str | None:
         if op.assign:
             self.env[op.assign[0]] = res
             return None
-        return out_ops.format_poslist(res)
+        return self._action(lambda: out_ops.format_poslist(res))
 
     def _bind_or_print_val(self, op, res: ValVec) -> str | None:
         if op.assign:
             self.env[op.assign[0]] = res
             return None
-        return out_ops.format_vector(res)
+        return self._action(lambda: out_ops.format_vector(res))

@@ -154,10 +154,15 @@ def minhash_signatures(sh_arr: DataFrame, num_perm: int = NUM_PERM) -> DataFrame
     return arred.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidates(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+def lsh_candidates(
+    sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND,
+    persisted: list | None = None,
+) -> DataFrame:
     """Banded LSH: bucket key = hash of each band's signature slice; a
     pair becomes a candidate if any band collides. The band explode keeps
-    the shuffle at |docs|×bands rows of (int, long)."""
+    the shuffle at |docs|×bands rows of (int, long). The internally
+    persisted band frame is appended to ``persisted`` (if given) so the
+    caller can unpersist it once candidates are materialized."""
     band_arr = F.array(*[
         F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
         for b in range(bands)
@@ -165,6 +170,8 @@ def lsh_candidates(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
     banded = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "bh")
     ).persist()  # consumed by both sides of the self-join
+    if persisted is not None:
+        persisted.append(banded)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
@@ -181,8 +188,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     only candidates. No SQL oracle (Spark-side hash family); recall vs
     the exact baseline is pinned in tests."""
     sh_arr = _shingle_arrays(spark, sf_dir).persist()
-    cands = lsh_candidates(minhash_signatures(sh_arr)).persist()
+    tmp: list = []
+    cands = lsh_candidates(minhash_signatures(sh_arr), persisted=tmp).persist()
     cands.count()  # materialize so the explode below is candidate-only
+    for frame in tmp:  # band frame served its self-join; free it now
+        frame.unpersist()
     # verification touches ONLY candidate docs: semi-join first, then
     # explode just those docs' shingles — the full inverted-index pair
     # expansion (what LSH exists to avoid) never materializes
@@ -203,11 +213,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
+    res = (
         inter.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
         .filter(_J_DEN * F.col("i") >= _J_NUM * (F.col("na") + F.col("nb") - F.col("i")))
         .select("doc_a", "doc_b")
+        .persist()
     )
+    res.count()  # materialize the (small) pair output, then free the big
+    # intermediates — the banded explode, shingle arrays and exploded
+    # candidate shingles dwarf the result and must not stay cached for
+    # the rest of the session
+    for frame in (sh, cands, sh_arr):
+        frame.unpersist()
+    return res
 
 
 # -- SimHash -----------------------------------------------------------

@@ -48,6 +48,13 @@ def agg_count(v: ValVec) -> DataFrame:
 def agg_avg(v: ValVec) -> DataFrame:
     # wrapped int32 sum divided by count, truncating toward zero — the
     # reference divides its int32 accumulator by n (aggregate.c:80-84).
+    # The empty-vector DBEDIVZERO error (aggregate.c:80-84) is embedded
+    # in the expression: it fires lazily inside the action that observes
+    # the result, with no separate emptiness-probe job.
     s = wrap32(F.coalesce(F.sum(F.col(VAL).cast("long")), F.lit(0)))
     n = F.count(F.lit(1))
-    return _scalar(v.df, c_div(s, n).cast("int"))
+    guarded = F.when(
+        n == 0,
+        F.raise_error(F.lit("DBEDIVZERO: avg of empty vector")).cast("int"),
+    ).otherwise(c_div(s, n).cast("int"))
+    return _scalar(v.df, guarded)

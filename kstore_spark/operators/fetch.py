@@ -37,9 +37,10 @@ def fetch(col_df: DataFrame, ids: PosList, pos_col: str = POS, val_col: str = VA
     if prov is not None and source_col is not None and source_col in prov.cols:
         fcol = prov.cols[source_col]
         out = prov.frame.select(*ids.keys, F.col(fcol).alias(VAL))
-        return ValVec(out, keys=ids.keys, source_col=source_col, prov=prov)
+        return ValVec(out, keys=ids.keys, source_col=source_col, prov=prov,
+                      source_pos=ids.pos_col)
 
     base = col_df.select(F.col(pos_col).alias("__b_pos"), F.col(val_col).alias(VAL))
     joined = ids.df.join(base, on=F.col(ids.pos_col) == F.col("__b_pos"), how="inner")
     out = joined.select(*[F.col(k) for k in ids.keys], F.col(VAL))
-    return ValVec(out, keys=ids.keys, source_col=source_col)
+    return ValVec(out, keys=ids.keys, source_col=source_col, source_pos=ids.pos_col)

@@ -85,12 +85,13 @@ class ValVec:
     keys: tuple[str, ...] = (POS,)
     source_col: str | None = None  # base column name values came from
     prov: Prov | None = None
+    source_pos: str | None = None  # key column holding this vector's own
+    # positions (set at fetch time from the position list's pos_col, so a
+    # vector fetched with a join's RIGHT half correctly reports 'r_pos')
 
     @property
     def pos_col(self) -> str:
-        # A select+fetch-derived vector's ids are its 'pos' key; a
-        # join-derived vector keeps the originating half in source_pos.
-        return self.keys[0]
+        return self.source_pos if self.source_pos is not None else self.keys[0]
 
 
 def aligned(a: "ValVec", b: "ValVec") -> bool:

@@ -47,10 +47,25 @@ def _zip(l: ValVec, r: ValVec, op: Callable[[Column, Column], Column]) -> ValVec
         )
         return ValVec(out, keys=l.keys, prov=l.prov)
 
-    lf = l.df.select(*l.keys, F.col(VAL).alias("__l"))
-    rf = r.df.select(*r.keys, F.col(VAL).alias("__r"))
-    out = lf.join(rf, on=list(l.keys), how="inner").select(
-        *l.keys, op(F.col("__l"), F.col("__r")).alias(VAL)
+    # Cross-provenance fallback: the operands came from different selects
+    # or joins, so their key sets may differ. The reference raises
+    # DBEINTERMDIFFLEN on length mismatch (aggregate.c:100-115); a silent
+    # inner join would *intersect* mismatched vectors and quietly drop
+    # rows. Full-outer join + a lazy raise_error on any unmatched row
+    # keeps the check fully distributed (no eager count jobs) and fires
+    # the moment the result is observed.
+    lf = l.df.select(*l.keys, F.col(VAL).alias("__l"), F.lit(1).alias("__lm"))
+    rf = r.df.select(*r.keys, F.col(VAL).alias("__r"), F.lit(1).alias("__rm"))
+    misaligned = F.col("__lm").isNull() | F.col("__rm").isNull()
+    guarded = F.when(
+        misaligned,
+        F.raise_error(F.lit(
+            "DBEINTERMDIFFLEN: math operands are not aligned "
+            "(different position sets / lengths)"
+        )).cast("int"),
+    ).otherwise(op(F.col("__l"), F.col("__r")))
+    out = lf.join(rf, on=list(l.keys), how="full_outer").select(
+        *l.keys, guarded.alias(VAL)
     )
     return ValVec(out, keys=l.keys)
 
@@ -67,5 +82,17 @@ def vec_mul(l: ValVec, r: ValVec) -> ValVec:
     return _zip(l, r, cints.c_mul)
 
 
+def _div_guarded(lc: Column, rc: Column) -> Column:
+    """C division with the reference's DBEDIVZERO check embedded in the
+    expression (aggregate.c:18-22): the error fires lazily, inside
+    whatever action finally observes the result — no separate scan-the-
+    divisor probe job. CaseWhen evaluates branches per-row, so the
+    raise_error only triggers on an actual zero divisor."""
+    return F.when(
+        rc.cast("long") == 0,
+        F.raise_error(F.lit("DBEDIVZERO: division by zero")).cast("int"),
+    ).otherwise(cints.c_div(lc, rc))
+
+
 def vec_div(l: ValVec, r: ValVec) -> ValVec:
-    return _zip(l, r, cints.c_div)
+    return _zip(l, r, _div_guarded)

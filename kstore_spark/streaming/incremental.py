@@ -58,7 +58,12 @@ def run_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
 
 
 def read_rollup(spark: SparkSession, sink_dir: str) -> DataFrame:

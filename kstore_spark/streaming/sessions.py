@@ -113,5 +113,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
     return spark.table(name)
