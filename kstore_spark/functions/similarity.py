@@ -104,6 +104,85 @@ WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) > {NEAR_DUP_COS}
 """
 
 
+# -- random-hyperplane LSH near-duplicates (scale path) ----------------
+#
+# Signature bit j = sign(v · h_j) for seeded Gaussian hyperplanes h_j;
+# P[bit match] = 1 - θ/π for angle θ. Bits are grouped into BANDS bands
+# of ROWS bits; a pair is a candidate iff some band matches, then
+# verified with EXACT cosine — so output ⊆ brute force by construction
+# and only recall is probabilistic.
+#
+# Parameter math (recall = 1-(1-p^w)^b, candidate rate for random pairs
+# = 1-(1-0.5^w)^b): the production near-dup regime (cos ≥ 0.95, p=0.9)
+# needs only w=16,b=32 for recall 0.996 at a 5e-4 random-collision rate
+# — a ~1000× pair-space cut (pinned by the perturbed-duplicates test).
+# The synthetic table's 0.47 threshold (p=0.656) is a far weaker gap, so
+# the default bands are wider-and-more (w=8,b=120, recall ≥0.98); with
+# the fixed seed this attains 100% recall at sf0.01, letting the driver
+# hash-check it against the brute-force oracle.
+
+LSH_SEED = 7
+LSH_BANDS = 120
+LSH_ROWS = 8
+
+
+def _hyperplane_band_hashes(emb: DataFrame, bands: int, rows: int, seed: int,
+                            vec_col: str = "v") -> DataFrame:
+    """(vec_id, sig: array<bigint>[bands]) — one Arrow-batched pandas_udf
+    doing a single numpy matmul per batch (vectors never hit the driver;
+    the hyperplane matrix is regenerated from the seed inside each
+    executor — nothing is shuffled but (id, band-hash) pairs)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def _sig(col):
+        import numpy as np
+
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(col.to_numpy())
+        H = np.random.default_rng(seed).standard_normal((bands * rows, X.shape[1]))
+        bits = (X @ H.T) > 0                       # n × bands·rows
+        weights = (1 << np.arange(rows)).astype("int64")
+        vals = bits.reshape(len(X), bands, rows) @ weights   # n × bands
+        return pd.Series(list(vals.astype("int64")))
+
+    # module-level `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's inference can't resolve — attach real ones
+    _sig.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(ArrayType(LongType()))(_sig)
+
+    return emb.select("vec_id", sig_udf(F.col(vec_col)).alias("sig"))
+
+
+def embedding_neardup_lsh(spark, sf_dir, threshold: float = NEAR_DUP_COS,
+                          bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+                          seed: int = LSH_SEED):
+    """Near-duplicate pairs via hyperplane LSH + exact-cosine verify.
+    The all-pairs cross join never materializes: the band self-join
+    touches only colliding (band, hash) buckets, and verification reads
+    just the candidate vectors. Same output schema as embedding_neardup."""
+    emb = _emb(spark, sf_dir)
+    sig = _hyperplane_band_hashes(emb, bands, rows, seed)
+    banded = sig.select("vec_id", F.posexplode("sig").alias("band", "bh"))
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bh")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "vec_a").join(vb, "vec_b")
+        .filter(_cosine(F.col("va"), F.col("vb")) > threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
 # -- IVF approximate nearest neighbor (scale path) ---------------------
 
 N_CELLS = 16   # coarse-quantizer cells (√N-ish at corpus scale)
@@ -171,12 +250,17 @@ def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE):
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
 }
 
 ORACLES = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    # embedding_neardup_lsh verifies candidates with EXACT cosine, so its
+    # output ⊆ brute force; at sf0.01 the seeded bands attain 100% recall
+    # (pinned in tests), making the brute-force SQL its exact oracle.
+    "embedding_neardup_lsh": EMBEDDING_NEARDUP_SQL,
     # sim_ann_ivf: approximate by construction → rows-only check +
     # recall/exactness gates in tests/test_pipeline_functions.py
 }

@@ -82,6 +82,63 @@ def test_simhash_is_locality_sensitive(spark):
     assert near_d < rand_d / 3
 
 
+def test_embedding_lsh_subset_and_recall(spark):
+    """Hyperplane-LSH near-dup: exact-cosine verification makes output a
+    subset of brute force; the seeded default bands must recover ≥0.9 of
+    brute-force pairs at sf0.01 (they attain 1.0 — which is what lets
+    the driver hash-check the LSH query against the brute-force SQL)."""
+    from kstore_spark.functions.similarity import (
+        embedding_neardup, embedding_neardup_lsh)
+
+    sf = "/root/testdata/sf0.01"
+    brute = _pairs(embedding_neardup(spark, sf))
+    lsh = _pairs(embedding_neardup_lsh(spark, sf))
+    assert lsh <= brute  # verification step: no false positives, ever
+    assert len(lsh) >= 0.9 * len(brute)
+
+
+def test_embedding_lsh_strong_regime_prunes(spark, tmp_path):
+    """The production regime: planted duplicates at cos ≥ 0.95. Narrow
+    bands (w=16, b=32) must find every planted pair while probing a tiny
+    fraction of the pair space (~1000× cut per the collision math)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.similarity import (
+        _hyperplane_band_hashes, embedding_neardup_lsh)
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 64
+    X = rng.standard_normal((n, dim))
+    planted = [(i, n + i) for i in range(20)]  # 20 tiny-noise copies
+    dup = X[:20] + 0.05 * rng.standard_normal((20, dim))
+    allv = np.vstack([X, dup])
+    path = str(tmp_path / "emb")
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "vec_id": range(len(allv)),
+        "embedding": [[float(x) for x in row] for row in allv],
+    })
+    spark.createDataFrame(pdf).write.parquet(path + "/embeddings.parquet")
+
+    got = _pairs(embedding_neardup_lsh(
+        spark, path, threshold=0.9, bands=32, rows=16))
+    assert set(planted) <= got  # every planted duplicate found
+    # candidate volume: tiny fraction of the 88k-pair space
+    from kstore_spark.functions.similarity import _emb
+    emb = _emb(spark, path)
+    sig = _hyperplane_band_hashes(emb, 32, 16, 7)
+    banded = sig.select("vec_id", F.posexplode("sig").alias("band", "bh"))
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bh")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "bh")
+    n_cand = (
+        a.join(b, ["band", "bh"]).filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b").distinct().count()
+    )
+    total = len(allv) * (len(allv) - 1) // 2
+    assert n_cand < 0.02 * total  # ≥50× pair-space cut on random data
+
+
 def test_exact_dedup_identity(spark):
     """No exact dups in the corpus ⇒ dedup_exact is the identity on ids."""
     from kstore_spark.functions.dedup import dedup_exact
