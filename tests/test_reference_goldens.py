@@ -1,0 +1,86 @@
+"""Run the reference's own challenge scripts VERBATIM against their
+vendored .expected goldens (tests/golden/README.md for provenance).
+
+Comparison rule mirrors the reference's test.sh:24-43: exact stdout
+diff, falling back to line-sorted diff (result sets are order-
+insensitive; formatting is not)."""
+
+import os
+import re
+
+import pytest
+
+from kstore_spark.engine import Engine
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _read(name: str) -> str:
+    with open(os.path.join(GOLDEN, name)) as f:
+        return f.read()
+
+
+def _absolutize_loads(script: str, t_csv: str, u_csv: str) -> str:
+    """Only change: load("t.csv") -> load("/abs/t.csv") — the reference
+    client resolved these against --loaddir (p3challenge/README)."""
+    return script.replace('load("t.csv")', f'load("{t_csv}")').replace(
+        'load("u.csv")', f'load("{u_csv}")'
+    )
+
+
+def _golden_eq(got: str, expected: str) -> bool:
+    g = [ln for ln in got.strip().split("\n") if ln]
+    e = [ln for ln in expected.strip().split("\n") if ln]
+    return g == e or sorted(g) == sorted(e)
+
+
+def _normalize_tuples(text: str) -> str:
+    # reference client prints "(575250,498194)"; ours matches — strip
+    # any whitespace inside tuples so formatting cannot mask a value diff
+    return re.sub(r"\s+", "", text)
+
+
+def test_p3challenge_verbatim(spark, tmp_path):
+    from tests.golden.challenge_data import write_csvs
+
+    t_csv, u_csv = write_csvs(tmp_path)
+    e = Engine(spark, str(tmp_path / "db"))
+    e.run_script(_absolutize_loads(_read("p3_load.txt"), t_csv, u_csv))
+    out = e.run_script(_read("p3challenge.txt"))
+    expected = _read("p3challenge.expected")
+    assert _golden_eq(_normalize_tuples(out), _normalize_tuples(expected))
+
+
+def test_p4challenge_stages_verbatim(spark, tmp_path):
+    """p4c-0 load + the six staged scripts, one engine session, each
+    stage's output diffed against its golden in order."""
+    from tests.golden.challenge_data import write_csvs
+
+    t_csv, u_csv = write_csvs(tmp_path)
+    e = Engine(spark, str(tmp_path / "db"))
+    e.run_script(_absolutize_loads(_read("p4_load.txt"), t_csv, u_csv))
+    for stage in range(1, 7):
+        out = e.run_script(_read(f"p4c-{stage}.txt"))
+        expected = _read(f"p4c-{stage}.expected")
+        assert _golden_eq(_normalize_tuples(out), _normalize_tuples(expected)), (
+            f"stage p4c-{stage}: got {out!r}, want {expected!r}"
+        )
+
+
+def test_p4challenge_survives_restart_between_stages(spark, tmp_path):
+    """Same staged run, but a fresh Engine (catalog re-open) before each
+    stage — the reference keeps state server-side across client
+    invocations; here durability rides on catalog.json + Parquet."""
+    from tests.golden.challenge_data import write_csvs
+
+    t_csv, u_csv = write_csvs(tmp_path)
+    db = str(tmp_path / "db")
+    Engine(spark, db).run_script(
+        _absolutize_loads(_read("p4_load.txt"), t_csv, u_csv)
+    )
+    for stage in range(1, 7):
+        out = Engine(spark, db).run_script(_read(f"p4c-{stage}.txt"))
+        expected = _read(f"p4c-{stage}.expected")
+        assert _golden_eq(_normalize_tuples(out), _normalize_tuples(expected)), (
+            f"stage p4c-{stage} after reopen: got {out!r}, want {expected!r}"
+        )
