@@ -43,8 +43,11 @@ _PRIORITY = [
     "q3_shipping_priority", "q5_local_supplier", "q10_returned_items",
     "q14_promo_revenue", "q19_discounted_revenue", "q17_small_quantity",
     "median_price_by_segment",
-    # core reference-parity surface (SURVEY §2)
-    "select_all", "select_value", "select_range", "fetch", "join_hash",
+    # new query shapes this round
+    "q18_large_volume", "q20_excess_suppliers", "q22_inactive_rich",
+    # core reference-parity surface (SURVEY §2); select_all/select_value
+    # rotate to the tail (r1-green, code path untouched this round)
+    "select_range", "fetch", "join_hash",
     "agg_min", "agg_max", "agg_sum", "agg_count", "agg_avg_trunc",
     "math_add", "math_div", "mutation_delete", "mutation_update",
     "mutation_insert", "tuple_zip",

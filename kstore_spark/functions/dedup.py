@@ -69,9 +69,12 @@ def _verified_pairs(sh: DataFrame) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # no hard broadcast hints: the size tables grow with the corpus, so
+    # AQE must pick the strategy (broadcast at bench scale, shuffle at
+    # 100 TB) — a forced broadcast here is an OOM cliff at scale
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .filter(_J_DEN * F.col("i") >= _J_NUM * (F.col("na") + F.col("nb") - F.col("i")))
         .select("doc_a", "doc_b")
     )
@@ -196,17 +199,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     # verification touches ONLY candidate docs: semi-join first, then
     # explode just those docs' shingles — the full inverted-index pair
     # expansion (what LSH exists to avoid) never materializes
+    # candidate-derived frames (in_cands, cands, size tables) grow with
+    # the corpus — leave join strategy to AQE (broadcast while they fit,
+    # shuffle join beyond) instead of hard hints that cliff at scale
     in_cands = cands.select(F.col("doc_a").alias("doc_id")).union(
         cands.select("doc_b")
     ).distinct()
-    sh = sh_arr.join(F.broadcast(in_cands), "doc_id", "left_semi").select(
+    sh = sh_arr.join(in_cands, "doc_id", "left_semi").select(
         "doc_id", F.explode("sh").alias("s")
     ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
-        F.broadcast(cands)
+        cands
         .join(a, "doc_a")
         .join(b, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
@@ -214,7 +220,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     res = (
-        inter.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
+        inter.join(na, "doc_a").join(nb, "doc_b")
         .filter(_J_DEN * F.col("i") >= _J_NUM * (F.col("na") + F.col("nb") - F.col("i")))
         .select("doc_a", "doc_b")
         .persist()

@@ -500,8 +500,110 @@ WHERE l_partkey = p_partkey AND (
 """
 
 
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: group-HAVING subquery driving a join — orders
+    whose total quantity exceeds a threshold, with their customer. The
+    HAVING aggregate runs map-side-partial before its shuffle; the big
+    orders list then joins orders/customer (AQE picks broadcast while it
+    fits, shuffle beyond — no hard hint)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+Q18_SQL = """
+SELECT c_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       sum_qty
+FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: doubly nested semi-join — suppliers that moved
+    above-threshold volume of small parts. Inner IN-list is a left-semi
+    join (part is prunable to p_partkey/p_size); outer IN is another
+    semi against the HAVING aggregate. No correlated per-row subqueries
+    — everything is two semi-joins plus one partial aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size").between(1, 15))
+    sup = table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 4500)
+    )
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+Q20_SQL = """
+SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size BETWEEN 1 AND 15)
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 4500)
+"""
+
+
+def q22_inactive_rich(spark, sf_dir):
+    """TPC-H Q22 shape: anti-ish pattern per nation — well-funded
+    customers with very few orders. The per-customer order count is a
+    grouped aggregate joined back (left join + coalesce 0), never a
+    correlated subquery; money sums are exact decimal, emitted as
+    2-decimal doubles (oracle determinism)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    bal = F.round(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+    ).cast("double")
+    return (
+        cust.filter(F.col("c_acctbal") > 3000)
+        .join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+        .filter(F.coalesce(F.col("n_orders"), F.lit(0)) < 4)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), bal.alias("total_bal"))
+    )
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+) oc ON c_custkey = o_custkey
+WHERE c_acctbal > 3000 AND COALESCE(n_orders, 0) < 4
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q18_large_volume": q18_large_volume,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q22_inactive_rich": q22_inactive_rich,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q10_returned_items": q10_returned_items,
@@ -525,6 +627,9 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": Q4_SQL,
+    "q18_large_volume": Q18_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+    "q22_inactive_rich": Q22_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q19_discounted_revenue": Q19_SQL,
     "q10_returned_items": Q10_SQL,
