@@ -170,6 +170,76 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> Dat
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("window_idx", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),        # window energy
+    T.StructField("zero_cross", T.IntegerType()),  # sign-change count
+])
+
+
+def audio_windows(df: DataFrame, win: int = 256, hop: int = 128) -> DataFrame:
+    """Audio feature-window plumbing: payload → overlapping PCM windows
+    with per-window RMS + zero-crossing counts (1→N fan-out, Arrow
+    batches, vectorized numpy strides — the torchaudio/librosa call
+    stands behind `_fake_decode` in a real deployment; here bytes are
+    interpreted as centered int16-ish samples, deterministically)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(_fake_decode(bytes(payload)), dtype=np.uint8)
+                samples = raw.astype("float64") - 128.0  # fake PCM decode
+                n_win = max((samples.size - win) // hop + 1, 0)
+                if n_win:
+                    idx = np.arange(win)[None, :] + hop * np.arange(n_win)[:, None]
+                    w = samples[idx]                      # n_win × win view
+                    rms = np.sqrt((w * w).mean(axis=1))
+                    zc = (np.diff(np.signbit(w), axis=1) != 0).sum(axis=1)
+                    for i in range(n_win):
+                        rows.append((int(doc_id), i, float(rms[i]), int(zc[i])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_idx", "rms", "zero_cross"]
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+EXIF_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def extract_metadata(df: DataFrame) -> DataFrame:
+    """EXIF-style metadata extraction plumbing (piexif/hachoir behind
+    `_fake_decode` in a real deployment). The fake derives deterministic
+    pseudo-tags (dimensions, codec, duration) from the payload bytes so
+    tests can pin exact values; output is a map<string,string> column —
+    the schema a real tag extractor emits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(_fake_decode(bytes(payload)), dtype=np.uint8)
+                h = int(raw[: 64].sum()) if raw.size else 0
+                rows.append((int(doc_id), {
+                    "width": str(160 + (h % 32) * 16),
+                    "height": str(120 + (h % 24) * 16),
+                    "codec": ["raw", "rle", "lz"][h % 3],
+                    "n_bytes": str(int(raw.size)),
+                }))
+            yield pd.DataFrame(rows, columns=["doc_id", "meta"])
+
+    return df.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
 QUERIES = {
     "multimodal_bytes": multimodal_bytes,
     # multimodal_features exercises the mapInPandas path; its checksum is

@@ -56,3 +56,43 @@ def test_frame_sampling_fanout(spark):
         expected = (max(sizes[r["doc_id"]] // 64, 0) + 3) // 4
         assert r["count"] == expected
     assert frames.filter(F.length("frame") > 64).count() == 0
+
+
+def test_audio_windows_fanout_and_features(spark):
+    """Window count must follow (n - win)//hop + 1; RMS/zero-cross must
+    match an independent per-doc numpy recomputation (pins strides)."""
+    import numpy as np
+
+    from kstore_spark.functions.multimodal import audio_windows, binary_payloads
+
+    src = binary_payloads(spark, SF_DIR)
+    win, hop = 256, 128
+    out = audio_windows(src, win=win, hop=hop)
+    got = {(r["doc_id"], r["window_idx"]): (r["rms"], r["zero_cross"])
+           for r in out.collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in src.limit(5).collect()}
+    for doc_id, payload in payloads.items():
+        s = np.frombuffer(payload, dtype=np.uint8).astype("float64") - 128.0
+        n_win = max((s.size - win) // hop + 1, 0)
+        assert sum(1 for k in got if k[0] == doc_id) == n_win
+        for i in range(n_win):
+            w = s[i * hop: i * hop + win]
+            rms, zc = got[(doc_id, i)]
+            assert abs(rms - np.sqrt((w * w).mean())) < 1e-9
+            assert zc == (np.diff(np.signbit(w)) != 0).sum()
+
+
+def test_metadata_extraction_schema_and_determinism(spark):
+    from kstore_spark.functions.multimodal import binary_payloads, extract_metadata
+
+    src = binary_payloads(spark, SF_DIR)
+    out = extract_metadata(src)
+    rows = out.collect()
+    assert len(rows) == src.count()
+    for r in rows[:10]:
+        m = r["meta"]
+        assert set(m) == {"width", "height", "codec", "n_bytes"}
+        assert m["codec"] in ("raw", "rle", "lz")
+        assert int(m["width"]) >= 160 and int(m["height"]) >= 120
+    again = {r["doc_id"]: r["meta"] for r in extract_metadata(src).collect()}
+    assert all(again[r["doc_id"]] == r["meta"] for r in rows)
