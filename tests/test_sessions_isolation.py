@@ -36,3 +36,53 @@ def test_snapshot_across_mutation(spark, tmp_path):
     # b, re-reading the catalog fresh, also sees committed state
     b2 = Engine(spark, str(tmp_path / "db"))
     assert b2.run_script("s=select(sa)\nf=fetch(sa,s)\nprint(f)").split("\n") == ["10", "30"]
+
+
+def test_sixteen_concurrent_clients(spark, tmp_path):
+    """The reference's server shape: 16 concurrent clients over one
+    store (server.c threadpool + storage lock). Eight writers insert
+    into private columns while eight readers run the select→fetch→avg
+    chain over a shared column; every write must be durable and every
+    read consistent (no torn catalog, no lost update)."""
+    import threading
+
+    db = str(tmp_path / "db")
+    setup = Engine(spark, db)
+    setup.run_script(
+        'create(shared,"unsorted")\n'
+        + "\n".join(f"insert(shared,{v})" for v in (10, 20, 30, 40))
+    )
+    for i in range(8):
+        setup.run_script(f'create(w{i},"unsorted")')
+
+    errs, reads = [], []
+
+    def writer(i):
+        try:
+            e = Engine(spark, db)
+            for k in range(3):
+                e.run_script(f"insert(w{i},{100 * i + k})")
+        except Exception as exc:
+            errs.append(("w", i, exc))
+
+    def reader(i):
+        try:
+            e = Engine(spark, db)
+            out = e.run_script("s=select(shared)\nf=fetch(shared,s)\na=avg(f)\nprint(a)")
+            reads.append(out)
+        except Exception as exc:
+            errs.append(("r", i, exc))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)] + [
+        threading.Thread(target=reader, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert reads == ["25"] * 8  # (10+20+30+40)/4, truncating
+    check = Engine(spark, db)
+    for i in range(8):
+        out = check.run_script(f"s=select(w{i})\nf=fetch(w{i},s)\nprint(f)")
+        assert sorted(map(int, out.split("\n"))) == [100 * i, 100 * i + 1, 100 * i + 2]
