@@ -74,9 +74,11 @@ def _all_queries() -> dict[str, Callable]:
     except ImportError:
         pass
     try:
+        from kstore_spark.streaming import dedup as stream_dedup
         from kstore_spark.streaming import windows as stream_windows
 
         out.update(stream_windows.QUERIES)
+        out.update(stream_dedup.QUERIES)
     except ImportError:
         pass
     return out
@@ -109,9 +111,11 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     try:
+        from kstore_spark.streaming import dedup as stream_dedup
         from kstore_spark.streaming import windows as stream_windows
 
         merged.update(stream_windows.ORACLES)
+        merged.update(stream_dedup.ORACLES)
     except ImportError:
         pass
     out: dict[str, str] = {}  # same priority order as queries()

@@ -78,3 +78,40 @@ def test_stream_sessionize_matches_batch(spark):
     assert exp_closed <= got <= exp_all
     assert got - exp_closed <= last
     assert len(got) > 0
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    """First-touch streaming dedup == batch COUNT(DISTINCT) per type."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.dedup import stream_dedup_counts
+    from kstore_spark.tables import table
+
+    got = {r["event_type"]: r["n_first"]
+           for r in stream_dedup_counts(spark, SF_DIR).collect()}
+    want = {r["event_type"]: r["n"] for r in
+            table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == want
+
+
+def test_stream_dedup_watermark_containment(spark):
+    """Watermark-bounded dedup admits each key at least once per horizon
+    re-entry: n_admitted >= global distinct count, <= raw event count."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.dedup import (
+        stream_dedup_counts, stream_dedup_within_watermark)
+    from kstore_spark.tables import table
+
+    wm = {r["event_type"]: r["n_admitted"]
+          for r in stream_dedup_within_watermark(spark, SF_DIR).collect()}
+    first = {r["event_type"]: r["n_first"]
+             for r in stream_dedup_counts(spark, SF_DIR).collect()}
+    raw = {r["event_type"]: r["n"] for r in
+           table(spark, SF_DIR, "events")
+           .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(wm) == set(first)
+    for et in wm:
+        assert first[et] <= wm[et] <= raw[et]
