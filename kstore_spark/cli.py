@@ -20,6 +20,9 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kstore_spark", description=__doc__)
     ap.add_argument("scripts", nargs="*", help="DSL script files (default: stdin)")
     ap.add_argument("--db", default="./kstore_db", help="database directory")
+    ap.add_argument("--loaddir", default=None,
+                    help="directory relative load() paths resolve against "
+                         "(the reference client's --loaddir)")
     ap.add_argument("--interactive", action="store_true", help="REPL mode")
     args = ap.parse_args(argv)
 
@@ -28,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     from kstore_spark.parser import ParseError
     from kstore_spark.session import get_spark
 
-    engine = Engine(get_spark("kstore-cli"), args.db)
+    engine = Engine(get_spark("kstore-cli"), args.db, load_dir=args.loaddir)
 
     def run(text: str) -> int:
         try:

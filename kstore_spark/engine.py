@@ -49,9 +49,10 @@ class Engine:
     over a shared persistent catalog (one Engine per client; Engines on
     one db_dir coordinate through the catalog's locked swap)."""
 
-    def __init__(self, spark: SparkSession, db_dir: str):
+    def __init__(self, spark: SparkSession, db_dir: str, load_dir: str | None = None):
         self.spark = spark
         self.catalog = Catalog(spark, db_dir)
+        self.load_dir = load_dir  # ≈ reference client --loaddir
         self.env: dict[str, PosList | ValVec] = {}
 
     # -- variable resolution ------------------------------------------
@@ -165,6 +166,11 @@ class Engine:
 
     def _op_load(self, op) -> None:
         path = op.args["path"]
+        # relative paths resolve against the session's load dir — the
+        # reference client's --loaddir (p3challenge/README), so its
+        # scripts run verbatim: load("t.csv")
+        if not os.path.isabs(path) and self.load_dir:
+            path = os.path.join(self.load_dir, path)
         # the reference ingests only CSV (src/common/csv.c); parquet/json
         # are source extensions — same row-aligned group semantics
         if path.endswith(".parquet"):

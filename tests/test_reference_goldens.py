@@ -20,12 +20,6 @@ def _read(name: str) -> str:
         return f.read()
 
 
-def _absolutize_loads(script: str, t_csv: str, u_csv: str) -> str:
-    """Only change: load("t.csv") -> load("/abs/t.csv") — the reference
-    client resolved these against --loaddir (p3challenge/README)."""
-    return script.replace('load("t.csv")', f'load("{t_csv}")').replace(
-        'load("u.csv")', f'load("{u_csv}")'
-    )
 
 
 def _golden_eq(got: str, expected: str) -> bool:
@@ -43,9 +37,10 @@ def _normalize_tuples(text: str) -> str:
 def test_p3challenge_verbatim(spark, tmp_path):
     from tests.golden.challenge_data import write_csvs
 
-    t_csv, u_csv = write_csvs(tmp_path)
-    e = Engine(spark, str(tmp_path / "db"))
-    e.run_script(_absolutize_loads(_read("p3_load.txt"), t_csv, u_csv))
+    write_csvs(tmp_path)
+    # load_dir ≈ the reference client's --loaddir: scripts run VERBATIM
+    e = Engine(spark, str(tmp_path / "db"), load_dir=str(tmp_path))
+    e.run_script(_read("p3_load.txt"))
     out = e.run_script(_read("p3challenge.txt"))
     expected = _read("p3challenge.expected")
     assert _golden_eq(_normalize_tuples(out), _normalize_tuples(expected))
@@ -56,9 +51,9 @@ def test_p4challenge_stages_verbatim(spark, tmp_path):
     stage's output diffed against its golden in order."""
     from tests.golden.challenge_data import write_csvs
 
-    t_csv, u_csv = write_csvs(tmp_path)
-    e = Engine(spark, str(tmp_path / "db"))
-    e.run_script(_absolutize_loads(_read("p4_load.txt"), t_csv, u_csv))
+    write_csvs(tmp_path)
+    e = Engine(spark, str(tmp_path / "db"), load_dir=str(tmp_path))
+    e.run_script(_read("p4_load.txt"))
     for stage in range(1, 7):
         out = e.run_script(_read(f"p4c-{stage}.txt"))
         expected = _read(f"p4c-{stage}.expected")
@@ -73,11 +68,9 @@ def test_p4challenge_survives_restart_between_stages(spark, tmp_path):
     invocations; here durability rides on catalog.json + Parquet."""
     from tests.golden.challenge_data import write_csvs
 
-    t_csv, u_csv = write_csvs(tmp_path)
+    write_csvs(tmp_path)
     db = str(tmp_path / "db")
-    Engine(spark, db).run_script(
-        _absolutize_loads(_read("p4_load.txt"), t_csv, u_csv)
-    )
+    Engine(spark, db, load_dir=str(tmp_path)).run_script(_read("p4_load.txt"))
     for stage in range(1, 7):
         out = Engine(spark, db).run_script(_read(f"p4c-{stage}.txt"))
         expected = _read(f"p4c-{stage}.expected")
