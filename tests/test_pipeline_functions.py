@@ -147,3 +147,15 @@ def test_exact_dedup_identity(spark):
     got = dedup_exact(spark, SF_DIR)
     assert got.count() == table(spark, SF_DIR, "documents").count()
     assert got.agg({"n_dups": "max"}).collect()[0][0] == 1
+
+
+def test_topk_matmul_equals_fold(spark):
+    """The BLAS-blocked top-k must reproduce the JVM-fold brute force
+    exactly (same neighbors, same ranks) at sf0.01 and sf0.001."""
+    from kstore_spark.functions.similarity import (
+        sim_topk_bruteforce, sim_topk_matmul)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        truth = {tuple(r) for r in sim_topk_bruteforce(spark, sf).collect()}
+        fast = {tuple(r) for r in sim_topk_matmul(spark, sf).collect()}
+        assert fast == truth
