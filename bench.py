@@ -88,7 +88,7 @@ def perftest_query(spark, algorithm: str):
 
 def headline_queries():
     from kstore_spark.functions import dedup, similarity, text
-    from kstore_spark.plans import analytics, kparity
+    from kstore_spark.plans import analytics, extended, kparity
 
     return {
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -101,6 +101,9 @@ def headline_queries():
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
         "text_quality": text.text_quality,
+        # round-2 additions (keys above stay comparable round-over-round)
+        "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
+        "q18_large_volume": extended.q18_large_volume,
     }
 
 
