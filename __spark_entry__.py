@@ -45,25 +45,28 @@ _PRIORITY = [
     "median_price_by_segment",
     # new query shapes this round
     "q18_large_volume", "q20_excess_suppliers", "q22_inactive_rich",
-    # core reference-parity surface (SURVEY §2); select_all/select_value
-    # rotate to the tail (r1-green, code path untouched this round)
-    "select_range", "fetch", "join_hash",
-    "agg_min", "agg_max", "agg_sum", "agg_count", "agg_avg_trunc",
-    "math_add", "math_div", "mutation_delete", "mutation_update",
-    "mutation_insert", "tuple_zip",
-    # remaining analytic shapes
-    "q1_pricing_summary", "q6_forecast_revenue", "events_asof",
-    "q13_customer_distribution",
+    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q15_top_supplier",
+    "q16_supplier_count", "q21_waiting_supplier",
+    "sim_topk_matmul", "stream_dedup_counts",
+    # core reference-parity surface (SURVEY §2) whose code paths were
+    # touched this round (Prov source_pos, _zip alignment, lazy guards,
+    # compaction/tombstones); the untouched r1-green parity + analytics
+    # entries (selects, agg_min/max/sum/count, math_add, q1, q6, …)
+    # rotate to the tail and back into the window in r3
+    "fetch", "join_hash", "agg_avg_trunc", "math_div",
+    "mutation_delete", "mutation_update", "mutation_insert", "tuple_zip",
 ]
 
 
 def _all_queries() -> dict[str, Callable]:
-    from kstore_spark.plans import analytics, extended, kparity
+    from kstore_spark.plans import analytics, extended, kparity, tpch_wide
 
     out: dict[str, Callable] = {}
     out.update(kparity.QUERIES)
     out.update(analytics.QUERIES)
     out.update(extended.QUERIES)
+    out.update(tpch_wide.QUERIES)
     try:
         from kstore_spark.functions import dedup, multimodal, similarity, text
 
@@ -95,12 +98,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kstore_spark.plans import analytics, extended, kparity
+    from kstore_spark.plans import analytics, extended, kparity, tpch_wide
 
     merged: dict[str, str] = {}
     merged.update(kparity.ORACLES)
     merged.update(analytics.ORACLES)
     merged.update(extended.ORACLES)
+    merged.update(tpch_wide.ORACLES)
     try:
         from kstore_spark.functions import dedup, multimodal, similarity, text
 
