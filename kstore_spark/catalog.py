@@ -231,15 +231,31 @@ class Catalog:
         return Prov(frame=self._group_df(gid), cols={c: c for c in grp["columns"]})
 
     # -- read ----------------------------------------------------------
-    def read(self, column: str) -> DataFrame:
+    def read(self, column: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
+        """Union of the column's storage. With ``lo``/``hi`` (a select's
+        value bounds), segments whose catalog zone map [min, max] cannot
+        overlap are dropped BEFORE Spark plans the scan — the caller
+        still applies the predicate, so pruning is purely an optimization
+        (reference equivalent: the sorted-index / b+tree skip-scan,
+        storage.c:928-1049; here it also skips file listing + task
+        scheduling, which Parquet row-group stats alone cannot)."""
         m = self.meta(column)
         parts: list[DataFrame] = []
         if m["group"] is not None:
             parts.append(
                 self._group_df(m["group"]).select(F.col(POS), F.col(column).alias(VAL))
             )
-        if m["segments"]:
-            paths = [os.path.join(self.db_dir, "data", column, s) for s in m["segments"]]
+        segments = m["segments"]
+        if segments and (lo is not None or hi is not None):
+            stats = m.get("stats", {})
+            segments = [
+                s for s in segments
+                if s not in stats  # no zone map recorded → must scan
+                or stats[s] is None
+                or ((hi is None or stats[s][0] <= hi) and (lo is None or stats[s][1] >= lo))
+            ]
+        if segments:
+            paths = [os.path.join(self.db_dir, "data", column, s) for s in segments]
             parts.append(self.spark.read.schema(COLUMN_SCHEMA).parquet(*paths))
         if not parts:
             return self.spark.createDataFrame([], schema=COLUMN_SCHEMA)
@@ -249,6 +265,37 @@ class Catalog:
         return out
 
     # -- write ---------------------------------------------------------
+    @staticmethod
+    def _segment_stats(seg_dir: str) -> list | None:
+        """[min, max] of ``val`` across the segment, read from the
+        already-written Parquet footers (driver-side metadata only — no
+        Spark job, no data scan; footer reads are O(files), and a
+        segment is written by one op so its file count is bounded by the
+        writing job's task count)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # stats are optional — absent ⇒ never prune
+            return None
+        mn = mx = None
+        for root, _dirs, files in os.walk(seg_dir):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(root, fname)).metadata
+                except Exception:
+                    return None
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(VAL)
+                if idx is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None  # one opaque row group poisons the map
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        return None if mn is None else [int(mn), int(mx)]
+
     def _write_column_segment(self, column: str, df: DataFrame) -> str:
         m = self.meta(column)
         out = df.select(F.col(POS).cast("long"), F.col(VAL).cast("int"))
@@ -259,7 +306,9 @@ class Catalog:
             out = out.repartitionByRange(npart, VAL).sortWithinPartitions(VAL)
         seg_dir = self._new_segment_dir(column)
         out.write.mode("overwrite").parquet(seg_dir)
-        return os.path.basename(seg_dir)
+        seg = os.path.basename(seg_dir)
+        m.setdefault("stats", {})[seg] = self._segment_stats(seg_dir)
+        return seg
 
     def detach(self, column: str) -> None:
         """Materialize a group-covered column into its own segments (first
@@ -300,6 +349,7 @@ class Catalog:
             seg = self._write_column_segment(column, df)
             m["segments"] = [seg]
             m["group"] = None
+            self._prune_stats(m)
             if not was_grouped:
                 self._tombstone(*[os.path.join("data", column, s) for s in old])
             self._save()
@@ -341,6 +391,7 @@ class Catalog:
             ).coalesce(1)
             seg = self._write_column_segment(column, merged)
             m["segments"] = [s for s in m["segments"] if s not in smalls] + [seg]
+            self._prune_stats(m)
             self._tombstone(*[os.path.join("data", column, s) for s in smalls])
             self._save()
 
@@ -363,6 +414,11 @@ class Catalog:
                 *[os.path.join("data", f"_group_{gid}", s) for s in smalls]
             )
             self._save()
+
+    @staticmethod
+    def _prune_stats(m: dict) -> None:
+        live = set(m["segments"])
+        m["stats"] = {s: v for s, v in m.get("stats", {}).items() if s in live}
 
     def next_pos(self, column: str) -> int:
         return self.meta(column)["next_pos"]

@@ -248,8 +248,15 @@ class Engine:
     def _op_select(self, op) -> str | None:
         column = op.args["column"]
         prov = self.catalog.group_prov(column)
-        cdf = None if prov is not None else self._column(column)
         mode = op.args["mode"]
+        if prov is not None:
+            cdf = None
+        elif mode == "value":  # zone-map segment pruning (catalog.read)
+            cdf = self.catalog.read(column, lo=op.args["value"], hi=op.args["value"])
+        elif mode == "range":
+            cdf = self.catalog.read(column, lo=op.args["low"], hi=op.args["high"])
+        else:
+            cdf = self._column(column)
         if mode == "all":
             res = select_all(cdf, prov=prov, column=column)
         elif mode == "value":

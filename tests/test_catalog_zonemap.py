@@ -1,0 +1,97 @@
+"""Catalog zone maps: per-segment [min, max] of ``val`` recorded from
+Parquet footers at write time, used by ``Catalog.read(column, lo, hi)``
+to drop non-overlapping segments BEFORE Spark plans the scan.
+
+This is the catalog-level complement of Parquet row-group pruning (which
+only helps after listing + task planning) and the Spark equivalent of
+the reference's sorted-index/b+tree skip-scan (storage.c:928-1049,
+462-560): a select touches only the segments whose value range can
+match. Results are pruning-independent — the caller still applies the
+predicate.
+"""
+
+from pyspark.sql import functions as F
+
+from kstore_spark.catalog import Catalog
+from kstore_spark.engine import Engine
+from kstore_spark.operators.types import POS, VAL
+
+
+def _seg_df(spark, lo, hi, pos0):
+    return (
+        spark.range(lo, hi)
+        .select(
+            (F.col("id") - lo + pos0).cast("long").alias(POS),
+            F.col("id").cast("int").alias(VAL),
+        )
+    )
+
+
+def test_read_prunes_disjoint_segments(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "db"))
+    cat.create("c", "sorted")
+    for i, (lo, hi) in enumerate([(0, 100), (1000, 1100), (2000, 2100)]):
+        cat.append_segment("c", _seg_df(spark, lo, hi, i * 100), rows=100)
+    m = cat.meta("c")
+    assert len(m["segments"]) == 3
+    assert all(m["stats"][s] is not None for s in m["segments"])
+
+    full = cat.read("c")
+    pruned = cat.read("c", lo=1050, hi=1060)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # every surviving file belongs to the one overlapping segment
+    assert all("/c/" in f for f in pruned.inputFiles())
+    got = sorted(r[VAL] for r in pruned.filter(F.col(VAL).between(1050, 1060)).collect())
+    assert got == list(range(1050, 1061))
+
+    # point lookup prunes to one segment too
+    point = cat.read("c", lo=2050, hi=2050)
+    assert len(point.inputFiles()) <= len(pruned.inputFiles())
+    assert [r[VAL] for r in point.filter(F.col(VAL) == 2050).collect()] == [2050]
+
+
+def test_no_stats_means_no_pruning(spark, tmp_path):
+    """A segment without a zone map must always be scanned."""
+    cat = Catalog(spark, str(tmp_path / "db"))
+    cat.create("c", "unsorted")
+    cat.append_segment("c", _seg_df(spark, 0, 50, 0), rows=50)
+    with cat._locked():
+        cat.meta("c")["stats"] = {}  # simulate a pre-zonemap catalog
+        cat._save()
+    # read() never filters rows (the caller applies the predicate) —
+    # without stats the bounded read must scan every file
+    assert cat.read("c", lo=9999, hi=9999).count() == 50
+    assert len(cat.read("c", lo=9999, hi=9999).inputFiles()) == len(cat.read("c").inputFiles())
+
+
+def test_engine_select_uses_pruned_scan(spark, tmp_path):
+    """End-to-end: a select over a mutated (detached, multi-segment)
+    column returns the same result the reference would, and the pruned
+    scan reads fewer files than the column holds."""
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.run_script('create(zc,"unsorted")\n')
+    for v in (5, 500_000, 900_000):  # three single-row delta segments
+        eng.run_script(f"insert(zc,{v})\n")
+    out = eng.run_script("s=select(zc,500000,500000)\nf=fetch(zc,s)\nprint(f)\n")
+    assert out.strip() == "500000"
+    # the pruned read plans fewer files than the full column scan
+    full_files = len(eng.catalog.read("zc").inputFiles())
+    pruned_files = len(eng.catalog.read("zc", lo=500_000, hi=500_000).inputFiles())
+    assert pruned_files < full_files
+
+
+def test_zonemap_survives_reopen_and_compaction(spark, tmp_path):
+    db = str(tmp_path / "db")
+    cat = Catalog(spark, db)
+    cat.create("c", "sorted")
+    for i in range(3):
+        cat.append_segment("c", _seg_df(spark, i * 1000, i * 1000 + 10, i * 10), rows=10)
+    reopened = Catalog(spark, db)
+    m = reopened.meta("c")
+    assert set(m.get("stats", {})) == set(m["segments"])
+    # force a compaction: stats map must track the merged segment set
+    reopened._COMPACT_MIN = 2
+    reopened.append_segment("c", _seg_df(spark, 5000, 5010, 30), rows=10)
+    m = reopened.meta("c")
+    assert set(m["stats"]) == set(m["segments"])
+    assert reopened.read("c", lo=5000, hi=5005).filter(F.col(VAL) == 5001).count() == 1
