@@ -83,6 +83,7 @@ class Catalog:
         self.tombstones: list = []  # [relpath, tombstoned_epoch] entries
         self._lock_depth = 0
         self._lock_file = None
+        self._register_session()
         if os.path.exists(self.path):
             with self._locked():  # _locked reloads from disk
                 self._gc()
@@ -119,21 +120,75 @@ class Catalog:
             self.groups = meta.get("groups", {})
             self.tombstones = meta.get("tombstones", [])
 
-    # Tombstoned segments are only deleted once they are old enough that
-    # no live session can still hold lazy DataFrames over them (another
-    # process's open must not yank this session's snapshot mid-script).
-    _GC_TTL_SECONDS = 3600
+    # -- session epochs & GC -------------------------------------------
+    # A tombstoned segment may only be deleted once NO live session could
+    # hold a lazy DataFrame over it. A session can reference a segment
+    # only if the session opened while the segment was still live, i.e.
+    # session_start < tombstone_time. So the GC barrier is the oldest
+    # start time among live sessions: every tombstone OLDER than that
+    # barrier predates all live sessions' catalog views and is safe to
+    # delete. Liveness = the registering pid still exists (dead sessions'
+    # epoch files are swept). This replaces the earlier wall-clock TTL,
+    # which was both too eager (long-lived session > TTL) and too lazy
+    # (everything waits out the full TTL).
+    def _register_session(self) -> None:
+        sess_dir = os.path.join(self.db_dir, ".sessions")
+        os.makedirs(sess_dir, exist_ok=True)
+        self._session_file = os.path.join(sess_dir, uuid.uuid4().hex + ".json")
+        with open(self._session_file, "w") as f:
+            json.dump({"pid": os.getpid(), "start": time.time()}, f)
+
+    def close(self) -> None:
+        """Drop this session's epoch registration (its snapshots no
+        longer pin tombstoned segments). Safe to call more than once;
+        dead pids are swept by any later open even without this."""
+        try:
+            os.unlink(self._session_file)
+        except OSError:
+            pass
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:  # exists, owned by someone else
+            return True
+
+    def _gc_barrier(self, now: float) -> float:
+        """Oldest start time of any live session (sweeping dead ones);
+        ``now`` when no other session is live."""
+        barrier = now
+        sess_dir = os.path.join(self.db_dir, ".sessions")
+        for name in os.listdir(sess_dir) if os.path.isdir(sess_dir) else []:
+            path = os.path.join(sess_dir, name)
+            try:
+                with open(path) as f:
+                    info = json.load(f)
+                pid, start = int(info["pid"]), float(info["start"])
+            except (OSError, ValueError, KeyError):
+                continue  # mid-write or corrupt — skip, never delete data for it
+            if self._pid_alive(pid):
+                barrier = min(barrier, start)
+            else:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        return barrier
 
     def _gc(self) -> None:
-        """Delete segments replaced by sufficiently-old sessions. Deferred
-        to open time so that within a session, variables bound before a
+        """Delete segments no live session can reference. Deferred to
+        open time so that within a session, variables bound before a
         mutation keep reading their snapshot (the reference's eager
         intermediates never dangle; our lazy ones must not either)."""
-        now = time.time()
+        barrier = self._gc_barrier(time.time())
         keep = []
         for entry in self.tombstones:
             rel, ts = (entry, 0.0) if isinstance(entry, str) else entry
-            if now - ts >= self._GC_TTL_SECONDS:
+            if ts < barrier:
                 shutil.rmtree(os.path.join(self.db_dir, rel), ignore_errors=True)
             else:
                 keep.append(entry)

@@ -43,24 +43,27 @@ def main(argv: list[str] | None = None) -> int:
             print(out)
         return 0
 
-    if args.interactive:
-        while True:
-            try:
-                line = input("kstore> ")
-            except EOFError:
-                break
-            if line.strip() in ("quit", "exit"):
-                break
-            run(line)
-        return 0
+    try:
+        if args.interactive:
+            while True:
+                try:
+                    line = input("kstore> ")
+                except EOFError:
+                    break
+                if line.strip() in ("quit", "exit"):
+                    break
+                run(line)
+            return 0
 
-    if args.scripts:
-        rc = 0
-        for path in args.scripts:
-            with open(path) as f:
-                rc |= run(f.read())
-        return rc
-    return run(sys.stdin.read())
+        if args.scripts:
+            rc = 0
+            for path in args.scripts:
+                with open(path) as f:
+                    rc |= run(f.read())
+            return rc
+        return run(sys.stdin.read())
+    finally:
+        engine.close()  # unpin this session's snapshot epoch
 
 
 if __name__ == "__main__":

@@ -55,6 +55,12 @@ class Engine:
         self.load_dir = load_dir  # ≈ reference client --loaddir
         self.env: dict[str, PosList | ValVec] = {}
 
+    def close(self) -> None:
+        """End the session: its bound variables stop pinning tombstoned
+        segments (the catalog epoch GC may then reclaim them)."""
+        self.env.clear()
+        self.catalog.close()
+
     # -- variable resolution ------------------------------------------
     def _var(self, name: str):
         if name not in self.env:
