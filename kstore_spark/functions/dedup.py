@@ -56,9 +56,13 @@ def _shingles(spark, sf_dir) -> DataFrame:
     )
 
 
-def _verified_pairs(sh: DataFrame) -> DataFrame:
-    """Exact-Jaccard pairs from a (doc_id, s) shingle relation."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+def _verified_pairs(sh: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
+    """Exact-Jaccard pairs from a (doc_id, s) shingle relation. Pass
+    ``sizes`` (doc_id, n) when the caller holds the array form — F.size
+    over the distinct-shingle array is free, vs. re-deriving it here
+    with another full shingle computation plus a groupBy shuffle."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
@@ -100,7 +104,19 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text
 # -- exact n-gram Jaccard (inverted index) -----------------------------
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return _verified_pairs(_shingles(spark, sf_dir))
+    """The shingle pipeline (tokenize → 3-gram → distinct) is the
+    expensive stage; both self-join branches and the size table read it
+    from ONE cached computation instead of re-deriving it per branch
+    (3 scans → 1). Same persist → materialize-result → unpersist
+    discipline as dedup_minhash_lsh: only the small pair output stays
+    cached for the caller."""
+    arr = _shingle_arrays(spark, sf_dir)
+    sh = arr.select("doc_id", F.explode("sh").alias("s")).persist()
+    sizes = arr.select("doc_id", F.size("sh").alias("n"))
+    res = _verified_pairs(sh, sizes=sizes).persist()
+    res.count()  # materialize pairs, then free the big shingle cache
+    sh.unpersist()
+    return res
 
 DEDUP_NGRAM_SQL = f"""
 WITH tok AS (

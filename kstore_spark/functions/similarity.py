@@ -213,7 +213,10 @@ def embedding_neardup_lsh(spark, sf_dir, threshold: float = NEAR_DUP_COS,
     just the candidate vectors. Same output schema as embedding_neardup."""
     emb = _emb(spark, sf_dir)
     sig = _hyperplane_band_hashes(emb, bands, rows, seed)
-    banded = sig.select("vec_id", F.posexplode("sig").alias("band", "bh"))
+    # the signature fold (bands×rows dot products per vector) is the
+    # expensive stage: cache it once so the self-join's two branches
+    # read the cache instead of each re-deriving every signature
+    banded = sig.select("vec_id", F.posexplode("sig").alias("band", "bh")).persist()
     a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bh")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band", "bh")
     cands = (
@@ -224,11 +227,15 @@ def embedding_neardup_lsh(spark, sf_dir, threshold: float = NEAR_DUP_COS,
     )
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
+    res = (
         cands.join(va, "vec_a").join(vb, "vec_b")
         .filter(_cosine(F.col("va"), F.col("vb")) > threshold)
         .select("vec_a", "vec_b")
+        .persist()
     )
+    res.count()  # materialize the (small) pair output, then free the
+    banded.unpersist()  # band cache — only the result stays cached
+    return res
 
 
 # -- IVF approximate nearest neighbor (scale path) ---------------------
