@@ -48,7 +48,9 @@ _PRIORITY = [
     "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_count", "q21_waiting_supplier",
-    "sim_topk_matmul", "stream_dedup_counts",
+    "stream_interval_join", "stream_dedup_counts",
+    # (sim_topk_matmul rotates to the tail: rows-only check anyway, and
+    # pytest pins it rank-identical to the in-window sim_topk_bruteforce)
     # core reference-parity surface (SURVEY §2) whose code paths were
     # touched this round (Prov source_pos, _zip alignment, lazy guards,
     # compaction/tombstones); the untouched r1-green parity + analytics
@@ -78,10 +80,12 @@ def _all_queries() -> dict[str, Callable]:
         pass
     try:
         from kstore_spark.streaming import dedup as stream_dedup
+        from kstore_spark.streaming import joins as stream_joins
         from kstore_spark.streaming import windows as stream_windows
 
         out.update(stream_windows.QUERIES)
         out.update(stream_dedup.QUERIES)
+        out.update(stream_joins.QUERIES)
     except ImportError:
         pass
     return out
@@ -116,10 +120,12 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         from kstore_spark.streaming import dedup as stream_dedup
+        from kstore_spark.streaming import joins as stream_joins
         from kstore_spark.streaming import windows as stream_windows
 
         merged.update(stream_windows.ORACLES)
         merged.update(stream_dedup.ORACLES)
+        merged.update(stream_joins.ORACLES)
     except ImportError:
         pass
     out: dict[str, str] = {}  # same priority order as queries()

@@ -115,3 +115,36 @@ def test_stream_dedup_watermark_containment(spark):
     assert set(wm) == set(first)
     for et in wm:
         assert first[et] <= wm[et] <= raw[et]
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join (purchase→signups within 7 days) over
+    the availableNow backlog equals the batch interval join: every match
+    emitted exactly once (append mode), none dropped by the watermark in
+    the single-microbatch backfill."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.joins import stream_interval_join
+    from kstore_spark.tables import table
+
+    got = sorted(
+        (r["purchase_id"], r["signup_id"])
+        for r in stream_interval_join(spark, SF_DIR).collect()
+    )
+    ev = table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"))
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), F.col("user_id").alias("su"),
+        F.col("ts").alias("s_ts"))
+    want = sorted(
+        (r["pid"], r["sid"])
+        for r in p.join(
+            s,
+            (F.col("user_id") == F.col("su"))
+            & (F.col("s_ts") <= F.col("p_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == want
