@@ -30,23 +30,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyspark.sql import functions as F
 
+# Strides are per KEY FAMILY, not per table: both sides of every foreign
+# key must shift identically or cross-table joins only match inside
+# replica 0 (caught in round 2 — the per-table strides this replaces
+# left part⋈lineitem and customer⋈orders at 1× cardinality while scans
+# grew 10×).
+_STRIDES = {
+    "custkey": 1_000_000,
+    "suppkey": 1_000_000,
+    "partkey": 1_000_000,
+    "orderkey": 10_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+}
+
 TABLES_SHIFT = {
-    # table -> (key columns to shift, stride)
-    "customer": (["c_custkey"], 1_000_000),
-    "supplier": (["s_suppkey"], 1_000_000),
-    "part": (["p_partkey"], 1_000_000),
-    "orders": (["o_orderkey", "o_custkey"], 10_000_000),
-    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], 10_000_000),
-    "events": (["event_id", "user_id"], 10_000_000),
+    # table -> {key column: stride}
+    "customer": {"c_custkey": _STRIDES["custkey"]},
+    "supplier": {"s_suppkey": _STRIDES["suppkey"]},
+    "part": {"p_partkey": _STRIDES["partkey"]},
+    "orders": {"o_orderkey": _STRIDES["orderkey"], "o_custkey": _STRIDES["custkey"]},
+    "lineitem": {
+        "l_orderkey": _STRIDES["orderkey"],
+        "l_partkey": _STRIDES["partkey"],
+        "l_suppkey": _STRIDES["suppkey"],
+    },
+    "events": {"event_id": _STRIDES["event_id"], "user_id": _STRIDES["user_id"]},
 }
 
 
-def _shift_union(spark, src, out, table, keys, stride, factor):
+def _shift_union(spark, src, out, table, strides, factor):
     df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
     parts = [df]
     for r in range(1, factor):
         shifted = df
-        for k in keys:
+        for k, stride in strides.items():
             shifted = shifted.withColumn(k, F.col(k) + F.lit(r * stride))
         parts.append(shifted)
     allp = parts[0]
@@ -119,8 +137,8 @@ def main():
         spark.read.parquet(os.path.join(src, f"{table}.parquet")).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, f"{table}.parquet"))
-    for table, (keys, stride) in TABLES_SHIFT.items():
-        _shift_union(spark, src, out, table, keys, stride, factor)
+    for table, strides in TABLES_SHIFT.items():
+        _shift_union(spark, src, out, table, strides, factor)
     _perturb_docs(spark, src, out, factor)
     _fresh_embeddings(spark, src, out, factor)
     for t in sorted(os.listdir(out)):
