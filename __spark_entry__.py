@@ -70,12 +70,14 @@ def _all_queries() -> dict[str, Callable]:
     out.update(extended.QUERIES)
     out.update(tpch_wide.QUERIES)
     try:
-        from kstore_spark.functions import dedup, multimodal, similarity, text
+        from kstore_spark.functions import (
+            dedup, multimodal, sampling, similarity, text)
 
         out.update(dedup.QUERIES)
         out.update(similarity.QUERIES)
         out.update(text.QUERIES)
         out.update(multimodal.QUERIES)
+        out.update(sampling.QUERIES)
     except ImportError:
         pass
     try:
@@ -110,12 +112,14 @@ def oracle_sql() -> dict[str, str]:
     merged.update(extended.ORACLES)
     merged.update(tpch_wide.ORACLES)
     try:
-        from kstore_spark.functions import dedup, multimodal, similarity, text
+        from kstore_spark.functions import (
+            dedup, multimodal, sampling, similarity, text)
 
         merged.update(dedup.ORACLES)
         merged.update(similarity.ORACLES)
         merged.update(text.ORACLES)
         merged.update(multimodal.ORACLES)
+        merged.update(sampling.ORACLES)
     except ImportError:
         pass
     try:

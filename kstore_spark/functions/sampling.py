@@ -1,0 +1,98 @@
+"""Corpus sampling & batch-packing operators for training-data pipelines.
+
+Two operations every large-scale LLM data pipeline needs that the rest
+of the function suite doesn't cover:
+
+- ``sample_stratified``: proportionate stratified sampling — exactly
+  every k-th document per language stratum, deterministic (ordered by
+  doc_id, no RNG), so reruns and engines agree bit-for-bit. The
+  engine-native ``df.sampleBy`` is cheaper per row but non-reproducible
+  across engines; a hash-mod filter is reproducible but only
+  approximately proportionate. row_number-per-stratum gives exact
+  1/k per stratum.
+
+- ``pack_token_budget``: sequence packing — concatenate documents into
+  contiguous training batches of ~``budget`` tokens. Docs are first
+  assigned to shards (doc_id mod shards), then packed WITHIN a shard by
+  a partitioned cumulative-sum window: batch = floor(exclusive-prefix /
+  budget). The naive global ORDER BY window is a single-partition
+  bottleneck at 100 TB; the shard partitioning is what makes the window
+  parallel — each shard packs independently, which is exactly how
+  distributed training data is laid out anyway (one stream per worker).
+
+Both are pure JVM window/filter plans with integer arithmetic
+throughout — exact DuckDB oracles, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kstore_spark.tables import table
+
+SAMPLE_EVERY = 10   # stratified sample keeps 1 in k per language
+PACK_BUDGET = 2048  # tokens per training batch
+PACK_SHARDS = 8     # independent packing streams
+
+
+def sample_stratified(spark, sf_dir, k: int = SAMPLE_EVERY):
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % k == 0)
+        .select("doc_id", "lang")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE (rn - 1) % {SAMPLE_EVERY} = 0
+"""
+
+
+def pack_token_budget(spark, sf_dir, budget: int = PACK_BUDGET,
+                      shards: int = PACK_SHARDS):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(shards)).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor(prefix / budget).alias("batch_id"),
+    )
+
+
+PACK_TOKEN_BUDGET_SQL = f"""
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {PACK_BUDGET}) AS BIGINT) AS batch_id
+FROM (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+"""
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "pack_token_budget": pack_token_budget,
+}
+
+ORACLES = {
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "pack_token_budget": PACK_TOKEN_BUDGET_SQL,
+}

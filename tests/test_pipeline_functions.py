@@ -159,3 +159,51 @@ def test_topk_matmul_equals_fold(spark):
         truth = {tuple(r) for r in sim_topk_bruteforce(spark, sf).collect()}
         fast = {tuple(r) for r in sim_topk_matmul(spark, sf).collect()}
         assert fast == truth
+
+
+def test_stratified_sample_exact_fraction_per_stratum(spark):
+    """Every language keeps exactly ceil(n_lang / k) documents —
+    proportionate stratified, deterministic (no RNG)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.sampling import SAMPLE_EVERY, sample_stratified
+    from kstore_spark.tables import table
+
+    got = {r["lang"]: r["n"] for r in
+           sample_stratified(spark, SF_DIR).groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              table(spark, SF_DIR, "documents").groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == set(totals)
+    for lang, n in totals.items():
+        assert got[lang] == math.ceil(n / SAMPLE_EVERY)
+
+
+def test_pack_token_budget_batches_are_tight(spark):
+    """Within every shard: batch ids are contiguous from 0, each batch's
+    token sum is < budget + its last doc (docs straddle at most once),
+    and every full batch holds >= budget tokens."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.sampling import PACK_BUDGET, pack_token_budget
+
+    per_batch = (
+        pack_token_budget(spark, SF_DIR)
+        .groupBy("shard", "batch_id")
+        .agg(F.sum("n_tokens").alias("toks"), F.max("n_tokens").alias("maxdoc"))
+        .collect()
+    )
+    by_shard = {}
+    for r in per_batch:
+        by_shard.setdefault(r["shard"], {})[r["batch_id"]] = r
+    for shard, batches in by_shard.items():
+        ids = sorted(batches)
+        assert ids == list(range(len(ids)))  # contiguous from 0
+        last = ids[-1]
+        for bid, r in batches.items():
+            assert r["toks"] < PACK_BUDGET + r["maxdoc"]
+            if bid != last:  # every non-final batch reached the budget
+                assert r["toks"] >= PACK_BUDGET - r["maxdoc"] + 1 or r["toks"] >= PACK_BUDGET
