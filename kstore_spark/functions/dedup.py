@@ -303,16 +303,75 @@ def dedup_simhash(spark, sf_dir):
     return pairs.filter(hamming <= HAMMING_MAX).select("doc_a", "doc_b")
 
 
+# -- benchmark decontamination -----------------------------------------
+
+DECON_WIDTH = 5        # n-gram width for contamination matching
+DECON_BENCH_DOCS = 20  # doc_id < this ⇒ the held-out "benchmark" set
+
+
+def decontaminate_ngram(spark, sf_dir, width: int = DECON_WIDTH,
+                        bench_docs: int = DECON_BENCH_DOCS):
+    """Benchmark decontamination: training docs sharing any word
+    ``width``-gram with a held-out benchmark set (here: the first
+    ``bench_docs`` doc_ids stand in for an eval suite). Returns
+    (doc_id, n_hits = distinct overlapping n-grams) for every
+    contaminated non-benchmark doc.
+
+    Scale shape: the benchmark n-gram set is small and bounded (eval
+    suites are KBs, corpora are TBs) — AQE broadcasts it; the corpus
+    side streams through one scan + explode, no self-join, no shuffle
+    of document text. This is exactly the MinHash-free special case of
+    dedup: exact containment against a tiny reference set.
+    """
+    tok = _tokens(spark, sf_dir).filter(F.size("t") >= width)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - width),
+            lambda i: F.concat_ws(
+                " ", *[F.col("t")[i + j] for j in range(width)]
+            ),
+        )
+    )
+    sh = tok.select("doc_id", F.explode(grams).alias("s"))
+    bench = sh.filter(F.col("doc_id") < bench_docs).select("s").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= bench_docs)
+        .join(bench, "s")  # bounded side — AQE broadcasts it
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hits"))
+    )
+
+
+DECON_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_WIDTH}
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(t)-{DECON_WIDTH - 1})) u(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < {DECON_BENCH_DOCS}
+)
+SELECT doc_id, COUNT(DISTINCT s) AS n_hits
+FROM sh
+WHERE doc_id >= {DECON_BENCH_DOCS} AND s IN (SELECT s FROM bench)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "decontaminate_ngram": decontaminate_ngram,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "decontaminate_ngram": DECON_SQL,
     # dedup_minhash_lsh / dedup_simhash: Spark-side hash families are not
     # reproducible in ANSI SQL → rows-only driver check + pytest recall gate
 }

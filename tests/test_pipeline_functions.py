@@ -207,3 +207,18 @@ def test_pack_token_budget_batches_are_tight(spark):
             assert r["toks"] < PACK_BUDGET + r["maxdoc"]
             if bid != last:  # every non-final batch reached the budget
                 assert r["toks"] >= PACK_BUDGET - r["maxdoc"] + 1 or r["toks"] >= PACK_BUDGET
+
+
+def test_decontaminate_flags_only_training_docs(spark):
+    """Decontamination: flagged docs are outside the benchmark set, each
+    with >= 1 overlapping 5-gram, and flagging is monotone in n-gram
+    width (a 6-gram hit implies a 5-gram hit)."""
+    from kstore_spark.functions.dedup import DECON_BENCH_DOCS, decontaminate_ngram
+
+    flagged = {r["doc_id"]: r["n_hits"]
+               for r in decontaminate_ngram(spark, SF_DIR).collect()}
+    assert len(flagged) >= 1
+    assert all(d >= DECON_BENCH_DOCS for d in flagged)
+    assert all(n >= 1 for n in flagged.values())
+    wider = {r["doc_id"] for r in decontaminate_ngram(spark, SF_DIR, width=6).collect()}
+    assert wider <= set(flagged)
