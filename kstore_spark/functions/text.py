@@ -163,16 +163,58 @@ FROM documents
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition (Gopher/C4-style quality signal): the
+    fraction of word 3-grams that are duplicates of an earlier 3-gram in
+    the same doc. Row-local array ops only — no explode, no shuffle; the
+    ratio is one double division of two exact ints (oracle-exact). Docs
+    above the usual ~0.2 cut are flagged with an integer comparison
+    (5*dups >= total) so the filter itself never touches floats."""
+    tok = _tok(spark, sf_dir).filter(F.size("t") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
+    )
+    g = tok.select("doc_id", grams.alias("g"))
+    total = F.size("g")
+    dups = total - F.size(F.array_distinct("g"))
+    return g.select(
+        "doc_id",
+        total.alias("n_grams"),
+        dups.alias("n_dup"),
+        (dups.cast("double") / total).alias("dup_ratio"),
+        (F.lit(5) * dups >= total).alias("flag_repetitive"),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          FOR i IN generate_series(1, len(t)-2)] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3)
+SELECT doc_id,
+       CAST(len(g) AS INTEGER) AS n_grams,
+       CAST(len(g) - len(list_distinct(g)) AS INTEGER) AS n_dup,
+       CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) AS dup_ratio,
+       5 * (len(g) - len(list_distinct(g))) >= len(g) AS flag_repetitive
+FROM g
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_tokens_regex": text_tokens_regex,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
     "text_tokens": TEXT_TOKENS_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "text_tokens_regex": TEXT_TOKENS_REGEX_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
