@@ -1,14 +1,15 @@
 """Text analysis operators over the ``documents`` table.
 
-All four run entirely in JVM expressions (split / filter / aggregate —
-whole-stage-codegen'd, no Python UDFs), so they stream at scan speed on
-any corpus size:
+All of these run entirely in JVM expressions (split / filter /
+aggregate — whole-stage-codegen'd, no Python UDFs), so they stream at
+scan speed on any corpus size:
 
-- token counting (total + distinct)
+- token counting (total + distinct, whitespace and BPE-ish regex)
 - quality scoring (length / stopword-ratio / mean token length)
 - language ID (marker-word n-gram heuristic, deterministic tie-break)
 - document fingerprint (sequential 31-ary rolling hash — a stand-in for
   rolling content-defined chunking signatures)
+- repetition filter (duplicate 3-gram ratio, Gopher/C4-style)
 
 Ratios are single double divisions of exact integers → bit-identical in
 any IEEE engine, so everything here is oracle-checkable.
