@@ -49,15 +49,18 @@ _PRIORITY = [
     "q9_product_profit", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_count", "q21_waiting_supplier",
     "stream_interval_join", "stream_dedup_counts",
+    # new pipeline operators this round
+    "decontaminate_ngram", "text_repetition",
+    "sample_stratified", "pack_token_budget",
     # (sim_topk_matmul rotates to the tail: rows-only check anyway, and
     # pytest pins it rank-identical to the in-window sim_topk_bruteforce)
     # core reference-parity surface (SURVEY §2) whose code paths were
-    # touched this round (Prov source_pos, _zip alignment, lazy guards,
-    # compaction/tombstones); the untouched r1-green parity + analytics
-    # entries (selects, agg_min/max/sum/count, math_add, q1, q6, …)
-    # rotate to the tail and back into the window in r3
-    "fetch", "join_hash", "agg_avg_trunc", "math_div",
-    "mutation_delete", "mutation_update", "mutation_insert", "tuple_zip",
+    # touched this round (compaction/tombstones, joins over Prov); the
+    # remaining r1-green parity + analytics entries rotate to the tail —
+    # they are additionally pinned by pytest property tests, reference
+    # golden scripts and the random differential fuzzer — and return to
+    # the window in r3
+    "join_hash", "mutation_delete", "mutation_update", "mutation_insert",
 ]
 
 
