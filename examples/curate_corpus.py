@@ -1,0 +1,104 @@
+"""End-to-end corpus curation: the engine's north-star pipeline.
+
+Composes the pipeline operators into the job a 100 TB training-data run
+actually performs, start to finish:
+
+    documents
+      1. exact dedup          keep one doc per distinct text (digest
+                              groupBy — 32-byte shuffle keys)
+      2. near-dup removal     MinHash-LSH candidates, exact-Jaccard
+                              verified; drop the higher doc_id of each
+                              pair (keeps each cluster's minimum)
+      3. decontamination      drop docs sharing a 5-gram with the
+                              held-out benchmark set (broadcast join)
+      4. quality filter       drop repetitive docs (duplicate-3-gram
+                              flag) and docs whose language can't be
+                              identified
+      5. stratified sample    exact 1-in-k per language
+      6. sequence packing     shard + token-budget batch assignment
+      → parquet, partitioned by shard (one directory per training
+        stream, batches contiguous within)
+
+Every stage is a DataFrame transformation — the whole pipeline is ONE
+lazy plan per stage boundary, scales with the cluster, and never
+collects documents to the driver. Run:
+
+    python examples/curate_corpus.py [sf_dir] [out_dir]
+
+Stage survivor counts print at the end (one action per stage keeps the
+demo readable; a production run would fuse straight through).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+
+def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
+    """Run the full curation pipeline; returns per-stage survivor counts."""
+    from kstore_spark.functions.dedup import (
+        decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
+    from kstore_spark.functions.sampling import pack_token_budget, sample_stratified
+    from kstore_spark.functions.text import text_langid, text_repetition
+    from kstore_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    counts = {"input": docs.count()}
+
+    # 1. exact dedup: canonical doc per distinct text
+    keep = dedup_exact(spark, sf_dir).select("doc_id")
+    counts["exact_dedup"] = keep.count()
+
+    # 2. near-dup removal: drop the non-canonical side of verified pairs
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    keep = keep.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                     "doc_id", "left_anti")
+    counts["near_dedup"] = keep.count()
+
+    # 3. benchmark decontamination
+    dirty = decontaminate_ngram(spark, sf_dir).select("doc_id")
+    keep = keep.join(dirty, "doc_id", "left_anti")
+    counts["decontaminated"] = keep.count()
+
+    # 4. quality: drop repetitive docs and language-unidentifiable docs
+    rep = text_repetition(spark, sf_dir).filter("flag_repetitive").select("doc_id")
+    unk = text_langid(spark, sf_dir).filter(F.col("pred_lang") == "unk").select("doc_id")
+    keep = keep.join(rep, "doc_id", "left_anti").join(unk, "doc_id", "left_anti")
+    counts["quality"] = keep.count()
+
+    # 5. stratified sample (per true language label, deterministic)
+    sampled = sample_stratified(spark, sf_dir, k=sample_every).select("doc_id")
+    keep = keep.join(sampled, "doc_id", "left_semi")
+    counts["sampled"] = keep.count()
+
+    # 6. pack the SURVIVORS into token-budget training batches (packing
+    #    after filtering keeps batch ids dense) and write, one directory
+    #    per shard (≈ one stream per training worker)
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    packed = pack_token_budget(spark, sf_dir, docs=survivors)
+    out = (
+        packed.join(docs.select("doc_id", "lang", "text"), "doc_id")
+        .select("shard", "batch_id", "doc_id", "lang", "n_tokens", "text")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    counts["written"] = spark.read.parquet(out_dir).count()
+    return counts
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    from kstore_spark.session import get_spark
+
+    counts = curate(get_spark("curate-corpus"), sf_dir, out_dir)
+    for stage, n in counts.items():
+        print(f"{stage}: {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,8 +56,13 @@ WHERE (rn - 1) % {SAMPLE_EVERY} = 0
 
 
 def pack_token_budget(spark, sf_dir, budget: int = PACK_BUDGET,
-                      shards: int = PACK_SHARDS):
-    docs = table(spark, sf_dir, "documents").select(
+                      shards: int = PACK_SHARDS, docs=None):
+    """``docs`` overrides the source frame (must carry doc_id + text) —
+    pipeline callers pack their already-filtered survivor set so batch
+    ids stay dense (see examples/curate_corpus.py)."""
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
+    docs = docs.select(
         "doc_id",
         F.pmod("doc_id", F.lit(shards)).alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
