@@ -259,7 +259,9 @@ class Catalog:
             seg_dir = self._new_segment_dir(f"_group_{gid}")
             out = df.select(F.col(POS).cast("long"), *[F.col(c).cast("int") for c in cols])
             out.sortWithinPartitions(POS).write.mode("overwrite").parquet(seg_dir)
-            grp["segments"].append(os.path.basename(seg_dir))
+            seg = os.path.basename(seg_dir)
+            grp["segments"].append(seg)
+            grp.setdefault("stats", {})[seg] = self._segment_stats_cols(seg_dir, cols)
             for c in cols:
                 m = self.meta(c)
                 m["group"] = gid
@@ -267,23 +269,43 @@ class Catalog:
             self._save()
             self._maybe_compact_group(gid)
 
-    def _group_df(self, gid: str) -> DataFrame:
+    def _group_df(self, gid: str, column: str | None = None,
+                  lo: int | None = None, hi: int | None = None) -> DataFrame:
         grp = self.groups[gid]
+        segments = grp["segments"]
+        if column is not None and (lo is not None or hi is not None):
+            stats = grp.get("stats", {})
+            def _keep(seg):  # no zone map for the segment/column ⇒ scan it
+                s = stats.get(seg, {}).get(column)
+                return s is None or (
+                    (hi is None or s[0] <= hi) and (lo is None or s[1] >= lo)
+                )
+            segments = [s for s in segments if _keep(s)]
         paths = [
             os.path.join(self.db_dir, "data", f"_group_{gid}", s)
-            for s in grp["segments"]
+            for s in segments
         ]
+        if not paths:  # every segment pruned — provably-empty result
+            return self._group_df(gid).limit(0)
         return self.spark.read.parquet(*paths)
 
-    def group_prov(self, column: str) -> Prov | None:
+    def group_prov(self, column: str, lo: int | None = None,
+                   hi: int | None = None) -> Prov | None:
         """Late-materialization provenance for a column still covered by
-        its load group: the full-width frame + base→frame name mapping."""
+        its load group: the full-width frame + base→frame name mapping.
+        With ``lo``/``hi`` (a select's value bounds) group segments whose
+        zone map for ``column`` cannot overlap are dropped before Spark
+        plans the scan — sound for the whole downstream provenance chain
+        because every consumer projects the predicate-FILTERED frame."""
         m = self.meta(column)
         gid = m["group"]
         if gid is None:
             return None
         grp = self.groups[gid]
-        return Prov(frame=self._group_df(gid), cols={c: c for c in grp["columns"]})
+        return Prov(
+            frame=self._group_df(gid, column=column, lo=lo, hi=hi),
+            cols={c: c for c in grp["columns"]},
+        )
 
     # -- read ----------------------------------------------------------
     def read(self, column: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
@@ -321,17 +343,18 @@ class Catalog:
 
     # -- write ---------------------------------------------------------
     @staticmethod
-    def _segment_stats(seg_dir: str) -> list | None:
-        """[min, max] of ``val`` across the segment, read from the
+    def _segment_stats_cols(seg_dir: str, cols: list[str]) -> dict:
+        """{col: [min, max] | None} across the segment, read from the
         already-written Parquet footers (driver-side metadata only — no
         Spark job, no data scan; footer reads are O(files), and a
         segment is written by one op so its file count is bounded by the
         writing job's task count)."""
+        out: dict = {c: None for c in cols}
         try:
             import pyarrow.parquet as pq
         except ImportError:  # stats are optional — absent ⇒ never prune
-            return None
-        mn = mx = None
+            return out
+        acc: dict = {}
         for root, _dirs, files in os.walk(seg_dir):
             for fname in files:
                 if not fname.endswith(".parquet"):
@@ -339,17 +362,25 @@ class Catalog:
                 try:
                     md = pq.ParquetFile(os.path.join(root, fname)).metadata
                 except Exception:
-                    return None
-                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(VAL)
-                if idx is None:
-                    return None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        return None  # one opaque row group poisons the map
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
-        return None if mn is None else [int(mn), int(mx)]
+                    return out
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for c in cols:
+                    if c not in idx or acc.get(c, (0, 0)) is None:
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            acc[c] = None  # one opaque row group poisons it
+                            break
+                        mn, mx = acc.get(c) or (st.min, st.max)
+                        acc[c] = (min(mn, st.min), max(mx, st.max))
+        for c, v in acc.items():
+            if v is not None:
+                out[c] = [int(v[0]), int(v[1])]
+        return out
+
+    def _segment_stats(self, seg_dir: str) -> list | None:
+        return self._segment_stats_cols(seg_dir, [VAL])[VAL]
 
     def _write_column_segment(self, column: str, df: DataFrame) -> str:
         m = self.meta(column)
@@ -462,9 +493,14 @@ class Catalog:
             ).coalesce(1)
             seg_dir = self._new_segment_dir(f"_group_{gid}")
             merged.sortWithinPartitions(POS).write.mode("overwrite").parquet(seg_dir)
-            grp["segments"] = [s for s in grp["segments"] if s not in smalls] + [
-                os.path.basename(seg_dir)
-            ]
+            seg = os.path.basename(seg_dir)
+            grp["segments"] = [s for s in grp["segments"] if s not in smalls] + [seg]
+            grp.setdefault("stats", {})[seg] = self._segment_stats_cols(
+                seg_dir, grp["columns"]
+            )
+            grp["stats"] = {
+                s: v for s, v in grp["stats"].items() if s in set(grp["segments"])
+            }
             self._tombstone(
                 *[os.path.join("data", f"_group_{gid}", s) for s in smalls]
             )

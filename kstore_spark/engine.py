@@ -253,8 +253,14 @@ class Engine:
     # -- query ops -----------------------------------------------------
     def _op_select(self, op) -> str | None:
         column = op.args["column"]
-        prov = self.catalog.group_prov(column)
         mode = op.args["mode"]
+        if mode == "value":  # zone-map pruning of group segments
+            bounds = (op.args["value"], op.args["value"])
+        elif mode == "range":
+            bounds = (op.args["low"], op.args["high"])
+        else:
+            bounds = (None, None)
+        prov = self.catalog.group_prov(column, lo=bounds[0], hi=bounds[1])
         if prov is not None:
             cdf = None
         elif mode == "value":  # zone-map segment pruning (catalog.read)

@@ -95,3 +95,35 @@ def test_zonemap_survives_reopen_and_compaction(spark, tmp_path):
     m = reopened.meta("c")
     assert set(m["stats"]) == set(m["segments"])
     assert reopened.read("c", lo=5000, hi=5005).filter(F.col(VAL) == 5001).count() == 1
+
+
+def test_group_segments_pruned_on_select(spark, tmp_path):
+    """Group storage (the default path): two loads create two group
+    segments with disjoint value ranges; a value select prunes to the
+    matching segment BEFORE the scan, and the provenance chain (sibling
+    fetch off the filtered frame) stays correct."""
+    e = Engine(spark, str(tmp_path / "db"))
+    for name, rows in (
+        ("a.csv", [(i, i + 10_000) for i in range(100)]),
+        ("b.csv", [(i + 500_000, i + 510_000) for i in range(100)]),
+    ):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            f.write("ga,gb\n")
+            f.writelines(f"{x},{y}\n" for x, y in rows)
+        e.run_script(f'create(ga,"unsorted")\ncreate(gb,"unsorted")\nload("{p}")')
+
+    grp = e.catalog.groups[e.catalog.meta("ga")["group"]]
+    assert len(grp["segments"]) == 2
+    assert all(grp["stats"][s]["ga"] is not None for s in grp["segments"])
+
+    pruned = e.catalog.group_prov("ga", lo=500_005, hi=500_005).frame
+    full = e.catalog.group_prov("ga").frame
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    # end-to-end through the engine: select on ga, fetch sibling gb
+    out = e.run_script("s=select(ga,500005,500005)\nf=fetch(gb,s)\nprint(f)")
+    assert out.strip() == "510005"
+    # a select with no matching segment is provably empty, zero files
+    out2 = e.run_script("s2=select(ga,999999)\nf2=fetch(ga,s2)\nc=count(f2)\nprint(c)")
+    assert out2.strip() == "0"
