@@ -52,15 +52,19 @@ _PRIORITY = [
     # new pipeline operators this round
     "decontaminate_ngram", "text_repetition",
     "sample_stratified", "pack_token_budget",
-    # (sim_topk_matmul rotates to the tail: rows-only check anyway, and
-    # pytest pins it rank-identical to the in-window sim_topk_bruteforce)
-    # core reference-parity surface (SURVEY §2) whose code paths were
-    # touched this round (compaction/tombstones, joins over Prov); the
-    # remaining r1-green parity + analytics entries rotate to the tail —
-    # they are additionally pinned by pytest property tests, reference
-    # golden scripts and the random differential fuzzer — and return to
-    # the window in r3
-    "join_hash", "mutation_delete", "mutation_update", "mutation_insert",
+    # corpus-level curation + sketch aggregates (new this round)
+    "dedup_passages", "corpus_mixture", "tfidf_top_terms",
+    "events_distinct_users",
+    # (sim_topk_matmul and the two approx-sketch twins rotate to the
+    # tail: their driver check is rows-only by design, and pytest pins
+    # each to its in-window exact twin — matmul rank-identical to
+    # sim_topk_bruteforce, HLL/KLL error-bounded vs
+    # events_distinct_users.)
+    # The r1-green parity + analytics entries rotate to the tail — they
+    # are additionally pinned by pytest property tests, reference golden
+    # scripts and the random differential fuzzer — and return to the
+    # window in r3 (rotation list in ROADMAP.md).
+    "events_approx_distinct", "events_approx_quantiles",
 ]
 
 
@@ -74,13 +78,15 @@ def _all_queries() -> dict[str, Callable]:
     out.update(tpch_wide.QUERIES)
     try:
         from kstore_spark.functions import (
-            dedup, multimodal, sampling, similarity, text)
+            corpus, dedup, multimodal, sampling, similarity, sketches, text)
 
         out.update(dedup.QUERIES)
         out.update(similarity.QUERIES)
         out.update(text.QUERIES)
         out.update(multimodal.QUERIES)
         out.update(sampling.QUERIES)
+        out.update(corpus.QUERIES)
+        out.update(sketches.QUERIES)
     except ImportError:
         pass
     try:
@@ -116,13 +122,15 @@ def oracle_sql() -> dict[str, str]:
     merged.update(tpch_wide.ORACLES)
     try:
         from kstore_spark.functions import (
-            dedup, multimodal, sampling, similarity, text)
+            corpus, dedup, multimodal, sampling, similarity, sketches, text)
 
         merged.update(dedup.ORACLES)
         merged.update(similarity.ORACLES)
         merged.update(text.ORACLES)
         merged.update(multimodal.ORACLES)
         merged.update(sampling.ORACLES)
+        merged.update(corpus.ORACLES)
+        merged.update(sketches.ORACLES)
     except ImportError:
         pass
     try:

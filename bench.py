@@ -87,7 +87,7 @@ def perftest_query(spark, algorithm: str):
 
 
 def headline_queries():
-    from kstore_spark.functions import dedup, similarity, text
+    from kstore_spark.functions import corpus, dedup, similarity, text
     from kstore_spark.plans import analytics, extended, kparity, tpch_wide
 
     return {
@@ -100,12 +100,15 @@ def headline_queries():
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
+        "sim_topk_matmul": similarity.sim_topk_matmul,
         "text_quality": text.text_quality,
         # round-2 additions (keys above stay comparable round-over-round)
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "q18_large_volume": extended.q18_large_volume,
         "q21_waiting_supplier": tpch_wide.q21_waiting_supplier,
         "decontaminate_ngram": dedup.decontaminate_ngram,
+        "dedup_passages": corpus.dedup_passages,
+        "tfidf_top_terms": corpus.tfidf_top_terms,
     }
 
 

@@ -1,0 +1,197 @@
+"""Corpus-level curation operators over the ``documents`` table.
+
+Cross-document statistics a training-data pipeline runs corpus-wide
+(vs. functions/text.py, whose signals are row-local):
+
+- passage-level boilerplate removal (the RefinedWeb/CCNet "line dedup"
+  adapted to newline-free text): fixed-width token passages hashed
+  across the corpus; passages recurring in >= BOILER_MIN_DOCS distinct
+  docs are stripped from every doc
+- corpus mixture statistics: docs/tokens (and token share) per
+  (source, lang) stratum — the input to training-mix weighting
+- TF-IDF distinctive terms: top-k terms per doc scored in exact
+  integer arithmetic (parts-per-million), no float ordering anywhere
+
+Scale shape: everything shuffles on fixed-size keys (passage strings,
+terms, (source,lang) pairs) — document text is never a shuffle key; the
+boilerplate/df side tables grow with the corpus, so join strategy is
+left to AQE (broadcast while small, shuffle join at 100 TB) rather than
+hard hints. All outputs are exact-integer or single-division doubles,
+so every query here is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+PASSAGE_W = 6        # tokens per passage (non-overlapping chunks)
+BOILER_MIN_DOCS = 3  # passage in >= this many distinct docs ⇒ boilerplate
+
+TFIDF_K = 3          # distinctive terms kept per doc
+_PPM = 1_000_000     # integer score scale: score = tf * PPM div df
+
+
+def _chunks(spark, sf_dir, width: int):
+    """(doc_id, idx, p) — non-overlapping ``width``-token passages in
+    document order. Row-local array ops (split → slice → concat); the
+    explode emits |tokens|/width rows per doc, not |tokens|."""
+    docs = table(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    t = docs.repartition(npart, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_chunks = F.floor((F.size("t") + width - 1) / width).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        # slice() is 1-based and tolerates a short final chunk
+        lambda i: F.concat_ws(" ", F.slice("t", i * width + 1, width)),
+    )
+    return t.select("doc_id", F.posexplode(passages).alias("idx", "p"))
+
+
+def dedup_passages(spark, sf_dir, width: int = PASSAGE_W,
+                   min_docs: int = BOILER_MIN_DOCS):
+    """Strip cross-document boilerplate passages; per doc returns the
+    passage counts and the cleaned text (kept passages in original
+    order). A doc whose every passage is boilerplate survives with
+    clean_text = '' — curation drops it downstream, the operator never
+    loses the row.
+
+    Reference scope: the reference engine has no text operators at all
+    (SURVEY.md §2.8) — this is a pipeline extension; the spiritual
+    sibling is dedup_exact (functions/dedup.py) at passage granularity.
+    """
+    ch = _chunks(spark, sf_dir, width)
+    boiler = (
+        ch.groupBy("p")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("p", F.lit(1).alias("bad"))
+    )
+    # one left join marks boilerplate chunks; one groupBy rebuilds docs.
+    # collect_list is bounded by the doc's own passage count — per-doc
+    # state, never corpus-sized.
+    marked = ch.join(boiler, "p", "left")
+    kept = F.when(F.col("bad").isNull(), F.struct("idx", "p"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count("bad").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["p"]
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[(i*{PASSAGE_W}+1):(i*{PASSAGE_W}+{PASSAGE_W})], ' ') AS p
+  FROM tok, LATERAL unnest(generate_series(0, (len(t)+{PASSAGE_W}-1)//{PASSAGE_W} - 1)) u(i)
+),
+boiler AS (
+  SELECT p, 1 AS bad FROM ch GROUP BY p
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+)
+SELECT ch.doc_id,
+       COUNT(*) AS n_passages,
+       COUNT(bad) AS n_removed,
+       COALESCE(string_agg(CASE WHEN bad IS NULL THEN p END, ' ' ORDER BY idx), '')
+         AS clean_text
+FROM ch LEFT JOIN boiler USING (p)
+GROUP BY ch.doc_id
+"""
+
+
+def corpus_mixture(spark, sf_dir):
+    """Docs / tokens / token share per (source, lang) stratum — the
+    statistics a mixture-weighting step consumes. One scan, one groupBy
+    on a tiny key; the share's global window runs over the aggregated
+    frame (|sources|x|langs| rows), not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source", "lang", "n_docs", "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("token_share"),
+    )
+
+
+CORPUS_MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+FROM per
+"""
+
+
+def tfidf_top_terms(spark, sf_dir, k: int = TFIDF_K):
+    """Top-k distinctive terms per doc, TF-IDF-ranked without floats:
+    score_ppm = tf * 1e6 div df (exact integer division), tie-broken by
+    term. Two key-shuffles (term counts, document frequency) plus a
+    per-doc window — df is a corpus-sized side table, so the join is
+    AQE's choice, not a broadcast hint."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score_ppm", F.expr(f"(tf * {_PPM}) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score_ppm")
+    )
+
+
+TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+), scored AS (
+  SELECT doc_id, term, tf, df, (tf * {_PPM}) // df AS score_ppm,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY (tf * {_PPM}) // df DESC, term) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score_ppm
+FROM scored WHERE rank <= {TFIDF_K}
+"""
+
+
+QUERIES = {
+    "dedup_passages": dedup_passages,
+    "corpus_mixture": corpus_mixture,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ORACLES = {
+    "dedup_passages": DEDUP_PASSAGES_SQL,
+    "corpus_mixture": CORPUS_MIXTURE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+}

@@ -1,0 +1,90 @@
+"""Planted-data and property tests for the corpus-level curation
+operators (functions/corpus.py). Value-level equality with DuckDB is
+covered by the oracle gate; these pin the semantics on corpora where the
+right answer is known by construction.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BOILER = "b0 b1 b2 b3 b4 b5"  # one full passage at width=6
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """Four docs, passage boundaries aligned to width=6: the BOILER
+    passage appears in docs 0,1,2 (>= min_docs=3); doc 3 is unique; doc
+    2 is *only* boilerplate and must survive as an empty string."""
+    texts = {
+        0: BOILER + " " + "a0 a1 a2 a3 a4 a5",
+        1: "c0 c1 c2 c3 c4 c5" + " " + BOILER,
+        2: BOILER,
+        3: "d0 d1 d2 d3 d4 d5",
+    }
+    path = str(tmp_path_factory.mktemp("corpus"))
+    spark.createDataFrame(
+        [(i, t, "en", "planted") for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(path + "/documents.parquet")
+    return path
+
+
+def test_dedup_passages_strips_planted_boilerplate(spark, planted):
+    from kstore_spark.functions.corpus import dedup_passages
+
+    got = {r["doc_id"]: r for r in dedup_passages(spark, planted).collect()}
+    assert got[0]["clean_text"] == "a0 a1 a2 a3 a4 a5"
+    assert got[1]["clean_text"] == "c0 c1 c2 c3 c4 c5"
+    assert got[2]["clean_text"] == ""  # all-boilerplate doc kept, emptied
+    assert got[3]["clean_text"] == "d0 d1 d2 d3 d4 d5"
+    for i, (n_p, n_r) in {0: (2, 1), 1: (2, 1), 2: (1, 1), 3: (1, 0)}.items():
+        assert (got[i]["n_passages"], got[i]["n_removed"]) == (n_p, n_r)
+
+
+def test_dedup_passages_short_final_chunk(spark, planted):
+    """A passage shorter than the width (final chunk) still counts and
+    still dedups — width=4 misaligns every boundary in the planted
+    corpus, so n_passages must be ceil(tokens/4) for every doc."""
+    from kstore_spark.functions.corpus import dedup_passages
+
+    got = {r["doc_id"]: r["n_passages"]
+           for r in dedup_passages(spark, planted, width=4).collect()}
+    assert got == {0: 3, 1: 3, 2: 2, 3: 2}
+
+
+def test_corpus_mixture_partitions_the_corpus(spark):
+    """Strata tile the corpus exactly: doc counts sum to the table size
+    and token shares sum to 1 (each share a single double division)."""
+    from kstore_spark.functions.corpus import corpus_mixture
+    from kstore_spark.tables import table
+
+    rows = corpus_mixture(spark, SF_DIR).collect()
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert math.isclose(sum(r["token_share"] for r in rows), 1.0,
+                        rel_tol=1e-9)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_tfidf_ranks_are_deterministic(spark):
+    """Per doc: ranks are contiguous from 1, ordered by score_ppm desc
+    then term asc — the integer-ppm scoring leaves no float ties for the
+    oracle to disagree on."""
+    from kstore_spark.functions.corpus import TFIDF_K, tfidf_top_terms
+
+    by_doc = {}
+    for r in tfidf_top_terms(spark, SF_DIR).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TFIDF_K
+        keys = [(-r["score_ppm"], r["term"]) for r in rows]
+        assert keys == sorted(keys)
+        for r in rows:
+            assert r["score_ppm"] == (r["tf"] * 1_000_000) // r["df"]
