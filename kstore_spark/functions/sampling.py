@@ -20,7 +20,18 @@ of the function suite doesn't cover:
   parallel — each shard packs independently, which is exactly how
   distributed training data is laid out anyway (one stream per worker).
 
-Both are pure JVM window/filter plans with integer arithmetic
+- ``shuffle_shards``: the deterministic global shuffle every training
+  run needs before sharding. A true global ORDER BY random() is (a) a
+  single total order — one giant range-partitioned sort — and (b)
+  non-reproducible. Instead each doc gets a Knuth multiplicative-hash
+  mix of its id (exact BIGINT arithmetic, engine-agnostic); shard =
+  mix mod N, order within shard = mix. The only shuffle is the
+  hash-partition on shard, each shard sorts independently — at 100 TB
+  you raise N_SHARDS to (cluster cores × k) and no stage ever sees a
+  total order. Same-seeded reruns and different engines agree
+  bit-for-bit.
+
+All are pure JVM window/filter plans with integer arithmetic
 throughout — exact DuckDB oracles, no floats anywhere.
 """
 
@@ -92,12 +103,72 @@ FROM (
 """
 
 
+SHUFFLE_SHARDS = 16          # independent training streams
+_MIX = 2654435761            # Knuth multiplicative hash (2^32 / φ)
+_MASK = (1 << 32) - 1
+
+
+def shuffle_shards(spark, sf_dir, shards: int = SHUFFLE_SHARDS,
+                   docs=None):
+    """Deterministic pseudorandom shard + within-shard position per doc.
+
+    mix = (doc_id * 2654435761) mod 2^32 decorrelates the sequential ids
+    (adjacent doc_ids land in different shards at far-apart positions);
+    ``seq`` is the doc's position in its shard's read order. A shard
+    writer is ``write_training_shards`` below.
+    """
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
+    mix = (F.col("doc_id").cast("long") * _MIX).bitwiseAND(F.lit(_MASK))
+    out = docs.select("doc_id", mix.alias("mix"))
+    w = Window.partitionBy(F.pmod("mix", F.lit(shards))).orderBy(
+        "mix", "doc_id")
+    return out.select(
+        "doc_id",
+        F.pmod("mix", F.lit(shards)).cast("int").alias("shard"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+SHUFFLE_SHARDS_SQL = f"""
+WITH mixed AS (
+  SELECT doc_id,
+         (CAST(doc_id AS BIGINT) * {_MIX}) & {_MASK} AS mix
+  FROM documents)
+SELECT doc_id,
+       CAST(mix % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY mix % {SHUFFLE_SHARDS}
+                               ORDER BY mix, doc_id) AS INTEGER) AS seq
+FROM mixed
+"""
+
+
+def write_training_shards(spark, sf_dir, out_dir: str,
+                          shards: int = SHUFFLE_SHARDS) -> None:
+    """Materialize the shuffled corpus as one directory per shard,
+    rows stored in shard order (Parquet preserves in-file row order, and
+    each shard is written by exactly one task after the repartition, so
+    a sequential read of a shard replays their training order)."""
+    docs = table(spark, sf_dir, "documents")
+    order = shuffle_shards(spark, sf_dir, shards)
+    (
+        docs.join(order, "doc_id")
+        .repartition(shards, "shard")
+        .sortWithinPartitions("shard", "seq")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "pack_token_budget": pack_token_budget,
+    "shuffle_shards": shuffle_shards,
 }
 
 ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pack_token_budget": PACK_TOKEN_BUDGET_SQL,
+    "shuffle_shards": SHUFFLE_SHARDS_SQL,
 }

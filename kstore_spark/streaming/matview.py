@@ -1,9 +1,15 @@
 """Incrementally-maintained materialized aggregate over a CATALOG column
 — the engine-side "continuous aggregate" (hypertable-rollup pattern).
 
-A ``MatView`` keeps ``count/sum per value bucket`` for one column fresh
-across insert bursts with work bounded by the NEW data, not the column
-size:
+A ``MatView`` keeps a keyed aggregate for one column fresh across insert
+bursts with work bounded by the NEW data, not the column size. The view
+definition is parameterizable: ``key`` is any SQL expression over the
+column's ``(pos, val)`` rows (default: ``floor(val / bucket_width)``),
+and ``aggs`` maps output names to MERGEABLE aggregate specs —
+``("count", None)``, ``("sum"|"min"|"max", <sql expr>)`` — so partials
+from new segments merge into the sink without rescanning (count/sum
+merge by sum, min/max by min/max; avg derives as s/n on read). Default
+``{"n": count, "s": sum(val)}`` is the round-1 behavior:
 
 - The column's segment directory doubles as a file-streaming source;
   each ``refresh()`` is an ``availableNow`` run whose checkpoint
@@ -24,10 +30,13 @@ declares the view invalid and rebuilds (checkpoint + generations wiped,
 everything re-streamed, still filtered to live files) — correct always,
 incremental for the append-only workload this pattern exists for.
 
-Scope: detached (own-segment) columns — the state every column reaches
-after its first single-column insert. At 100 TB: per-refresh work is
-(new segments) + (bucket cardinality); state is the checkpoint file log
-and the |buckets|-row sink, both bounded.
+Scope: both storage layouts — a detached column streams its own
+(pos, val) segments; a group-covered column streams its load group's
+full-width segments and projects (pos, <col>). A detach (first
+single-column insert) moves the source directory, which the manifest
+detects as invalidation → rebuild against the new layout. At 100 TB:
+per-refresh work is (new segments) + (bucket cardinality); state is the
+checkpoint file log and the |buckets|-row sink, both bounded.
 """
 
 from __future__ import annotations
@@ -38,25 +47,59 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kstore_spark.operators.mutations import COLUMN_SCHEMA
+
+# partial-aggregate builder and merge function per mergeable agg kind:
+# the merge runs over |keys| partial rows (union of sink + new partial),
+# never over source rows, so every kind here must satisfy
+# agg(a ∪ b) == merge(agg(a), agg(b))
+_AGG_KINDS = {
+    "count": (lambda e: F.count(F.lit(1)), F.sum),
+    "sum": (lambda e: F.sum(F.expr(e)), F.sum),
+    "min": (lambda e: F.min(F.expr(e)), F.min),
+    "max": (lambda e: F.max(F.expr(e)), F.max),
+}
+
+_DEFAULT_AGGS = {"n": ("count", None), "s": ("sum", "cast(val as long)")}
 
 
 class MatView:
     def __init__(self, spark: SparkSession, db_dir: str, column: str,
-                 view_dir: str, bucket_width: int = 100):
+                 view_dir: str, bucket_width: int = 100,
+                 key: str | None = None,
+                 aggs: dict[str, tuple[str, str | None]] | None = None):
         self.spark = spark
         self.db_dir = db_dir
         self.column = column
         self.view_dir = view_dir
         self.bucket_width = bucket_width
+        self.key = key or f"floor(val / {bucket_width})"
+        self.aggs = aggs or _DEFAULT_AGGS
+        for name, (kind, _) in self.aggs.items():
+            if kind not in _AGG_KINDS:
+                raise ValueError(
+                    f"agg {name!r}: {kind!r} is not mergeable "
+                    f"(supported: {sorted(_AGG_KINDS)})"
+                )
         os.makedirs(view_dir, exist_ok=True)
         self.last_batch_rows = 0  # live rows processed by the latest refresh
 
+    def _partial(self, rows: DataFrame) -> DataFrame:
+        """Aggregate source rows → one partial row per key."""
+        key = F.expr(self.key).cast("long").alias("bucket")
+        cols = [_AGG_KINDS[k][0](e).alias(n) for n, (k, e) in self.aggs.items()]
+        return rows.groupBy(key).agg(*cols)
+
+    def _merge_partials(self, frames: DataFrame) -> DataFrame:
+        """Merge sink ∪ new partials over |keys| rows."""
+        cols = [_AGG_KINDS[k][1](n).alias(n) for n, (k, _) in self.aggs.items()]
+        return frames.groupBy("bucket").agg(*cols)
+
     # -- paths ---------------------------------------------------------
-    @property
-    def _source_glob(self) -> str:
-        return os.path.join(self.db_dir, "data", self.column, "*")
+    def _source_glob(self, src_dir: str) -> str:
+        return os.path.join(self.db_dir, "data", src_dir, "*")
 
     @property
     def _checkpoint(self) -> str:
@@ -83,24 +126,29 @@ class MatView:
         os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
 
     # -- live-segment manifest -----------------------------------------
-    def _live_segments(self) -> list[str]:
-        """Live segment dir names for the column, per catalog.json."""
+    def _source_info(self) -> tuple[str, list[str], list[str] | None]:
+        """(source dir under data/, live segment names, group columns or
+        None) for the column, per catalog.json. A group-covered column
+        streams from its group's full-width segments; a detached column
+        from its own."""
         with open(os.path.join(self.db_dir, "catalog.json")) as f:
             meta = json.load(f)
         m = meta["columns"][self.column]
         if m["group"] is not None:
-            raise NotImplementedError(
-                "MatView covers detached columns; group-covered columns "
-                "share storage — detach (any single-column insert) first"
-            )
-        return list(m["segments"])
+            gid = m["group"]
+            grp = meta["groups"][gid]
+            return f"_group_{gid}", list(grp["segments"]), list(grp["columns"])
+        return self.column, list(m["segments"]), None
 
-    def _invalidated(self, live: list[str]) -> bool:
+    def _invalidated(self, src_dir: str, live: list[str]) -> bool:
         if not os.path.exists(self._manifest):
             return False
         with open(self._manifest) as f:
-            seen = set(json.load(f))
-        return bool(seen - set(live))  # an ingested segment was replaced
+            seen = json.load(f)
+        if seen.get("src") != src_dir:
+            return True  # column detached from (or joined) a group —
+            # the file-stream source moved; the checkpoint is meaningless
+        return bool(set(seen["segments"]) - set(live))  # segment rewritten
 
     def _reset(self) -> None:
         for sub in list(os.listdir(self.view_dir)):
@@ -114,39 +162,42 @@ class MatView:
     def refresh(self) -> None:
         """Ingest unseen live segment files and merge into the view;
         rebuild from scratch if an ingested segment was rewritten."""
-        live = self._live_segments()
-        if self._invalidated(live):
+        src_dir, live, gcols = self._source_info()
+        if self._invalidated(src_dir, live):
             self._reset()
 
         live_re = "/(" + "|".join(live) + ")/" if live else "$^"
-        bucket = (F.floor(F.col("val") / self.bucket_width)).cast("long")
+        if gcols is None:
+            schema, to_rows = COLUMN_SCHEMA, lambda df: df
+        else:
+            # group segments are full-width (pos, colA, colB, …); project
+            # this view's column into the (pos, val) shape the spec uses
+            schema = T.StructType(
+                [T.StructField("pos", T.LongType(), nullable=False)]
+                + [T.StructField(c, T.IntegerType()) for c in gcols]
+            )
+            to_rows = lambda df: df.select(  # noqa: E731
+                "pos", F.col(self.column).alias("val"))
         stream = (
-            self.spark.readStream.schema(COLUMN_SCHEMA)
+            self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1000)
-            .parquet(self._source_glob)
+            .parquet(self._source_glob(src_dir))
         )
         self.last_batch_rows = 0
 
         def merge(batch_df: DataFrame, batch_id: int) -> None:
             # drop rows from tombstoned (non-live) segment files — they
             # exist on disk only for snapshot readers
-            rows = batch_df.filter(F.input_file_name().rlike(live_re))
+            rows = to_rows(batch_df.filter(F.input_file_name().rlike(live_re)))
             n_rows = rows.count()
             self.last_batch_rows += n_rows
             if n_rows == 0:
                 return
-            part = rows.groupBy(bucket.alias("bucket")).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("val").cast("long")).alias("s"),
-            )
+            part = self._partial(rows)
             gen = self._current_gen()
             if gen >= 0:
                 cur = self.spark.read.parquet(self._gen_path(gen))
-                part = (
-                    cur.unionByName(part)
-                    .groupBy("bucket")
-                    .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-                )
+                part = self._merge_partials(cur.unionByName(part))
             nxt = gen + 1
             part.write.mode("overwrite").parquet(self._gen_path(nxt))
             self._set_gen(nxt)  # atomic pointer flip — readers never torn
@@ -163,10 +214,13 @@ class MatView:
             q.stop()
             raise TimeoutError("matview refresh did not finish within 300s")
         with open(self._manifest, "w") as f:
-            json.dump(sorted(live), f)
+            json.dump({"src": src_dir, "segments": sorted(live)}, f)
 
     def read(self) -> DataFrame:
         gen = self._current_gen()
         if gen < 0:
-            return self.spark.createDataFrame([], "bucket long, n long, s long")
+            # empty frame with the view's schema (derived from the agg
+            # spec over an empty source — plan-only, no job runs)
+            empty = self.spark.createDataFrame([], COLUMN_SCHEMA)
+            return self._partial(empty)
         return self.spark.read.parquet(self._gen_path(gen))

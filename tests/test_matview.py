@@ -57,3 +57,93 @@ def test_matview_incremental_and_invalidation(spark, tmp_path):
     view.refresh()
     assert view.last_batch_rows == 1
     assert _got(view) == _expected(e, "mv")
+
+
+def test_matview_custom_key_and_aggs(spark, tmp_path):
+    """Parameterized view: key = val % 3, aggs = count/min/max — the
+    min/max merge path (merge(min_a, min_b), not sum) across refreshes."""
+    db = str(tmp_path / "db")
+    e = Engine(spark, db)
+    e.run_script('create(gv,"unsorted")')
+    for v in (5, 7, 12, 301, 44):
+        e.run_script(f"insert(gv,{v})")
+
+    view = MatView(
+        spark, db, "gv", str(tmp_path / "view"),
+        key="val % 3",
+        aggs={"n": ("count", None), "mn": ("min", "val"), "mx": ("max", "val")},
+    )
+
+    def expected():
+        df = e.catalog.read("gv")
+        return {
+            r["bucket"]: (r["n"], r["mn"], r["mx"])
+            for r in df.groupBy(
+                F.expr("val % 3").cast("long").alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("val").alias("mn"),
+                F.max("val").alias("mx"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["bucket"]: (r["n"], r["mn"], r["mx"])
+            for r in view.read().collect()
+        }
+
+    assert got() == {}  # pre-refresh read: empty frame, right columns
+    assert view.read().columns == ["bucket", "n", "mn", "mx"]
+    view.refresh()
+    assert got() == expected()
+
+    # incremental merge must take min/max of (old, new), not re-sum:
+    # 1 beats the existing min in bucket 1; 400 beats the max in bucket 1
+    e.run_script("insert(gv,1)")
+    e.run_script("insert(gv,400)")
+    view.refresh()
+    assert view.last_batch_rows == 2
+    assert got() == expected()
+
+    # non-mergeable agg kinds are rejected up front
+    import pytest
+
+    with pytest.raises(ValueError, match="not mergeable"):
+        MatView(spark, db, "gv", str(tmp_path / "v2"),
+                aggs={"a": ("avg", "val")})
+
+
+def test_matview_over_group_column(spark, tmp_path):
+    """A group-covered column streams its load group's full-width
+    segments; a single-column insert detaches the column (the source
+    dir moves), which the view detects and rebuilds against."""
+    db = str(tmp_path / "db")
+    e = Engine(spark, db)
+    csv = tmp_path / "g.csv"
+    with open(csv, "w") as f:
+        f.write("ga,gb\n")
+        for a, b in ((5, 1), (105, 2), (205, 3), (15, 4)):
+            f.write(f"{a},{b}\n")
+    e.run_script(f'create(ga,"unsorted")\ncreate(gb,"unsorted")\nload("{csv}")')
+
+    view = MatView(spark, db, "ga", str(tmp_path / "view"))
+    view.refresh()
+    assert view.last_batch_rows == 4
+    assert _got(view) == _expected(e, "ga")
+
+    # a second aligned load appends group segments → incremental
+    csv2 = tmp_path / "g2.csv"
+    with open(csv2, "w") as f:
+        f.write("ga,gb\n110,5\n9,6\n")
+    e.run_script(f'load("{csv2}")')
+    view.refresh()
+    assert view.last_batch_rows == 2
+    assert _got(view) == _expected(e, "ga")
+
+    # single-column insert detaches ga from the group: source moves from
+    # data/_group_*/ to data/ga/ → view invalidates, rebuilds, stays right
+    e.run_script("insert(ga,305)")
+    view.refresh()
+    assert view.last_batch_rows == 7  # full rebuild over the new layout
+    assert _got(view) == _expected(e, "ga")

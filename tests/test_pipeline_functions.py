@@ -222,3 +222,57 @@ def test_decontaminate_flags_only_training_docs(spark):
     assert all(n >= 1 for n in flagged.values())
     wider = {r["doc_id"] for r in decontaminate_ngram(spark, SF_DIR, width=6).collect()}
     assert wider <= set(flagged)
+
+
+def test_shuffle_shards_is_a_balanced_permutation(spark):
+    """Shard+seq is a bijection over docs: every doc appears once, seq is
+    contiguous 1..n per shard, shards are balanced, and adjacent doc_ids
+    are decorrelated (the point of the multiplicative mix)."""
+    from kstore_spark.functions.sampling import SHUFFLE_SHARDS, shuffle_shards
+    from kstore_spark.tables import table
+
+    rows = shuffle_shards(spark, SF_DIR).collect()
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["seq"])
+    assert set(by_shard) == set(range(SHUFFLE_SHARDS))  # none empty
+    for seqs in by_shard.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+    sizes = [len(s) for s in by_shard.values()]
+    assert max(sizes) < 2 * (n_docs / SHUFFLE_SHARDS)
+
+    shard_of = {r["doc_id"]: r["shard"] for r in rows}
+    ids = sorted(shard_of)
+    same_as_next = sum(
+        shard_of[a] == shard_of[b] for a, b in zip(ids, ids[1:]))
+    # sequential ids must not stream into the same shard: under the mix
+    # the collision rate is ~1/shards, not ~1
+    assert same_as_next < 3 * len(ids) / SHUFFLE_SHARDS
+
+
+def test_write_training_shards_replay_order(spark, tmp_path):
+    """One directory per shard; a sequential read of a shard replays its
+    seq order exactly."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.sampling import (
+        SHUFFLE_SHARDS, shuffle_shards, write_training_shards)
+
+    out = str(tmp_path / "shards")
+    write_training_shards(spark, SF_DIR, out)
+    back = spark.read.parquet(out)
+    assert back.select("shard").distinct().count() == SHUFFLE_SHARDS
+
+    expect = [
+        r["doc_id"]
+        for r in shuffle_shards(spark, SF_DIR).filter("shard = 3")
+        .orderBy("seq").collect()
+    ]
+    # read file-order (no sort): parquet preserves in-file row order and
+    # the writer leaves exactly one file per shard dir
+    got = [r["doc_id"] for r in back.filter("shard = 3").collect()]
+    assert got == expect
