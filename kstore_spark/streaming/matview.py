@@ -32,9 +32,13 @@ incremental for the append-only workload this pattern exists for.
 
 Scope: both storage layouts — a detached column streams its own
 (pos, val) segments; a group-covered column streams its load group's
-full-width segments and projects (pos, <col>). A detach (first
-single-column insert) moves the source directory, which the manifest
-detects as invalidation → rebuild against the new layout. At 100 TB:
+full-width segments with its own column aliased ``val`` and the
+aligned sibling columns still visible, so ``key``/``aggs`` expressions
+may span the group (e.g. key over a dimension column, sums over the
+fact column — a multi-column rollup with no join, the columns are
+stored row-aligned). A detach (first single-column insert) moves the
+source directory, which the manifest detects as invalidation → rebuild
+against the new layout. At 100 TB:
 per-refresh work is (new segments) + (bucket cardinality); state is the
 checkpoint file log and the |buckets|-row sink, both bounded.
 """
@@ -140,6 +144,24 @@ class MatView:
             return f"_group_{gid}", list(grp["segments"]), list(grp["columns"])
         return self.column, list(m["segments"]), None
 
+    def _source_shape(self, gcols: list[str] | None):
+        """(file schema, row projection) for the source layout."""
+        if gcols is None:
+            return COLUMN_SCHEMA, lambda df: df
+        # group segments are full-width (pos, colA, colB, …). Alias this
+        # view's column as ``val`` (so detached-column specs work
+        # unchanged) and KEEP the sibling columns: key/agg expressions
+        # may reference any aligned column — a dimension rollup of the
+        # fact group in one view, no join (columns are row-aligned)
+        schema = T.StructType(
+            [T.StructField("pos", T.LongType(), nullable=False)]
+            + [T.StructField(c, T.IntegerType()) for c in gcols]
+        )
+        siblings = [c for c in gcols
+                    if c != self.column and c not in ("pos", "val")]
+        return schema, lambda df: df.select(
+            "pos", F.col(self.column).alias("val"), *siblings)
+
     def _invalidated(self, src_dir: str, live: list[str]) -> bool:
         if not os.path.exists(self._manifest):
             return False
@@ -167,17 +189,7 @@ class MatView:
             self._reset()
 
         live_re = "/(" + "|".join(live) + ")/" if live else "$^"
-        if gcols is None:
-            schema, to_rows = COLUMN_SCHEMA, lambda df: df
-        else:
-            # group segments are full-width (pos, colA, colB, …); project
-            # this view's column into the (pos, val) shape the spec uses
-            schema = T.StructType(
-                [T.StructField("pos", T.LongType(), nullable=False)]
-                + [T.StructField(c, T.IntegerType()) for c in gcols]
-            )
-            to_rows = lambda df: df.select(  # noqa: E731
-                "pos", F.col(self.column).alias("val"))
+        schema, to_rows = self._source_shape(gcols)
         stream = (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1000)
@@ -221,6 +233,7 @@ class MatView:
         if gen < 0:
             # empty frame with the view's schema (derived from the agg
             # spec over an empty source — plan-only, no job runs)
-            empty = self.spark.createDataFrame([], COLUMN_SCHEMA)
-            return self._partial(empty)
+            _, live, gcols = self._source_info()
+            schema, to_rows = self._source_shape(gcols)
+            return self._partial(to_rows(self.spark.createDataFrame([], schema)))
         return self.spark.read.parquet(self._gen_path(gen))

@@ -141,9 +141,30 @@ def test_matview_over_group_column(spark, tmp_path):
     assert view.last_batch_rows == 2
     assert _got(view) == _expected(e, "ga")
 
+    # cross-column rollup: key over the sibling dimension column gb,
+    # aggregates over ga (aliased val) — no join, columns are row-aligned
+    roll = MatView(
+        spark, db, "ga", str(tmp_path / "roll"),
+        key="gb % 2",
+        aggs={"n": ("count", None), "s": ("sum", "cast(val as long)")},
+    )
+    assert roll.read().collect() == []  # empty pre-refresh read plans OK
+    roll.refresh()
+    rows = {r["bucket"]: (r["n"], r["s"]) for r in roll.read().collect()}
+    # (ga,gb) = (5,1),(105,2),(205,3),(15,4),(110,5),(9,6):
+    # even gb → ga {105,15,9}; odd gb → ga {5,205,110}
+    assert rows == {0: (3, 129), 1: (3, 320)}
+
     # single-column insert detaches ga from the group: source moves from
     # data/_group_*/ to data/ga/ → view invalidates, rebuilds, stays right
     e.run_script("insert(ga,305)")
     view.refresh()
     assert view.last_batch_rows == 7  # full rebuild over the new layout
     assert _got(view) == _expected(e, "ga")
+
+    # the cross-column view CANNOT follow a detach (gb is gone from the
+    # detached source) — refresh resets and fails loudly, not silently
+    import pytest
+
+    with pytest.raises(Exception):
+        roll.refresh()
