@@ -240,8 +240,65 @@ def extract_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=EXIF_SCHEMA)
 
 
+MEDIA_DIM = 64          # fake perceptual-feature dimensionality
+MEDIA_NEARDUP_COS = 0.95  # measured gap on testdata: planted near-dup
+                          # payloads ≥ 0.994, background p99.9 = 0.74
+MEDIA_BANDS = 48
+MEDIA_ROWS = 16           # taller bands than the embeddings table's
+                          # (high threshold ⇒ high bit-match prob ⇒ a
+                          # 16-bit band still recalls ~1.0 while cutting
+                          # background candidates ~20×)
+
+EMBED_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("v", T.ArrayType(T.DoubleType())),
+])
+
+
+def media_embeddings(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (vec_id, v): deterministic "perceptual
+    feature" vector per payload — an L2-normalized hashed bigram
+    histogram of the fake-decoded bytes (a real deployment puts
+    CLIP/CNN features behind the same mapInPandas interface; shape,
+    batching and downstream compatibility are identical). Output plugs
+    straight into the similarity tier (neardup_lsh_pairs, IVF)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                toks = _fake_decode(bytes(payload)).split(b" ")
+                h = np.zeros(MEDIA_DIM)
+                for a, b in zip(toks, toks[1:]):
+                    h[zlib.crc32(a + b" " + b) % MEDIA_DIM] += 1.0
+                n = np.linalg.norm(h)
+                rows.append((int(doc_id), (h / n if n else h).tolist()))
+            yield pd.DataFrame(rows, columns=["vec_id", "v"])
+
+    return df.mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+def multimodal_neardup(spark, sf_dir, threshold: float = MEDIA_NEARDUP_COS):
+    """Near-duplicate media items: payload → feature vector →
+    hyperplane-LSH candidate pairs → exact-cosine verify — the image/
+    audio dedup composition at 100 TB (payloads never shuffle; only
+    (id, band-hash) pairs and candidate ids do). Approximate feature
+    pipeline → rows-only driver check; pinned equal to the brute-force
+    pairs over the same vectors in tests/test_multimodal.py."""
+    from kstore_spark.functions.similarity import neardup_lsh_pairs
+
+    emb = media_embeddings(binary_payloads(spark, sf_dir))
+    return neardup_lsh_pairs(emb, threshold,
+                             bands=MEDIA_BANDS, rows=MEDIA_ROWS)
+
+
 QUERIES = {
     "multimodal_bytes": multimodal_bytes,
+    "multimodal_neardup": multimodal_neardup,
     # multimodal_features exercises the mapInPandas path; its checksum is
     # SQL-expressible too (sum of utf-8 bytes), oracle below
     "multimodal_features_checksum": lambda spark, sf_dir: multimodal_features(

@@ -204,14 +204,15 @@ def _hyperplane_band_hashes(emb: DataFrame, bands: int, rows: int, seed: int,
     return emb.select("vec_id", sig_udf(F.col(vec_col)).alias("sig"))
 
 
-def embedding_neardup_lsh(spark, sf_dir, threshold: float = NEAR_DUP_COS,
-                          bands: int = LSH_BANDS, rows: int = LSH_ROWS,
-                          seed: int = LSH_SEED):
-    """Near-duplicate pairs via hyperplane LSH + exact-cosine verify.
+def neardup_lsh_pairs(emb: DataFrame, threshold: float,
+                      bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+                      seed: int = LSH_SEED) -> DataFrame:
+    """Frame-level core of the hyperplane-LSH near-dup: ``emb`` is any
+    (vec_id, v: array<double>) frame — the embeddings table, or derived
+    vectors (e.g. multimodal payload features, functions/multimodal.py).
     The all-pairs cross join never materializes: the band self-join
     touches only colliding (band, hash) buckets, and verification reads
-    just the candidate vectors. Same output schema as embedding_neardup."""
-    emb = _emb(spark, sf_dir)
+    just the candidate vectors."""
     sig = _hyperplane_band_hashes(emb, bands, rows, seed)
     # the signature fold (bands×rows dot products per vector) is the
     # expensive stage: cache it once so the self-join's two branches
@@ -236,6 +237,14 @@ def embedding_neardup_lsh(spark, sf_dir, threshold: float = NEAR_DUP_COS,
     res.count()  # materialize the (small) pair output, then free the
     banded.unpersist()  # band cache — only the result stays cached
     return res
+
+
+def embedding_neardup_lsh(spark, sf_dir, threshold: float = NEAR_DUP_COS,
+                          bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+                          seed: int = LSH_SEED):
+    """Near-duplicate pairs via hyperplane LSH + exact-cosine verify over
+    the embeddings table. Same output schema as embedding_neardup."""
+    return neardup_lsh_pairs(_emb(spark, sf_dir), threshold, bands, rows, seed)
 
 
 # -- IVF approximate nearest neighbor (scale path) ---------------------

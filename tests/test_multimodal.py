@@ -96,3 +96,64 @@ def test_metadata_extraction_schema_and_determinism(spark):
         assert int(m["width"]) >= 160 and int(m["height"]) >= 120
     again = {r["doc_id"]: r["meta"] for r in extract_metadata(src).collect()}
     assert all(again[r["doc_id"]] == r["meta"] for r in rows)
+
+
+def test_media_neardup_planted_payloads(spark):
+    """Synthetic payload frame: exact dup + light perturbation must pair,
+    unrelated payloads must not — precision is exact by construction
+    (cosine verify), recall pinned at 1.0 on the planted set."""
+    import random
+
+    from kstore_spark.functions.multimodal import (
+        media_embeddings, MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS)
+    from kstore_spark.functions.similarity import neardup_lsh_pairs
+
+    rng = random.Random(7)
+    vocabs = [[f"w{v}_{i}" for i in range(30)] for v in range(4)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(120))
+
+    base = [doc(vocabs[i % 4]) for i in range(20)]
+    texts = list(base)
+    texts.append(base[3])                      # 20: exact dup of 3
+    perturbed = base[7].split()
+    perturbed[5] = "XYZ"
+    texts.append(" ".join(perturbed))          # 21: near dup of 7
+    rows = [(i, bytearray(t, "utf-8")) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_lsh_pairs(
+            media_embeddings(df), MEDIA_NEARDUP_COS,
+            bands=MEDIA_BANDS, rows=MEDIA_ROWS).collect()
+    }
+    assert got == {(3, 20), (7, 21)}
+
+
+def test_multimodal_neardup_matches_bruteforce(spark):
+    """Over the corpus payloads: LSH output must equal exact brute-force
+    cosine pairs over the same derived vectors (verification makes
+    precision exact; the 16x48 bands make recall 1.0 at this gap)."""
+    import itertools
+
+    import numpy as np
+
+    from kstore_spark.functions.multimodal import (
+        binary_payloads, media_embeddings, MEDIA_NEARDUP_COS,
+        multimodal_neardup)
+
+    vecs = {
+        r["vec_id"]: np.array(r["v"])
+        for r in media_embeddings(binary_payloads(spark, SF_DIR)).collect()
+    }
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if float(vecs[a] @ vecs[b]) > MEDIA_NEARDUP_COS
+    }
+    assert truth  # the corpus plants near-dups — never a vacuous check
+    got = {(r["vec_a"], r["vec_b"])
+           for r in multimodal_neardup(spark, SF_DIR).collect()}
+    assert got == truth
