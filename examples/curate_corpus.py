@@ -14,8 +14,14 @@ actually performs, start to finish:
       4. quality filter       drop repetitive docs (duplicate-3-gram
                               flag) and docs whose language can't be
                               identified
-      5. stratified sample    exact 1-in-k per language
-      6. sequence packing     shard + token-budget batch assignment
+      5. boilerplate strip    passages recurring across >= 3 docs are
+                              removed from every doc; docs stripped to
+                              nothing die, and docs that differed only
+                              in boilerplate re-dedupe (min doc_id per
+                              distinct cleaned text)
+      6. stratified sample    exact 1-in-k per language
+      7. sequence packing     shard + token-budget batch assignment
+                              over the CLEANED text
       → parquet, partitioned by shard (one directory per training
         stream, batches contiguous within)
 
@@ -41,6 +47,7 @@ from pyspark.sql import functions as F
 
 def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     """Run the full curation pipeline; returns per-stage survivor counts."""
+    from kstore_spark.functions.corpus import dedup_passages
     from kstore_spark.functions.dedup import (
         decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
     from kstore_spark.functions.sampling import pack_token_budget, sample_stratified
@@ -71,18 +78,35 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     keep = keep.join(rep, "doc_id", "left_anti").join(unk, "doc_id", "left_anti")
     counts["quality"] = keep.count()
 
-    # 5. stratified sample (per true language label, deterministic)
+    # 5. boilerplate strip: cross-doc recurring passages removed; docs
+    #    stripped empty die; docs now textually identical (they differed
+    #    only in boilerplate) re-dedupe to the minimum doc_id
+    cleaned = (
+        dedup_passages(spark, sf_dir)
+        .join(keep, "doc_id", "left_semi")
+        .filter(F.col("clean_text") != "")
+        .groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    keep = cleaned.select("doc_id")
+    counts["boilerplate"] = keep.count()
+
+    # 6. stratified sample (per true language label, deterministic)
     sampled = sample_stratified(spark, sf_dir, k=sample_every).select("doc_id")
     keep = keep.join(sampled, "doc_id", "left_semi")
     counts["sampled"] = keep.count()
 
-    # 6. pack the SURVIVORS into token-budget training batches (packing
-    #    after filtering keeps batch ids dense) and write, one directory
-    #    per shard (≈ one stream per training worker)
-    survivors = docs.join(keep, "doc_id", "left_semi")
+    # 7. pack the SURVIVORS' cleaned text into token-budget training
+    #    batches (packing after filtering keeps batch ids dense) and
+    #    write, one directory per shard (≈ one stream per training
+    #    worker)
+    survivors = (
+        cleaned.join(keep, "doc_id", "left_semi")
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
     packed = pack_token_budget(spark, sf_dir, docs=survivors)
     out = (
-        packed.join(docs.select("doc_id", "lang", "text"), "doc_id")
+        packed.join(survivors, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
         .select("shard", "batch_id", "doc_id", "lang", "n_tokens", "text")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)

@@ -82,10 +82,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_hourly_approx_users(spark: SparkSession, sf_dir: str,
+                               rsd: float = 0.02) -> DataFrame:
+    """Distinct users per hourly window via the HLL++ sketch INSIDE a
+    streaming aggregation — the 100 TB shape for streaming COUNT
+    DISTINCT: exact distinct state grows with |users per window|, the
+    sketch keeps per-(window, type) state at fixed KB scale and merges
+    partials map-side. Approximate by construction → rows-only driver
+    check; error bound vs the exact batch twin pinned in
+    tests/test_streaming.py."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("n_users_approx"))
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"), "event_type", "n_users_approx"
+    )
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_hourly_approx_users": stream_hourly_approx_users,
 }
 
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
+    # stream_hourly_approx_users: sketch internals are engine-specific →
+    # rows-only; error gate in tests/test_streaming.py
 }

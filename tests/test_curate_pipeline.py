@@ -1,6 +1,7 @@
 """examples/curate_corpus.py — the composed north-star pipeline: exact
 dedup → MinHash near-dup removal → decontamination → quality filter →
-stratified sample → token-budget packing → partitioned parquet."""
+passage-boilerplate strip → stratified sample → token-budget packing →
+partitioned parquet."""
 
 import os
 
@@ -20,7 +21,7 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
 
     # each stage only removes documents
     order = ["input", "exact_dedup", "near_dedup", "decontaminated",
-             "quality", "sampled", "written"]
+             "quality", "boilerplate", "sampled", "written"]
     vals = [counts[k] for k in order]
     assert vals == sorted(vals, reverse=True)
     assert counts["written"] == counts["sampled"] > 0

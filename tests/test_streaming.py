@@ -148,3 +148,28 @@ def test_stream_interval_join_matches_batch(spark):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_hourly_approx_users_error_bound(spark):
+    """The streaming HLL++ per-window distinct must be within 3*rsd of the
+    exact batch distinct for every (hour, type) group, with identical
+    group keys."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.windows import stream_hourly_approx_users
+    from kstore_spark.tables import table
+
+    got = {
+        (r["hour"], r["event_type"]): r["n_users_approx"]
+        for r in stream_hourly_approx_users(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(3 * 0.02 * n, 2), (k, got[k], n)
