@@ -7,8 +7,9 @@ actually performs, start to finish:
       1. exact dedup          keep one doc per distinct text (digest
                               groupBy — 32-byte shuffle keys)
       2. near-dup removal     MinHash-LSH candidates, exact-Jaccard
-                              verified; drop the higher doc_id of each
-                              pair (keeps each cluster's minimum)
+                              verified, clustered into connected
+                              components (transitivity); keep each
+                              cluster's minimum doc_id
       3. decontamination      drop docs sharing a 5-gram with the
                               held-out benchmark set (broadcast join)
       4. quality filter       drop repetitive docs (duplicate-3-gram
@@ -49,7 +50,7 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     """Run the full curation pipeline; returns per-stage survivor counts."""
     from kstore_spark.functions.corpus import dedup_passages
     from kstore_spark.functions.dedup import (
-        decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
+        cluster_pairs, decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
     from kstore_spark.functions.sampling import pack_token_budget, sample_stratified
     from kstore_spark.functions.text import text_langid, text_repetition
     from kstore_spark.tables import table
@@ -61,10 +62,13 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     keep = dedup_exact(spark, sf_dir).select("doc_id")
     counts["exact_dedup"] = keep.count()
 
-    # 2. near-dup removal: drop the non-canonical side of verified pairs
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    keep = keep.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-                     "doc_id", "left_anti")
+    # 2. near-dup removal: cluster the verified pairs (transitive
+    #    closure — a-b + b-c is ONE cluster) and keep only each
+    #    cluster's canonical minimum doc_id
+    clusters = cluster_pairs(dedup_minhash_lsh(spark, sf_dir))
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    keep = keep.join(non_canonical, "doc_id", "left_anti")
     counts["near_dedup"] = keep.count()
 
     # 3. benchmark decontamination

@@ -138,6 +138,91 @@ WHERE {_J_DEN} * i >= {_J_NUM} * (x.n + y.n - i)
 """
 
 
+# -- near-dup cluster formation (connected components) -----------------
+
+def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a (doc_a, doc_b) near-dup pair frame:
+    (doc_id, cluster_id = min doc_id in the component). Pair output is
+    not enough for canonical-doc selection — a-b and b-c pairs must
+    collapse into ONE {a,b,c} cluster, which needs transitivity (the
+    per-pair drop-doc_b heuristic over-keeps on such chains).
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round, a node takes the min of its own and its
+    neighbors' labels. Converges in graph-diameter rounds (near-dup
+    clusters are shallow — single digits), each round two key-shuffles
+    (join + groupBy) over the EDGE set only, never the corpus. At
+    100 TB scale the edge set is the LSH/exact pair output — already
+    sparse; components with large diameter would want the large-star/
+    small-star contraction, which this loop structure accommodates.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        # localCheckpoint per iteration is load-bearing: it truncates the
+        # lineage, keeping the logical plan CONSTANT-depth across rounds.
+        # persist() alone truncates compute but not the plan tree, which
+        # otherwise grows multiplicatively and OOMs the driver once a
+        # downstream query embeds it. (A production cluster would use
+        # reliable checkpoint() to shared storage for fault tolerance.)
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("new_label"),
+                "label",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("new_label") < F.col("label")).count()
+        labels = new.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(spark, sf_dir, max_iter: int = 20):
+    """Components over the exact n-gram-Jaccard pairs — exact +
+    deterministic end to end → DuckDB recursive-CTE oracle,
+    hash-matched. (The curation pipeline clusters its MinHash-LSH pairs
+    through the same ``cluster_pairs`` core.)"""
+    return cluster_pairs(dedup_ngram_jaccard(spark, sf_dir), max_iter)
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({DEDUP_NGRAM_SQL}) AS p
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # -- MinHash + LSH -----------------------------------------------------
 
 NUM_PERM = 64
@@ -363,6 +448,7 @@ GROUP BY doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "decontaminate_ngram": decontaminate_ngram,
@@ -371,6 +457,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "decontaminate_ngram": DECON_SQL,
     # dedup_minhash_lsh / dedup_simhash: Spark-side hash families are not
     # reproducible in ANSI SQL → rows-only driver check + pytest recall gate

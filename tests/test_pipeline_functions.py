@@ -276,3 +276,30 @@ def test_write_training_shards_replay_order(spark, tmp_path):
     # the writer leaves exactly one file per shard dir
     got = [r["doc_id"] for r in back.filter("shard = 3").collect()]
     assert got == expect
+
+
+def test_dedup_clusters_match_union_find(spark, exact_pairs):
+    """Label propagation must produce exactly the connected components a
+    driver-side union-find derives from the same verified pair set
+    (transitivity: a-b + b-c pairs collapse into one cluster)."""
+    from kstore_spark.functions.dedup import dedup_clusters
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in exact_pairs:
+        parent[find(a)] = find(b)
+    expect = {}
+    for n in parent:
+        expect.setdefault(find(n), set()).add(n)
+    want = {n: min(members) for members in expect.values() for n in members}
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(spark, SF_DIR).collect()}
+    assert got == want
+    assert any(len(m) > 2 for m in expect.values()) or len(want) > 0
