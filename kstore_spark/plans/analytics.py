@@ -283,6 +283,101 @@ FROM c GROUP BY user_id
 """
 
 
+def events_gapfill(spark, sf_dir):
+    """Time-bucket gap-fill (the hypertable `time_bucket_gapfill`
+    pattern): hourly counts per type INCLUDING explicit zero rows for
+    silent hours. The dense (hour × type) grid is generated, never
+    scanned — sequence() over the corpus [min, max] hour bounds (one
+    tiny agg) crossed with the distinct types, so grid size is
+    |hours|·|types| regardless of event volume; real counts join in
+    from the ordinary aggregate."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    return grid.join(counts, ["hour", "event_type"], "left").select(
+        "hour", "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+
+EVENTS_GAPFILL_SQL = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), grid AS (
+  SELECT hour, event_type
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+)
+SELECT g.hour, g.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN counts c ON g.hour = c.hour AND g.event_type = c.event_type
+"""
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → view → purchase: a user counts
+    for step k only with a step-k event STRICTLY AFTER their step-(k-1)
+    time (min-timestamp chaining, the product-analytics semantics).
+    Each step is a join keyed on user_id against the shrinking survivor
+    set — shuffle volume decreases monotonically down the funnel."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+
+    def level(df, step, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("name"), "n_users"
+        )
+
+    return (
+        level(s1, 1, "signup")
+        .unionByName(level(s2, 2, "view_after_signup"))
+        .unionByName(level(s3, 3, "purchase_after_view"))
+    )
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS name, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'view_after_signup', COUNT(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase_after_view', COUNT(*) FROM s3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -295,6 +390,8 @@ QUERIES = {
     "events_by_type": events_by_type,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_gapfill": events_gapfill,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
@@ -309,4 +406,6 @@ ORACLES = {
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_gapfill": EVENTS_GAPFILL_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
 }

@@ -1,0 +1,43 @@
+"""events_gapfill / events_funnel invariants at sf0.001 (value parity vs
+DuckDB runs in tools/check_oracle.py at sf0.01)."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_gapfill_grid_is_dense_and_mass_preserving(spark):
+    from kstore_spark.plans.analytics import events_gapfill
+    from kstore_spark.tables import table
+
+    out = events_gapfill(spark, SF_DIR)
+    rows = out.collect()
+    ev = table(spark, SF_DIR, "events")
+
+    # complete grid: |hours in [min,max]| x |types|, exactly once each
+    n_types = ev.select("event_type").distinct().count()
+    lo, hi = ev.agg(
+        F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+    ).first()
+    n_hours = int((hi - lo).total_seconds() // 3600) + 1
+    assert len(rows) == n_hours * n_types
+    assert len({(r["hour"], r["event_type"]) for r in rows}) == len(rows)
+
+    # gap-filling actually filled gaps, and no events were lost
+    assert any(r["n"] == 0 for r in rows)
+    assert sum(r["n"] for r in rows) == ev.count()
+
+
+def test_funnel_counts_shrink_and_anchor(spark):
+    from kstore_spark.plans.analytics import events_funnel
+    from kstore_spark.tables import table
+
+    got = {r["step"]: r["n_users"] for r in events_funnel(spark, SF_DIR).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] >= got[2] >= got[3] > 0  # ordered-step containment
+    ev = table(spark, SF_DIR, "events")
+    signup_users = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id").distinct().count()
+    )
+    assert got[1] == signup_users
