@@ -326,6 +326,71 @@ FROM grid g LEFT JOIN counts c ON g.hour = c.hour AND g.event_type = c.event_typ
 """
 
 
+def events_gapfill_locf(spark, sf_dir):
+    """Gap-fill with last-observation-carried-forward interpolation (the
+    hypertable `locf()`): silent hours inherit the most recent observed
+    hourly mean value per type. The carry is a per-type window over the
+    DENSE grid (|hours|·|types| rows, not events), so the sort is tiny
+    regardless of event volume; hours before a type's first observation
+    stay NULL — LOCF has nothing to carry."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    # hourly mean in integer MICRO-units (floor(value*1e6) summed as
+    # BIGINT, integer-divided by the count): double AVG is summation-
+    # order-dependent across engines; the fixed-point form is
+    # bit-deterministic (repo oracle convention)
+    means = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.sum(F.floor(F.col("value") * 1000000)).alias("s"),
+             F.count(F.lit(1)).alias("c"))
+        .select("hour", "event_type", F.expr("s div c").alias("mean_micro"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(means, ["hour", "event_type"], "left")
+        .select(
+            "hour", "event_type",
+            F.col("mean_micro").isNotNull().alias("observed"),
+            F.last("mean_micro", ignorenulls=True).over(w).alias("mean_micro"),
+        )
+    )
+
+EVENTS_GAPFILL_LOCF_SQL = """
+WITH means AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+           // COUNT(*) AS mean_micro
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), grid AS (
+  SELECT hour, event_type
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+)
+SELECT g.hour, g.event_type,
+       m.mean_micro IS NOT NULL AS observed,
+       LAST_VALUE(m.mean_micro IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS UNBOUNDED PRECEDING) AS mean_micro
+FROM grid g LEFT JOIN means m ON g.hour = m.hour AND g.event_type = m.event_type
+"""
+
+
 def events_funnel(spark, sf_dir):
     """Ordered conversion funnel signup → view → purchase: a user counts
     for step k only with a step-k event STRICTLY AFTER their step-(k-1)
@@ -391,6 +456,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_gapfill": events_gapfill,
+    "events_gapfill_locf": events_gapfill_locf,
     "events_funnel": events_funnel,
 }
 
@@ -407,5 +473,6 @@ ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
+    "events_gapfill_locf": EVENTS_GAPFILL_LOCF_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
 }

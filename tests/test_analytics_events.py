@@ -41,3 +41,24 @@ def test_funnel_counts_shrink_and_anchor(spark):
         .select("user_id").distinct().count()
     )
     assert got[1] == signup_users
+
+
+def test_gapfill_locf_carries_last_observation(spark):
+    from kstore_spark.plans.analytics import events_gapfill_locf
+
+    rows = events_gapfill_locf(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert any(not r["observed"] for r in rows)  # gaps exist
+    for seq in by_type.values():
+        seq.sort(key=lambda r: r["hour"])
+        last = None
+        for r in seq:
+            if r["observed"]:
+                last = r["mean_micro"]
+                assert last is not None
+            else:
+                # carried value == most recent observation (NULL before
+                # the type's first observation)
+                assert r["mean_micro"] == last
