@@ -39,11 +39,9 @@ def run_incremental_rollup(
     )
     schema = spark.read.parquet(some_file).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":  # nanosAsLong read path
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif ts_type == "timestamp_ntz":  # watermarks need TIMESTAMP (LTZ)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from kstore_spark.tables import normalize_events_ts
+
+    stream = normalize_events_ts(stream)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

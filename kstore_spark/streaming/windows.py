@@ -43,9 +43,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(path, link)
         path = stage
     stream = spark.readStream.schema(schema).parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":  # nanosAsLong read path
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    from kstore_spark.tables import normalize_events_ts
+
+    return normalize_events_ts(stream)
 
 
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,20 +18,44 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (LTZ) whatever the
+    parquet stored. The driver's testdata has shipped three encodings
+    across rounds: TIMESTAMP(NANOS) (read as bigint under nanosAsLong),
+    TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ), and plain
+    TIMESTAMP. Every reader — batch ``table()``, the streaming file
+    source, incremental rollups — goes through this ONE helper so a
+    future encoding change is a one-line fix, not a per-module hunt
+    (mirrors the reference's single column_open for all access paths,
+    storage.c:306-448).
+
+    Session timezone is pinned UTC (session.py), so NTZ → LTZ is a pure
+    type re-tag with identical epoch values — oracles stay equal because
+    DuckDB treats the same microseconds as UTC too.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanosAsLong read path: truncate ns → µs exactly like DuckDB's
+        # TIMESTAMP_NS → TIMESTAMP cast. Integer division — float would
+        # lose precision at 1e18 ns.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # watermarks / window() / unix-epoch casts all need LTZ
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # events.parquet may store TIMESTAMP(NANOS), which the vectorized
         # reader rejects; set defensively (runtime-settable) so sessions
         # not built by kstore_spark.session.get_spark work too
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong read path (see session.py): truncate ns → µs exactly
-        # like DuckDB's TIMESTAMP_NS → TIMESTAMP cast, keeping oracles equal
-        from pyspark.sql import functions as F
-
-        # integer division — float division would lose precision at 1e18 ns
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 
