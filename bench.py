@@ -131,11 +131,18 @@ def main():
             runs.append(time.time() - t0)
         times[f"kstore_perftest_{algo}"] = round(min(runs), 3)
 
+    # min-of-2 on every headline key too (VERDICT r2 item 7): shared-host
+    # load inflates identical workloads up to 3× run-to-run, and the
+    # second run also absorbs one-time Python-worker spinup for the
+    # Arrow/mapInArrow paths — min reflects the steady state a cluster
+    # would see.
     for name, fn in headline_queries().items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.count()
-        times[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
