@@ -340,9 +340,15 @@ def dedup_minhash_lsh(spark, sf_dir):
 SIMHASH_BITS = 64
 HAMMING_MAX = 7
 SIM_BANDS = 8  # pigeonhole: hamming ≤ 7 ⇒ at least one 8-bit band equal.
-# Band width trades candidate volume for recall: 8-bit bands admit ~n²/256
-# random collisions per band — fine at dedup-shard sizes; at larger shard
-# cardinalities, widen bands (and lower HAMMING_MAX) or shard by prefix.
+# Band width trades candidate volume for hamming radius (Manku et al.,
+# WWW'07): b bands of 64/b bits pigeonhole-guarantee radius b-1, and
+# random collisions per band run ~n²/2^(64/b). 8-bit bands (radius 7)
+# admit ~n²/256 per band — fine at dedup-shard sizes; the scale variant
+# below (dedup_simhash_wide: 4 bands × 16 bits, radius 3) cuts random
+# candidate volume 512× per the same n, which is the knob to turn first
+# at larger shard cardinalities.
+WIDE_HAMMING_MAX = 3
+WIDE_BANDS = 4
 
 
 def simhash(spark, sf_dir) -> DataFrame:
@@ -363,17 +369,17 @@ def simhash(spark, sf_dir) -> DataFrame:
     return per_doc.select("doc_id", sim.alias("sim"))
 
 
-def dedup_simhash(spark, sf_dir):
-    """Near-dup pairs with hamming(simhash) ≤ 3 via 16-bit pigeonhole
-    bands; verification = exact popcount on the 64-bit XOR. No SQL oracle
-    (hash family is Spark-side); recall pinned in tests."""
-    sims = simhash(spark, sf_dir)
-    width = SIMHASH_BITS // SIM_BANDS
+def _simhash_band_pairs(sims: DataFrame, bands: int, hamming_max: int) -> DataFrame:
+    """Pigeonhole band join + exact popcount verify over a (doc_id, sim)
+    frame. ``bands`` bands of 64/bands bits guarantee full recall for
+    hamming ≤ bands-1; ``hamming_max`` (≤ bands-1) is the verify cut."""
+    assert hamming_max <= bands - 1, "pigeonhole guarantee would not hold"
+    width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
     banded = sims.select(
         "doc_id", "sim",
         F.posexplode(F.array(*[
-            F.shiftright("sim", width * i).bitwiseAND(F.lit(mask)) for i in range(SIM_BANDS)
+            F.shiftright("sim", width * i).bitwiseAND(F.lit(mask)) for i in range(bands)
         ])).alias("band", "chunk"),
     )
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "chunk")
@@ -385,7 +391,27 @@ def dedup_simhash(spark, sf_dir):
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return pairs.filter(hamming <= HAMMING_MAX).select("doc_a", "doc_b")
+    return pairs.filter(hamming <= hamming_max).select("doc_a", "doc_b")
+
+
+def dedup_simhash(spark, sf_dir):
+    """Near-dup pairs with hamming(simhash) ≤ 7 via 8-bit pigeonhole
+    bands; verification = exact popcount on the 64-bit XOR. No SQL oracle
+    (hash family is Spark-side); recall pinned in tests."""
+    return _simhash_band_pairs(simhash(spark, sf_dir), SIM_BANDS, HAMMING_MAX)
+
+
+def dedup_simhash_wide(spark, sf_dir):
+    """Scale variant (VERDICT r2 item 5): 4 bands × 16 bits, hamming ≤ 3.
+    Same signature family, same verify — but a random band collision
+    needs 16 matching bits instead of 8, so the pre-verify candidate
+    volume drops ~(8 bands · n²/2⁸) → (4 bands · n²/2¹⁶) ≈ 512× at
+    equal n (measured in PERF.md's 10× probe). The tighter radius is the
+    price; at corpus scale radius-3-of-64 is the standard operating
+    point for SimHash dedup (Manku et al., WWW'07 used exactly k=3 on
+    64-bit fingerprints at web scale). Exact-recall-at-radius-3 is
+    pinned against a brute-force hamming join in tests."""
+    return _simhash_band_pairs(simhash(spark, sf_dir), WIDE_BANDS, WIDE_HAMMING_MAX)
 
 
 # -- benchmark decontamination -----------------------------------------
@@ -451,6 +477,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_wide": dedup_simhash_wide,
     "decontaminate_ngram": decontaminate_ngram,
 }
 

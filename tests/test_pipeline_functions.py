@@ -37,6 +37,26 @@ def test_simhash_finds_neardups(spark, exact_pairs):
     assert len(got & exact_pairs) >= 0.8 * len(exact_pairs)
 
 
+def test_simhash_wide_exact_at_radius3(spark):
+    """The 16-bit-band scale variant must have EXACT recall at hamming
+    ≤ 3 (pigeonhole: 4 bands, ≤3 errors ⇒ one band clean) — pinned
+    against a brute-force hamming self-join over the signatures."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.dedup import dedup_simhash_wide, simhash
+
+    got = _pairs(dedup_simhash_wide(spark, SF_DIR))
+    sims = simhash(spark, SF_DIR)
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    brute = _pairs(
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    assert got == brute
+
+
 def test_ann_ivf_full_probe_is_exact(spark):
     """Probing every cell must reproduce brute-force top-k exactly — the
     IVF machinery adds no approximation beyond cell pruning."""
