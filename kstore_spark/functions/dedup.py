@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kstore_spark.tables import table
 
@@ -206,6 +207,33 @@ def dedup_clusters(spark, sf_dir, max_iter: int = 20):
     return cluster_pairs(dedup_ngram_jaccard(spark, sf_dir), max_iter)
 
 
+def dedup_keep_best(spark, sf_dir, max_iter: int = 20):
+    """Canonical-document selection: within every near-dup cluster keep
+    the HIGHEST-QUALITY member (longest doc; ties → smallest doc_id) —
+    the policy real curation uses, vs. dedup_exact's keep-first. Output
+    is the surviving doc per cluster plus how many near-dups it
+    absorbed (singletons survive with n_dropped = 0, pruned before the
+    window so the per-cluster sort only ever sees clustered docs — at
+    100 TB that window runs on the sparse pair-graph node set, never
+    the corpus)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = cluster_pairs(dedup_ngram_jaccard(spark, sf_dir), max_iter)
+    clustered = docs.join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    best = (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("sz") - 1).cast("int").alias("n_dropped"))
+    )
+    singletons = (
+        docs.join(clusters, "doc_id", "left_anti")
+        .select("doc_id", F.lit(0).alias("n_dropped"))
+    )
+    return best.unionByName(singletons)
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS (
   SELECT * FROM ({DEDUP_NGRAM_SQL}) AS p
@@ -220,6 +248,24 @@ reach(node, r) AS (
   SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
 )
 SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH clusters AS (
+  {DEDUP_CLUSTERS_SQL}
+),
+ranked AS (
+  SELECT d.doc_id, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS sz
+  FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(sz - 1 AS INTEGER) AS n_dropped FROM ranked WHERE rn = 1
+UNION ALL
+SELECT d.doc_id, 0 AS n_dropped
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL
 """
 
 
@@ -475,6 +521,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_wide": dedup_simhash_wide,
@@ -485,6 +532,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "decontaminate_ngram": DECON_SQL,
     # dedup_minhash_lsh / dedup_simhash: Spark-side hash families are not
     # reproducible in ANSI SQL → rows-only driver check + pytest recall gate

@@ -161,10 +161,69 @@ def write_training_shards(spark, sf_dir, out_dir: str,
     )
 
 
+HOLDOUT_PCT = 10  # percent of clusters (not docs) held out
+
+
+def split_train_holdout(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
+    """Leakage-safe train/holdout split: the split decision is made per
+    NEAR-DUP CLUSTER, not per document, so two near-duplicate docs can
+    never straddle the boundary (the classic eval-contamination bug a
+    naive hash-of-doc_id split ships). Cluster representative = min
+    doc_id in the doc's connected component over the exact n-gram
+    Jaccard pair graph (singleton docs represent themselves); the
+    bucket is a Knuth-mix of the representative — exact BIGINT
+    arithmetic, identical in any engine, so the whole split is
+    hash-checkable. At 100 TB the cluster frame is the (sparse) LSH
+    pair-graph output; the join adds one key-shuffle of (doc_id,
+    cluster_id) pairs, never the corpus text."""
+    from kstore_spark.functions.dedup import cluster_pairs, dedup_ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    clusters = cluster_pairs(dedup_ngram_jaccard(spark, sf_dir))
+    rep = F.coalesce("cluster_id", "doc_id").cast("long")
+    bucket = F.pmod((rep * _MIX).bitwiseAND(F.lit(_MASK)), F.lit(100))
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(bucket < holdout_pct, F.lit("holdout"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
+    )
+
+
+def _split_sql() -> str:
+    from kstore_spark.functions.dedup import DEDUP_NGRAM_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({DEDUP_NGRAM_SQL}) AS p
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CASE WHEN ((CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) * {_MIX})
+                  & {_MASK}) % 100 < {HOLDOUT_PCT}
+            THEN 'holdout' ELSE 'train' END AS split
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "pack_token_budget": pack_token_budget,
     "shuffle_shards": shuffle_shards,
+    "split_train_holdout": split_train_holdout,
 }
 
 ORACLES = {
@@ -172,3 +231,4 @@ ORACLES = {
     "pack_token_budget": PACK_TOKEN_BUDGET_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
 }
+ORACLES["split_train_holdout"] = _split_sql()

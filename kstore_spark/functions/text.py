@@ -204,6 +204,65 @@ FROM g
 """
 
 
+# -- PII scrubbing -----------------------------------------------------
+#
+# Regex-based redaction of the classic structured-PII shapes a training
+# corpus must not ship: emails, IPv4 addresses, phone numbers. The
+# patterns are deliberately RE2-compatible (no lookaround / backrefs) so
+# Spark's Java regex and DuckDB's RE2 agree token-for-token, which is
+# what lets the driver hash-check the scrubbed text itself. Counts are
+# taken on the progressively-scrubbed text (emails first — an address
+# can contain an IP-shaped domain) and the SQL oracle mirrors the same
+# three-stage order. Pure JVM regexp_replace — streams at scan speed;
+# no Python in the loop.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_scrub(spark, sf_dir):
+    """(doc_id, n_emails, n_ips, n_phones, clean) — per-doc PII match
+    counts plus the redacted text. On the synthetic corpus the counts
+    are zero and clean == text (pinned); redaction behavior itself is
+    pinned on planted PII in tests/test_pii.py."""
+    docs = table(spark, sf_dir, "documents")
+    s1 = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.regexp_replace("text", PII_EMAIL, "<EMAIL>").alias("t1"),
+    )
+    s2 = s1.select(
+        "doc_id", "n_emails",
+        F.size(F.regexp_extract_all("t1", F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.regexp_replace("t1", PII_IPV4, "<IP>").alias("t2"),
+    )
+    return s2.select(
+        "doc_id", "n_emails", "n_ips",
+        F.size(F.regexp_extract_all("t2", F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.regexp_replace("t2", PII_PHONE, "<PHONE>").alias("clean"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS INTEGER) AS n_ips,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS INTEGER) AS n_phones,
+       regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS clean
+FROM s2
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_tokens_regex": text_tokens_regex,
@@ -211,6 +270,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLES = {
@@ -220,4 +280,5 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
 }

@@ -37,6 +37,45 @@ def test_simhash_finds_neardups(spark, exact_pairs):
     assert len(got & exact_pairs) >= 0.8 * len(exact_pairs)
 
 
+def test_split_is_leakage_free(spark, exact_pairs):
+    """The property that justifies split_train_holdout's existence: no
+    near-dup pair may straddle the train/holdout boundary, ever."""
+    from kstore_spark.functions.sampling import split_train_holdout
+
+    split = {r["doc_id"]: r["split"] for r in
+             split_train_holdout(spark, SF_DIR).collect()}
+    for a, b in exact_pairs:
+        assert split[a] == split[b], f"near-dups {a},{b} straddle the split"
+    assert {"train", "holdout"} >= set(split.values()) and len(split) > 0
+
+
+def test_keep_best_keeps_longest_per_cluster(spark):
+    """Exactly one survivor per cluster; it is the longest member (ties
+    → min doc_id), and every non-clustered doc survives untouched."""
+    from kstore_spark.functions.dedup import (
+        cluster_pairs, dedup_keep_best, dedup_ngram_jaccard)
+    from kstore_spark.tables import table
+
+    kept = {r["doc_id"]: r["n_dropped"] for r in
+            dedup_keep_best(spark, SF_DIR).collect()}
+    chars = {r["doc_id"]: r["n_chars"] for r in
+             table(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()}
+    clusters = {}
+    for r in cluster_pairs(dedup_ngram_jaccard(spark, SF_DIR)).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    clustered_docs = {d for ms in clusters.values() for d in ms}
+    for cid, members in clusters.items():
+        best = min(members, key=lambda d: (-chars[d], d))
+        assert kept.get(best) == len(members) - 1
+        for m in members:
+            if m != best:
+                assert m not in kept
+    for d in chars:
+        if d not in clustered_docs:
+            assert kept.get(d) == 0
+    assert len(kept) == len(chars) - (len(clustered_docs) - len(clusters))
+
+
 def test_simhash_wide_exact_at_radius3(spark):
     """The 16-bit-band scale variant must have EXACT recall at hamming
     ≤ 3 (pigeonhole: 4 bands, ≤3 errors ⇒ one band clean) — pinned
