@@ -20,11 +20,17 @@ actually performs, start to finish:
                               nothing die, and docs that differed only
                               in boilerplate re-dedupe (min doc_id per
                               distinct cleaned text)
-      6. stratified sample    exact 1-in-k per language
-      7. sequence packing     shard + token-budget batch assignment
-                              over the CLEANED text
-      → parquet, partitioned by shard (one directory per training
-        stream, batches contiguous within)
+      6. PII scrub            emails / IPv4s / phone numbers redacted
+                              from the surviving cleaned text (pure
+                              JVM regexp chain)
+      7. stratified sample    exact 1-in-k per language
+      8. train/holdout split  decided per NEAR-DUP CLUSTER (stage-2
+                              components), so near-duplicates can
+                              never straddle the eval boundary
+      9. sequence packing     shard + token-budget batch assignment
+                              over the CLEANED, SCRUBBED text
+      → parquet, partitioned by (split, shard) (one directory per
+        training stream, batches contiguous within)
 
 Every stage is a DataFrame transformation — the whole pipeline is ONE
 lazy plan per stage boundary, scales with the cluster, and never
@@ -51,8 +57,9 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     from kstore_spark.functions.corpus import dedup_passages
     from kstore_spark.functions.dedup import (
         cluster_pairs, decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
-    from kstore_spark.functions.sampling import pack_token_budget, sample_stratified
-    from kstore_spark.functions.text import text_langid, text_repetition
+    from kstore_spark.functions.sampling import (
+        assign_split, pack_token_budget, sample_stratified)
+    from kstore_spark.functions.text import scrub_pii, text_langid, text_repetition
     from kstore_spark.tables import table
 
     docs = table(spark, sf_dir, "documents")
@@ -94,26 +101,40 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     keep = cleaned.select("doc_id")
     counts["boilerplate"] = keep.count()
 
-    # 6. stratified sample (per true language label, deterministic)
+    # 6. PII scrub over the surviving cleaned text (counts stay on the
+    #    frame for audit; the redacted column feeds everything below)
+    scrubbed = scrub_pii(
+        cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    ).select("doc_id", F.col("clean").alias("text"), "n_emails", "n_ips", "n_phones")
+    counts["pii_scrubbed"] = scrubbed.count()
+
+    # 7. stratified sample (per true language label, deterministic)
     sampled = sample_stratified(spark, sf_dir, k=sample_every).select("doc_id")
     keep = keep.join(sampled, "doc_id", "left_semi")
     counts["sampled"] = keep.count()
 
-    # 7. pack the SURVIVORS' cleaned text into token-budget training
-    #    batches (packing after filtering keeps batch ids dense) and
-    #    write, one directory per shard (≈ one stream per training
-    #    worker)
-    survivors = (
-        cleaned.join(keep, "doc_id", "left_semi")
-        .select("doc_id", F.col("clean_text").alias("text"))
+    # 8. leakage-safe split: reuse the stage-2 near-dup components —
+    #    the split is a function of the CLUSTER representative, so two
+    #    near-duplicate docs land on the same side by construction
+    survivors = scrubbed.join(keep, "doc_id", "left_semi")
+    with_rep = (
+        survivors.join(clusters, "doc_id", "left")
+        .select("doc_id", "text", F.coalesce("cluster_id", "doc_id").alias("rep"))
     )
+    split = assign_split(with_rep, "rep").select("doc_id", "split")
+
+    # 9. pack the survivors' cleaned, scrubbed text into token-budget
+    #    training batches (packing after filtering keeps batch ids
+    #    dense) and write, one directory per (split, shard) — each a
+    #    replayable training stream
     packed = pack_token_budget(spark, sf_dir, docs=survivors)
     out = (
-        packed.join(survivors, "doc_id")
+        packed.join(survivors.select("doc_id", "text"), "doc_id")
+        .join(split, "doc_id")
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("shard", "batch_id", "doc_id", "lang", "n_tokens", "text")
+        .select("split", "shard", "batch_id", "doc_id", "lang", "n_tokens", "text")
     )
-    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    out.write.mode("overwrite").partitionBy("split", "shard").parquet(out_dir)
     counts["written"] = spark.read.parquet(out_dir).count()
     return counts
 

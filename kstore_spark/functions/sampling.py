@@ -164,6 +164,20 @@ def write_training_shards(spark, sf_dir, out_dir: str,
 HOLDOUT_PCT = 10  # percent of clusters (not docs) held out
 
 
+def assign_split(df: "DataFrame", rep_col: str,
+                 holdout_pct: int = HOLDOUT_PCT) -> "DataFrame":
+    """Frame-level split core: adds a ``split`` column decided by a
+    Knuth-mix bucket of ``rep_col`` (the doc's near-dup-cluster
+    representative — pass doc_id itself for an unclustered corpus).
+    Exact BIGINT arithmetic → engine-agnostic and hash-checkable."""
+    rep = F.col(rep_col).cast("long")
+    bucket = F.pmod((rep * _MIX).bitwiseAND(F.lit(_MASK)), F.lit(100))
+    return df.withColumn(
+        "split",
+        F.when(bucket < holdout_pct, F.lit("holdout")).otherwise(F.lit("train")),
+    )
+
+
 def split_train_holdout(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
     """Leakage-safe train/holdout split: the split decision is made per
     NEAR-DUP CLUSTER, not per document, so two near-duplicate docs can
@@ -180,16 +194,11 @@ def split_train_holdout(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     clusters = cluster_pairs(dedup_ngram_jaccard(spark, sf_dir))
-    rep = F.coalesce("cluster_id", "doc_id").cast("long")
-    bucket = F.pmod((rep * _MIX).bitwiseAND(F.lit(_MASK)), F.lit(100))
-    return (
+    with_rep = (
         docs.join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(bucket < holdout_pct, F.lit("holdout"))
-            .otherwise(F.lit("train")).alias("split"),
-        )
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("rep"))
     )
+    return assign_split(with_rep, "rep", holdout_pct).select("doc_id", "split")
 
 
 def _split_sql() -> str:

@@ -333,12 +333,67 @@ def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE):
     )
 
 
+# -- semantic dedup (SemDeDup-style) -----------------------------------
+
+
+def dedup_semantic(spark, sf_dir, threshold: float = NEAR_DUP_COS):
+    """Semantic deduplication: connected components over the
+    embedding-cosine near-dup graph; the minimum vec_id of each
+    component is kept as the representative, everything else in the
+    component is dropped (SemDeDup's cluster-then-prune shape). The
+    pair graph comes from the hyperplane-LSH path with exact-cosine
+    verification — the 100 TB route, and since LSH output == brute
+    force at this threshold (recall 1.0 at sf0.01, pinned in tests),
+    the brute-force SQL is its exact oracle. Component formation reuses
+    dedup.cluster_pairs (min-label propagation over the sparse edge
+    set — the corpus-scale frame is never shuffled)."""
+    from kstore_spark.functions.dedup import cluster_pairs
+
+    pairs = embedding_neardup_lsh(spark, sf_dir, threshold)
+    edges = pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    clusters = cluster_pairs(edges).withColumnRenamed("doc_id", "vec_id")
+    ids = _emb(spark, sf_dir).select("vec_id")
+    rep = F.coalesce("cluster_id", "vec_id")
+    return (
+        ids.join(clusters, "vec_id", "left")
+        .select(
+            "vec_id", rep.alias("rep_id"),
+            (F.col("vec_id") == rep).alias("keep"),
+        )
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({EMBEDDING_NEARDUP_SQL}) AS p
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS rep_id,
+       e.vec_id = COALESCE(c.cluster_id, e.vec_id) AS keep
+FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_matmul": sim_topk_matmul,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLES = {
@@ -352,6 +407,9 @@ ORACLES = {
     # output ⊆ brute force; at sf0.01 the seeded bands attain 100% recall
     # (pinned in tests), making the brute-force SQL its exact oracle.
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_SQL,
+    # dedup_semantic builds on the LSH pairs, which equal brute force at
+    # the default threshold (recall 1.0 at sf0.01) — exact oracle
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     # sim_ann_ivf: approximate by construction → rows-only check +
     # recall/exactness gates in tests/test_pipeline_functions.py
 }

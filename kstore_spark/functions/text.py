@@ -221,27 +221,36 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
 
 
+def scrub_pii(docs, text_col: str = "text"):
+    """Frame-level scrub core: any frame with a text column in, the same
+    frame (minus ``text_col``) out with n_emails / n_ips / n_phones
+    counts and the redacted ``clean`` column. Used by the pii_scrub
+    query below and as a stage of examples/curate_corpus.py."""
+    others = [c for c in docs.columns if c != text_col]
+    s1 = docs.select(
+        *others,
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>").alias("__t1"),
+    )
+    s2 = s1.select(
+        *others, "n_emails",
+        F.size(F.regexp_extract_all("__t1", F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.regexp_replace("__t1", PII_IPV4, "<IP>").alias("__t2"),
+    )
+    return s2.select(
+        *others, "n_emails", "n_ips",
+        F.size(F.regexp_extract_all("__t2", F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.regexp_replace("__t2", PII_PHONE, "<PHONE>").alias("clean"),
+    )
+
+
 def pii_scrub(spark, sf_dir):
     """(doc_id, n_emails, n_ips, n_phones, clean) — per-doc PII match
     counts plus the redacted text. On the synthetic corpus the counts
     are zero and clean == text (pinned); redaction behavior itself is
     pinned on planted PII in tests/test_pii.py."""
-    docs = table(spark, sf_dir, "documents")
-    s1 = docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
-        F.regexp_replace("text", PII_EMAIL, "<EMAIL>").alias("t1"),
-    )
-    s2 = s1.select(
-        "doc_id", "n_emails",
-        F.size(F.regexp_extract_all("t1", F.lit(PII_IPV4), 0)).alias("n_ips"),
-        F.regexp_replace("t1", PII_IPV4, "<IP>").alias("t2"),
-    )
-    return s2.select(
-        "doc_id", "n_emails", "n_ips",
-        F.size(F.regexp_extract_all("t2", F.lit(PII_PHONE), 0)).alias("n_phones"),
-        F.regexp_replace("t2", PII_PHONE, "<PHONE>").alias("clean"),
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_pii(docs)
 
 
 PII_SCRUB_SQL = f"""

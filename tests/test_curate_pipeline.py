@@ -19,18 +19,22 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
     out_dir = str(tmp_path / "curated")
     counts = curate(spark, SF_DIR, out_dir, sample_every=2)
 
-    # each stage only removes documents
+    # each stage only removes documents (PII scrub redacts, never drops)
     order = ["input", "exact_dedup", "near_dedup", "decontaminated",
-             "quality", "boilerplate", "sampled", "written"]
+             "quality", "boilerplate", "pii_scrubbed", "sampled", "written"]
     vals = [counts[k] for k in order]
     assert vals == sorted(vals, reverse=True)
+    assert counts["pii_scrubbed"] == counts["boilerplate"]
     assert counts["written"] == counts["sampled"] > 0
 
     out = spark.read.parquet(out_dir)
     # exact dedup survived the whole pipeline: texts are unique
     assert out.select("text").distinct().count() == counts["written"]
-    # partitioned layout: one directory per shard
-    shards = [d for d in os.listdir(out_dir) if d.startswith("shard=")]
+    # partitioned layout: split dirs at the top, one dir per shard inside
+    splits = [d for d in os.listdir(out_dir) if d.startswith("split=")]
+    assert set(splits) <= {"split=train", "split=holdout"} and splits
+    shards = {d for s in splits for d in os.listdir(os.path.join(out_dir, s))
+              if d.startswith("shard=")}
     assert len(shards) == out.select("shard").distinct().count() > 1
     # packing invariant holds on the written corpus
     bad = (
