@@ -45,16 +45,19 @@ _PRIORITY = [
     "multimodal_neardup", "events_approx_distinct", "events_approx_quantiles",
     # new curation operators this round
     "pii_scrub", "split_train_holdout", "dedup_keep_best", "dedup_semantic",
+    "corpus_temperature_sample",
     # §2 parity rotation (green r1 rows; re-verify per ROADMAP #1).
-    # math_sub/math_mul/join_sort/join_loop yield the window to the four
-    # new queries above: each is a pure variant of an in-window sibling
-    # (same cints/join code path as math_add/math_div/join_hash), has a
-    # green r1 driver row, and is pinned by the Hypothesis int32 suite
-    # and the random differential fuzzer.
+    # math_sub/math_mul/join_sort/join_tree/join_loop yield the window
+    # to the five new queries above: each is a pure variant of an
+    # in-window sibling (same cints/join code path as math_add/math_div/
+    # join_hash), has a green r1 driver row, and is pinned by the
+    # Hypothesis int32 suite and the random differential fuzzer.
+    # (corpus_temperature_weights sits in the tail: the in-window sample
+    # query embeds the full weights computation.)
     "select_all", "select_value", "select_range", "fetch",
     "agg_min", "agg_max", "agg_sum", "agg_count", "agg_avg_trunc",
     "math_add", "math_div",
-    "join_hash", "join_tree",
+    "join_hash",
     "tuple_zip", "mutation_insert", "mutation_delete", "mutation_update",
     # r2-tail analytics rotation
     "q1_pricing_summary", "q6_forecast_revenue",

@@ -142,6 +142,103 @@ FROM per
 """
 
 
+TEMP_ALPHA_PCT = 50   # mixture temperature α as a percent (50 → α=0.5,
+                      # the sqrt rebalancing multilingual training uses)
+TEMP_TARGET_PPM = 400_000  # resampled corpus budget: 40% of input docs
+
+
+def corpus_temperature_weights(spark, sf_dir):
+    """Temperature-rebalanced mixture weights per (source, lang)
+    stratum: w_i ∝ share_i^α with α=0.5 — the standard upweighting of
+    low-resource strata (α=1 keeps natural proportions, α→0 goes
+    uniform). α=0.5 is computed as sqrt(), bit-identical across IEEE
+    engines, and weights are emitted in exact parts-per-million of the
+    renormalized mixture so the driver can hash them. All arithmetic
+    runs on the aggregated |sources|×|langs| frame — the corpus is
+    touched by exactly one scan + one groupBy."""
+    mix = corpus_mixture(spark, sf_dir)
+    w = F.sqrt(F.col("token_share"))
+    z = F.sum(w).over(Window.partitionBy())
+    return mix.select(
+        "source", "lang", "n_docs", "n_tokens",
+        F.floor(F.lit(1_000_000) * w / z).cast("long").alias("weight_ppm"),
+    )
+
+
+CORPUS_TEMPERATURE_SQL = f"""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+), sh AS (
+  SELECT source, lang, n_docs, n_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS w
+  FROM per
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(FLOOR(1000000 * w / SUM(w) OVER ()) AS BIGINT) AS weight_ppm
+FROM sh
+"""
+
+
+def corpus_temperature_sample(spark, sf_dir, target_ppm: int = TEMP_TARGET_PPM):
+    """The resample the weights imply: doc-level deterministic sampling
+    at per-stratum rates so the OUTPUT mixture follows the α=0.5
+    weights while the total stays ≈ ``target_ppm`` of the input. The
+    accept test is a Knuth-mix bucket of doc_id against an integer ppm
+    threshold — no RNG, rerun- and engine-stable, and the per-doc work
+    is one hash + one compare (the stratum-rate table is a handful of
+    rows, broadcast by AQE). rate_ppm is capped at 1e6: a stratum whose
+    target exceeds its natural share keeps all its docs (sampling can
+    only drop — upsampling is the training loader's job)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    wts = corpus_temperature_weights(spark, sf_dir)
+    # stratum target (docs) = total_docs * target_ppm * weight; rate
+    # within stratum = target / n_docs — all in exact integer ppm
+    total = F.sum("n_docs").over(Window.partitionBy())
+    rates = wts.select(
+        "source", "lang",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(total * F.col("weight_ppm") * F.lit(target_ppm)
+                    / F.lit(1_000_000) / F.col("n_docs")).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    mix = (F.col("doc_id").cast("long") * F.lit(2654435761)).bitwiseAND(
+        F.lit((1 << 32) - 1))
+    return (
+        docs.join(rates, ["source", "lang"])
+        .filter(F.pmod(mix, F.lit(1_000_000)) < F.col("rate_ppm"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+CORPUS_TEMPERATURE_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+), sh AS (
+  SELECT source, lang, n_docs,
+         sqrt(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS w
+  FROM per
+), wts AS (
+  SELECT source, lang, n_docs,
+         CAST(FLOOR(1000000 * w / SUM(w) OVER ()) AS BIGINT) AS weight_ppm
+  FROM sh
+), rates AS (
+  SELECT source, lang,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(FLOOR(SUM(n_docs) OVER () * weight_ppm * {TEMP_TARGET_PPM}
+                          / 1000000 / n_docs) AS BIGINT)) AS rate_ppm
+  FROM wts
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates r ON d.source = r.source AND d.lang = r.lang
+WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761) & 4294967295) % 1000000 < r.rate_ppm
+"""
+
+
 def tfidf_top_terms(spark, sf_dir, k: int = TFIDF_K):
     """Top-k distinctive terms per doc, TF-IDF-ranked without floats:
     score_ppm = tf * 1e6 div df (exact integer division), tie-broken by
@@ -192,11 +289,15 @@ FROM scored WHERE rank <= {TFIDF_K}
 QUERIES = {
     "dedup_passages": dedup_passages,
     "corpus_mixture": corpus_mixture,
+    "corpus_temperature_weights": corpus_temperature_weights,
+    "corpus_temperature_sample": corpus_temperature_sample,
     "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
     "dedup_passages": DEDUP_PASSAGES_SQL,
     "corpus_mixture": CORPUS_MIXTURE_SQL,
+    "corpus_temperature_weights": CORPUS_TEMPERATURE_SQL,
+    "corpus_temperature_sample": CORPUS_TEMPERATURE_SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
 }

@@ -88,3 +88,37 @@ def test_tfidf_ranks_are_deterministic(spark):
         assert keys == sorted(keys)
         for r in rows:
             assert r["score_ppm"] == (r["tf"] * 1_000_000) // r["df"]
+
+
+def test_temperature_sample_rebalances(spark):
+    """α=0.5 must flatten the mixture: for any two strata, the weight
+    ratio is the sqrt of the token-share ratio — small strata gain
+    relative weight. The realized sample must be deterministic, never
+    exceed a stratum's natural size, and land near the global target.
+    (Per-stratum realized fractions are 0-or-1 noise for the 1-doc
+    strata at this sf, so the flattening check runs on the weights.)"""
+    from kstore_spark.functions.corpus import (
+        TEMP_TARGET_PPM, corpus_temperature_sample, corpus_temperature_weights)
+
+    wts = corpus_temperature_weights(spark, SF_DIR).collect()
+    by_tokens = sorted(wts, key=lambda r: r["n_tokens"])
+    small, big = by_tokens[0], by_tokens[-1]
+    assert small["n_tokens"] < big["n_tokens"]
+    # flattening: w_small/w_big ≈ sqrt(share_small/share_big) > share ratio
+    ratio_w = small["weight_ppm"] / big["weight_ppm"]
+    ratio_share = small["n_tokens"] / big["n_tokens"]
+    assert ratio_share < ratio_w < 1.0
+    assert abs(ratio_w - ratio_share ** 0.5) < 0.01
+
+    a = {r["doc_id"] for r in corpus_temperature_sample(spark, SF_DIR).collect()}
+    b = {r["doc_id"] for r in corpus_temperature_sample(spark, SF_DIR).collect()}
+    assert a == b and a
+    sizes = {(r["source"], r["lang"]): r["n_docs"] for r in wts}
+    kept: dict = {}
+    for r in corpus_temperature_sample(spark, SF_DIR).collect():
+        k = (r["source"], r["lang"])
+        kept[k] = kept.get(k, 0) + 1
+    for k, n in kept.items():
+        assert n <= sizes[k]
+    total = sum(sizes.values())
+    assert 0.5 * TEMP_TARGET_PPM / 1e6 <= len(a) / total <= 1.6 * TEMP_TARGET_PPM / 1e6
