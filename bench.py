@@ -109,6 +109,11 @@ def headline_queries():
         "decontaminate_ngram": dedup.decontaminate_ngram,
         "dedup_passages": corpus.dedup_passages,
         "tfidf_top_terms": corpus.tfidf_top_terms,
+        # round-3 additions (keys above stay comparable round-over-round)
+        "pii_scrub": text.pii_scrub,
+        "dedup_simhash_wide": dedup.dedup_simhash_wide,
+        "dedup_semantic": similarity.dedup_semantic,
+        "corpus_temperature_sample": corpus.corpus_temperature_sample,
     }
 
 
