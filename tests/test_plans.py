@@ -115,3 +115,48 @@ def test_engine_avg_empty_errors(spark, tmp_path):
     e.run_script('create(ea,"unsorted")')
     with pytest.raises(EngineError, match="DBEDIVZERO"):
         e.run_script("s=select(ea)\nf=fetch(ea,s)\na=avg(f)")
+
+
+def test_pii_scrub_is_zero_shuffle_single_span(spark):
+    """pii_scrub must be one whole-stage-codegen span over a pruned
+    2-column scan: no Exchange, no Python, regexes fused into projects."""
+    from kstore_spark.functions.text import pii_scrub
+
+    df = pii_scrub(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM regexp chain
+    txt = _formatted(spark, df)
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all(
+        "lang" not in ln and "source" not in ln for ln in read_lines
+    )  # untouched columns pruned from the scan
+
+
+def test_temperature_sample_joins_rates_broadcast(spark):
+    """The per-stratum rate table is |sources|x|langs| rows — the join
+    against the corpus must come out broadcast (no hint in the source;
+    the size-based planner must pick it), and the corpus side must not
+    read the text column (rates derive from their own scan)."""
+    import inspect
+
+    from kstore_spark.functions.corpus import corpus_temperature_sample
+
+    assert "F.broadcast(" not in inspect.getsource(corpus_temperature_sample)
+    plan = _plan(corpus_temperature_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_matmul_topk_shuffles_only_candidates(spark):
+    """sim_topk_matmul's only exchange feeds the final k-row window —
+    the full embeddings frame is never shuffled (batch-local top-k cuts
+    it to n_batches x queries x (k+1) rows first)."""
+    from kstore_spark.functions.similarity import sim_topk_matmul
+
+    plan = _plan(sim_topk_matmul(spark, SF_DIR))
+    # exactly one shuffle exchange: the candidate window's hashpartition
+    # (a WindowGroupLimit above it cuts each partition to k rows BEFORE
+    # the shuffle, so even the candidate exchange carries <= groups x k)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+    assert "WindowGroupLimit" in plan
