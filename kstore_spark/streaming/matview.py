@@ -73,7 +73,8 @@ class MatView:
     def __init__(self, spark: SparkSession, db_dir: str, column: str,
                  view_dir: str, bucket_width: int = 100,
                  key: str | None = None,
-                 aggs: dict[str, tuple[str, str | None]] | None = None):
+                 aggs: dict[str, tuple[str, str | None]] | None = None,
+                 join_column: str | None = None):
         self.spark = spark
         self.db_dir = db_dir
         self.column = column
@@ -81,6 +82,17 @@ class MatView:
         self.bucket_width = bucket_width
         self.key = key or f"floor(val / {bucket_width})"
         self.aggs = aggs or _DEFAULT_AGGS
+        # Multi-column views over DETACHED columns (the group-covered
+        # case needs no join — siblings arrive row-aligned in the same
+        # segment files): ``join_column`` names a second detached column
+        # whose value at the same pos is exposed under its own name to
+        # ``key``/``aggs`` expressions. Each batch of new rows is
+        # pos-joined against only the join column's overlapping segment
+        # files (Parquet-footer pos ranges prune the rest), and rows
+        # whose pos has no match yet (the columns grow independently)
+        # persist in a pending buffer until the partner value arrives —
+        # state is bounded by the columns' length skew, not their size.
+        self.join_column = join_column
         for name, (kind, _) in self.aggs.items():
             if kind not in _AGG_KINDS:
                 raise ValueError(
@@ -162,6 +174,50 @@ class MatView:
         return schema, lambda df: df.select(
             "pos", F.col(self.column).alias("val"), *siblings)
 
+    def _join_info(self) -> tuple[str, list[str]]:
+        """(dir under data/, live segments) for the join column; the
+        join column must be detached — a column in the SAME group as
+        ``column`` is already visible to expressions without a join,
+        and cross-layout joins would hide that cheaper path."""
+        with open(os.path.join(self.db_dir, "catalog.json")) as f:
+            meta = json.load(f)
+        m = meta["columns"][self.join_column]
+        if m["group"] is not None:
+            raise ValueError(
+                f"join_column {self.join_column!r} is group-covered; "
+                "group siblings are row-aligned in the streamed segments "
+                "— reference the column directly in key/aggs instead"
+            )
+        return self.join_column, list(m["segments"])
+
+    @property
+    def _pending_dir(self) -> str:
+        return os.path.join(self.view_dir, "pending")
+
+    def _join_frame(self, lo: int, hi: int, live: list[str]) -> DataFrame:
+        """The join column's (pos, <name>) rows restricted to segment
+        FILES whose footer pos-range overlaps [lo, hi] — driver-side
+        metadata pruning (the engine's zone-map idea applied to pos,
+        which is monotone within a segment, so pruning is tight)."""
+        from kstore_spark.catalog import Catalog
+
+        src, _ = self._join_info()
+        files = []
+        base = os.path.join(self.db_dir, "data", src)
+        for seg in live:
+            seg_dir = os.path.join(base, seg)
+            rng = Catalog._segment_stats_cols(seg_dir, ["pos"])["pos"]
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                continue  # no pos overlap — skip the whole segment
+            files.append(seg_dir)
+        if not files:
+            return self.spark.createDataFrame([], COLUMN_SCHEMA).select(
+                "pos", F.col("val").alias(self.join_column))
+        return (
+            self.spark.read.schema(COLUMN_SCHEMA).parquet(*files)
+            .select("pos", F.col("val").alias(self.join_column))
+        )
+
     def _invalidated(self, src_dir: str, live: list[str]) -> bool:
         if not os.path.exists(self._manifest):
             return False
@@ -170,7 +226,17 @@ class MatView:
         if seen.get("src") != src_dir:
             return True  # column detached from (or joined) a group —
             # the file-stream source moved; the checkpoint is meaningless
-        return bool(set(seen["segments"]) - set(live))  # segment rewritten
+        if set(seen["segments"]) - set(live):
+            return True  # segment rewritten
+        if self.join_column is not None:
+            _, jlive = self._join_info()
+            # a join-column segment this view already CONSUMED was
+            # rewritten (delete/update/compaction) → merged values may
+            # be stale → rebuild. New join segments are NOT invalidation:
+            # the pending buffer picks their rows up incrementally.
+            if set(seen.get("join_segments", [])) - set(jlive):
+                return True
+        return False
 
     def _reset(self) -> None:
         for sub in list(os.listdir(self.view_dir)):
@@ -180,7 +246,74 @@ class MatView:
             else:
                 os.remove(p)
 
+    # -- pending buffer (join views only) --------------------------------
+    def _current_pending(self) -> int:
+        p = os.path.join(self.view_dir, "PENDING")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return -1
+
+    def _pending_path(self, gen: int) -> str:
+        return os.path.join(self.view_dir, f"pending_gen{gen}")
+
+    def _set_pending(self, gen: int) -> None:
+        tmp = os.path.join(self.view_dir, "PENDING.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(gen))
+        os.replace(tmp, os.path.join(self.view_dir, "PENDING"))
+
+    def _with_join(self, rows: DataFrame) -> DataFrame:
+        """Union new rows with the pending buffer, pos-join against the
+        join column's overlapping segments, re-buffer the unmatched
+        remainder. Returns the matched rows with the join column's
+        value exposed under its own name."""
+        pg = self._current_pending()
+        if pg >= 0:
+            rows = rows.unionByName(
+                self.spark.read.schema(COLUMN_SCHEMA)
+                .parquet(self._pending_path(pg))
+            )
+        bounds = rows.agg(
+            F.min("pos").alias("lo"), F.max("pos").alias("hi")).first()
+        _, jlive = self._join_info()
+        if bounds["lo"] is None:
+            b = self._join_frame(0, -1, [])
+        else:
+            b = self._join_frame(bounds["lo"], bounds["hi"], jlive)
+        # matched must be MATERIALIZED before the old pending generation
+        # is deleted — it lazily reads those files through `rows`
+        matched = rows.join(b, "pos").localCheckpoint(eager=True)
+        unmatched = rows.join(b.select("pos"), "pos", "left_anti")
+        npg = pg + 1
+        unmatched.write.mode("overwrite").parquet(self._pending_path(npg))
+        self._set_pending(npg)
+        if pg >= 0:
+            shutil.rmtree(self._pending_path(pg), ignore_errors=True)
+        return matched
+
     # -- maintenance -----------------------------------------------------
+    def _ingest(self, rows: DataFrame) -> None:
+        """Join (if configured) + partial-aggregate + merge into the
+        sink. Shared by the stream's foreachBatch and the post-stream
+        pending retry."""
+        if self.join_column is not None:
+            rows = self._with_join(rows)
+        n_rows = rows.count()
+        self.last_batch_rows += n_rows
+        if n_rows == 0:
+            return
+        part = self._partial(rows)
+        gen = self._current_gen()
+        if gen >= 0:
+            cur = self.spark.read.parquet(self._gen_path(gen))
+            part = self._merge_partials(cur.unionByName(part))
+        nxt = gen + 1
+        part.write.mode("overwrite").parquet(self._gen_path(nxt))
+        self._set_gen(nxt)  # atomic pointer flip — readers never torn
+        if gen >= 0:
+            shutil.rmtree(self._gen_path(gen), ignore_errors=True)
+
     def refresh(self) -> None:
         """Ingest unseen live segment files and merge into the view;
         rebuild from scratch if an ingested segment was rewritten."""
@@ -200,21 +333,8 @@ class MatView:
         def merge(batch_df: DataFrame, batch_id: int) -> None:
             # drop rows from tombstoned (non-live) segment files — they
             # exist on disk only for snapshot readers
-            rows = to_rows(batch_df.filter(F.input_file_name().rlike(live_re)))
-            n_rows = rows.count()
-            self.last_batch_rows += n_rows
-            if n_rows == 0:
-                return
-            part = self._partial(rows)
-            gen = self._current_gen()
-            if gen >= 0:
-                cur = self.spark.read.parquet(self._gen_path(gen))
-                part = self._merge_partials(cur.unionByName(part))
-            nxt = gen + 1
-            part.write.mode("overwrite").parquet(self._gen_path(nxt))
-            self._set_gen(nxt)  # atomic pointer flip — readers never torn
-            if gen >= 0:
-                shutil.rmtree(self._gen_path(gen), ignore_errors=True)
+            self._ingest(
+                to_rows(batch_df.filter(F.input_file_name().rlike(live_re))))
 
         q = (
             stream.writeStream.foreachBatch(merge)
@@ -225,8 +345,16 @@ class MatView:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("matview refresh did not finish within 300s")
+        if self.join_column is not None and self._current_pending() >= 0:
+            # the join column may have grown while this column did not —
+            # the stream then fires no batch, but buffered rows may now
+            # have partners: retry them against the current join segments
+            self._ingest(self.spark.createDataFrame([], COLUMN_SCHEMA))
+        manifest = {"src": src_dir, "segments": sorted(live)}
+        if self.join_column is not None:
+            manifest["join_segments"] = sorted(self._join_info()[1])
         with open(self._manifest, "w") as f:
-            json.dump({"src": src_dir, "segments": sorted(live)}, f)
+            json.dump(manifest, f)
 
     def read(self) -> DataFrame:
         gen = self._current_gen()
@@ -235,5 +363,9 @@ class MatView:
             # spec over an empty source — plan-only, no job runs)
             _, live, gcols = self._source_info()
             schema, to_rows = self._source_shape(gcols)
-            return self._partial(to_rows(self.spark.createDataFrame([], schema)))
+            rows = to_rows(self.spark.createDataFrame([], schema))
+            if self.join_column is not None:
+                rows = rows.withColumn(
+                    self.join_column, F.lit(None).cast("int"))
+            return self._partial(rows)
         return self.spark.read.parquet(self._gen_path(gen))

@@ -168,3 +168,64 @@ def test_matview_over_group_column(spark, tmp_path):
 
     with pytest.raises(Exception):
         roll.refresh()
+
+
+def test_matview_join_column_multi_column_expressions(spark, tmp_path):
+    """Round-3 (ROADMAP r2 #3 leftover): a view whose key/agg span TWO
+    detached columns — new rows of the streamed column pos-join against
+    the partner column's overlapping segments; rows whose partner value
+    has not arrived yet wait in a bounded pending buffer."""
+    db = str(tmp_path / "db")
+    e = Engine(spark, db)
+    e.run_script('create(mvx,"unsorted")\ncreate(mvy,"unsorted")')
+    for vx, vy in [(5, 1), (105, 1), (205, 2), (15, 2)]:
+        e.run_script(f"insert(mvx,{vx})")
+        e.run_script(f"insert(mvy,{vy})")
+
+    # rollup of mvx grouped by the PARTNER column's value
+    view = MatView(
+        spark, db, "mvx", str(tmp_path / "view"),
+        key="cast(mvy as long)",
+        aggs={"n": ("count", None), "s": ("sum", "cast(val as long)")},
+        join_column="mvy",
+    )
+
+    def expected():
+        x = e.catalog.read("mvx").select("pos", F.col("val").alias("x"))
+        y = e.catalog.read("mvy").select("pos", F.col("val").alias("y"))
+        return {
+            r["bucket"]: (r["n"], r["s"])
+            for r in x.join(y, "pos")
+            .groupBy(F.col("y").cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("x").cast("long")).alias("s"))
+            .collect()
+        }
+
+    view.refresh()
+    assert _got(view) == expected() == {1: (2, 110), 2: (2, 220)}
+
+    # mvx grows ahead of mvy: the new row has no partner → it pends,
+    # the view stays consistent with the JOINED prefix
+    e.run_script("insert(mvx,300)")
+    view.refresh()
+    assert _got(view) == expected() == {1: (2, 110), 2: (2, 220)}
+
+    # the partner value arrives; a refresh with NO new mvx data must
+    # drain the pending buffer through the join
+    e.run_script("insert(mvy,3)")
+    view.refresh()
+    assert _got(view) == expected() == {1: (2, 110), 2: (2, 220), 3: (1, 300)}
+
+    # incremental after the catch-up: one new aligned pair, one new row
+    e.run_script("insert(mvx,7)\ninsert(mvy,1)")
+    view.refresh()
+    assert view.last_batch_rows == 1
+    assert _got(view) == expected() == {1: (3, 117), 2: (2, 220), 3: (1, 300)}
+
+    # a mutation on the JOIN column rewrites its segments → the view
+    # must detect staleness and rebuild correctly
+    e.run_script("d=select(mvy,2,2)\ndelete(d,mvy)")
+    view.refresh()
+    assert _got(view) == expected()
+    assert 2 not in _got(view)
