@@ -207,7 +207,8 @@ def dedup_clusters(spark, sf_dir, max_iter: int = 20):
     return cluster_pairs(dedup_ngram_jaccard(spark, sf_dir), max_iter)
 
 
-def dedup_keep_best(spark, sf_dir, max_iter: int = 20):
+def dedup_keep_best(spark, sf_dir, max_iter: int = 20,
+                    pairs: DataFrame | None = None):
     """Canonical-document selection: within every near-dup cluster keep
     the HIGHEST-QUALITY member (longest doc; ties → smallest doc_id) —
     the policy real curation uses, vs. dedup_exact's keep-first. Output
@@ -217,7 +218,11 @@ def dedup_keep_best(spark, sf_dir, max_iter: int = 20):
     100 TB that window runs on the sparse pair-graph node set, never
     the corpus)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    clusters = cluster_pairs(dedup_ngram_jaccard(spark, sf_dir), max_iter)
+    # default = exact pair graph (SQL-oracle-reproducible); at corpus
+    # scale inject the MinHash-LSH pair output (same schema)
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(spark, sf_dir)
+    clusters = cluster_pairs(pairs, max_iter)
     clustered = docs.join(clusters, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id"))

@@ -178,7 +178,8 @@ def assign_split(df: "DataFrame", rep_col: str,
     )
 
 
-def split_train_holdout(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
+def split_train_holdout(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT,
+                        pairs: "DataFrame | None" = None):
     """Leakage-safe train/holdout split: the split decision is made per
     NEAR-DUP CLUSTER, not per document, so two near-duplicate docs can
     never straddle the boundary (the classic eval-contamination bug a
@@ -193,7 +194,13 @@ def split_train_holdout(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
     from kstore_spark.functions.dedup import cluster_pairs, dedup_ngram_jaccard
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    clusters = cluster_pairs(dedup_ngram_jaccard(spark, sf_dir))
+    # default pair graph = exact n-gram Jaccard (what the SQL oracle
+    # reproduces); at corpus scale pass the MinHash-LSH pair output
+    # instead (same schema) — examples/curate_corpus.py does exactly
+    # that via assign_split on its LSH clusters
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(spark, sf_dir)
+    clusters = cluster_pairs(pairs)
     with_rep = (
         docs.join(clusters, "doc_id", "left")
         .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("rep"))

@@ -272,6 +272,64 @@ FROM s2
 """
 
 
+# -- corpus-driven rarity score ----------------------------------------
+
+RARE_MAX_COUNT = 20  # a token seen <= this many times corpus-wide is rare
+
+
+def text_rarity(spark, sf_dir, max_count: int = RARE_MAX_COUNT):
+    """(doc_id, n_tokens, n_rare, rare_ppm) — the fraction of a doc's
+    tokens that are corpus-rare (total occurrences ≤ ``max_count``), in
+    exact parts-per-million. The corpus-driven cousin of text_quality's
+    row-local signals: a high rare/OOV ratio marks noisy or
+    out-of-distribution docs (the unigram-LM quality proxy, kept in
+    integer arithmetic end to end — a float log-prob would be 1-ulp
+    hostage to each engine's libm, floor(ppm) of exact ints is not).
+    Scale shape: one token shuffle for the count table, one for the
+    doc re-aggregation; the rare set is count-filtered BEFORE the join
+    back (typically the long tail by type but a small minority of
+    occurrences — and AQE picks the join strategy, no hint)."""
+    terms = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = terms.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rare = counts.filter(F.col("c") <= max_count).select("w")
+    n_rare = (
+        terms.join(rare, "w", "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return (
+        toks.join(n_rare, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_rare", F.lit(0)).cast("int").alias("n_rare"),
+            # `div` = exact integer division, mirroring DuckDB's `//`
+            F.expr(
+                "coalesce(n_rare, 0) * 1000000 div n_tokens"
+            ).cast("long").alias("rare_ppm"),
+        )
+    )
+
+
+TEXT_RARITY_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), rare AS (
+  SELECT w FROM terms GROUP BY w HAVING COUNT(*) <= {RARE_MAX_COUNT}
+), nr AS (
+  SELECT doc_id, COUNT(*) AS n_rare FROM terms
+  WHERE w IN (SELECT w FROM rare) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(COALESCE(nr.n_rare, 0) AS INTEGER) AS n_rare,
+       CAST(COALESCE(nr.n_rare, 0) * 1000000
+            // len(string_split(d.text, ' ')) AS BIGINT) AS rare_ppm
+FROM documents d LEFT JOIN nr ON d.doc_id = nr.doc_id
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_tokens_regex": text_tokens_regex,
@@ -280,6 +338,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
     "pii_scrub": pii_scrub,
+    "text_rarity": text_rarity,
 }
 
 ORACLES = {
@@ -290,4 +349,5 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
+    "text_rarity": TEXT_RARITY_SQL,
 }

@@ -233,6 +233,34 @@ FROM events GROUP BY event_type
 """
 
 
+def events_user_overlap(spark, sf_dir):
+    """Audience overlap: distinct users shared by every pair of event
+    types — the cohort-intersection question behind funnel design. One
+    distinct pass collapses events to |users|×|types| rows; the
+    self-join shuffles only (user_id, type) pairs, never events, and
+    the pair aggregation runs on type-pair keys (tiny). At 100 TB the
+    distinct is the only corpus-sized shuffle; the sketch family
+    (functions/sketches.py) covers the per-type approximate counts but
+    intersections need the exact pass (HLLs don't intersect)."""
+    d = table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = d.select("user_id", F.col("event_type").alias("type_a"))
+    b = d.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("n_common_users"))
+    )
+
+EVENTS_USER_OVERLAP_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(DISTINCT a.user_id) AS n_common_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 def events_hourly(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return (
@@ -453,6 +481,7 @@ QUERIES = {
     "set_ops_customers": set_ops_customers,
     "window_top_orders": window_top_orders_per_customer,
     "events_by_type": events_by_type,
+    "events_user_overlap": events_user_overlap,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_gapfill": events_gapfill,
@@ -470,6 +499,7 @@ ORACLES = {
     "set_ops_customers": SET_OPS_SQL,
     "window_top_orders": WINDOW_TOP_ORDERS_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
+    "events_user_overlap": EVENTS_USER_OVERLAP_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
