@@ -31,12 +31,16 @@ _J_NUM, _J_DEN = 4, 5  # J >= _J_NUM/_J_DEN
 
 def _tokens(spark, sf_dir) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # a small parquet arrives as one partition; spread the (CPU-heavy)
-    # shingling across cores — on a cluster this is a no-op cost
+    # a small parquet arrives as one partition, which would serialize
+    # the CPU-heavy shingling — spread it. But ONLY when the scan is
+    # actually starved: at corpus scale the file splits already provide
+    # parallelism and an unconditional repartition would shuffle the
+    # full document text for nothing (the one corpus-sized shuffle
+    # none of the dedup paths otherwise have).
     npart = spark.sparkContext.defaultParallelism
-    return docs.repartition(npart, "doc_id").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
+    if docs.rdd.getNumPartitions() < npart:
+        docs = docs.repartition(npart, "doc_id")
+    return docs.select("doc_id", F.split("text", " ").alias("t"))
 
 
 def _shingle_arrays(spark, sf_dir) -> DataFrame:
