@@ -101,7 +101,14 @@ def headline_queries():
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
         "sim_topk_matmul": similarity.sim_topk_matmul,
-        "text_quality": text.text_quality,
+        # pure projection — same count()-pruning honesty fix as pii_scrub
+        # below (round 3; earlier rounds' 0.14-0.24s values timed only
+        # the row count, so this key's series resets here)
+        "text_quality": lambda s, sf: text.text_quality(s, sf).agg(
+            F.sum("n_tokens").alias("toks"),
+            F.sum("stopword_ratio").alias("sr"),
+            F.sum("mean_token_len").alias("mtl"),
+        ),
         # round-2 additions (keys above stay comparable round-over-round)
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "q18_large_volume": extended.q18_large_volume,
