@@ -1,0 +1,99 @@
+"""Randomized differential testing for the text-pipeline operators:
+seeded random corpora (word salad + planted PII + planted duplicates +
+degenerate one-token docs) written to parquet, then each operator runs
+in Spark AND its registered DuckDB oracle SQL on the same file — the
+fuzz analogue of the driver's t2 gate, off the fixed testdata. Catches
+regex-dialect and tokenization edge cases no fixed corpus pins.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SEEDS = (11, 23, 47)
+
+VOCAB = ("the", "spark", "join", "a", "data", "row", "key", "merge",
+         "x1", "B", "...", "!!", "café", "row,col", "a-b", "3.14")
+
+
+def _gen_corpus(seed: int) -> list[str]:
+    rng = random.Random(seed)
+    texts = []
+    for i in range(40):
+        n = rng.choice((1, 2, 8, 40))
+        toks = [rng.choice(VOCAB) for _ in range(n)]
+        if rng.random() < 0.3:  # plant PII mid-document
+            toks.insert(
+                rng.randrange(len(toks) + 1),
+                rng.choice((
+                    f"user{i}@ex{i}.org",
+                    f"10.{i % 256}.0.{i % 200}",
+                    f"+{100 + i}-555-{1000 + i}",
+                    f"{100 + i} 555 {2000 + i}",
+                )),
+            )
+        texts.append(" ".join(toks))
+    for _ in range(6):  # planted exact duplicates
+        texts.append(texts[rng.randrange(len(texts))])
+    return texts
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+# every oracled documents-table operator that is pure text-in, rows-out
+_OPS = ("pii_scrub", "text_tokens", "text_quality", "text_fingerprint",
+        "text_repetition", "text_rarity", "text_langid", "dedup_exact")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_text_ops_differential(spark, tmp_path, seed):
+    from kstore_spark.functions import dedup, text
+
+    queries = {**text.QUERIES, **dedup.QUERIES}
+    oracles = {**text.ORACLES, **dedup.ORACLES}
+
+    texts = _gen_corpus(seed)
+    d = tmp_path / f"corpus{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))), "text": texts,
+            "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }),
+        str(d / "documents.parquet"),
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for op in _OPS:
+        df = queries[op](spark, str(d))
+        got = _rowset(df.columns, [tuple(r) for r in df.collect()])
+        res = con.execute(oracles[op])
+        exp = _rowset([c[0] for c in res.description], res.fetchall())
+        assert got == exp, f"{op} diverged at seed {seed}"
