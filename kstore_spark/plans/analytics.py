@@ -249,13 +249,16 @@ def events_user_overlap(spark, sf_dir):
         a.join(b, "user_id")
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
-        .agg(F.countDistinct("user_id").alias("n_common_users"))
+        # the join of two distinct (user, type) frames makes
+        # (user, type_a, type_b) unique already — plain COUNT avoids a
+        # second two-phase distinct aggregation
+        .agg(F.count(F.lit(1)).alias("n_common_users"))
     )
 
 EVENTS_USER_OVERLAP_SQL = """
 WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b,
-       COUNT(DISTINCT a.user_id) AS n_common_users
+       COUNT(*) AS n_common_users
 FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
