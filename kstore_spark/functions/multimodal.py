@@ -69,6 +69,26 @@ FROM documents
 """
 
 
+def multimodal_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact binary dedup over the payload column — keep the minimum
+    doc_id per distinct blob, count the copies. The bytes themselves
+    never shuffle: the groupBy key is the 32-byte sha2 digest, the same
+    technique as text dedup_exact (functions/dedup.py) lifted to binary
+    payloads — at 100 TB of images this is the first pass before any
+    perceptual near-dup (multimodal_neardup below)."""
+    p = binary_payloads(spark, sf_dir)
+    return (
+        p.groupBy(F.sha2("payload", 256).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+MULTIMODAL_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY encode(text)
+"""
+
+
 def _fake_decode(payload: bytes) -> bytes:
     """STUB for the codec call (no image/audio libs in this container).
 
@@ -304,10 +324,12 @@ QUERIES = {
     "multimodal_features_checksum": lambda spark, sf_dir: multimodal_features(
         spark, sf_dir
     ).select("doc_id", "byte_len", "checksum"),
+    "multimodal_dedup_exact": multimodal_dedup_exact,
 }
 
 ORACLES = {
     "multimodal_bytes": MULTIMODAL_BYTES_SQL,
+    "multimodal_dedup_exact": MULTIMODAL_DEDUP_EXACT_SQL,
     # documents are pure ASCII (verified: octet_length == length for all
     # rows), so per-char ord == per-byte value
     "multimodal_features_checksum": """
