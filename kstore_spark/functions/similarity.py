@@ -298,6 +298,66 @@ def _nearest_cells(vcol, cents, n: int):
     return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
 
+def kmeans_centroids(emb: DataFrame, k: int = N_CELLS, iters: int = 4):
+    """Distributed Lloyd's k-means over the embedding frame: assignment
+    is the same JVM nearest-cell expression IVF uses; the update step is
+    one groupBy with 64 per-dimension averages; only the k×dim centroid
+    matrix ever reaches the driver (bounded state, like cluster_pairs'
+    label frame). Iteration count is fixed → deterministic plan shape;
+    the centroids themselves are float averages, so anything built on
+    them stays rows-only for the driver (the IVF recall/exactness gates
+    in tests are centroid-agnostic)."""
+    dim = len(emb.select("v").first()["v"])
+    cents = [(r["vec_id"], r["v"]) for r in
+             emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
+        rows = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        # empty cells keep their previous centroid (standard Lloyd's)
+        new = {r["cell"]: [r[f"d{i}"] for i in range(dim)] for r in rows}
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def sim_ann_ivf_kmeans(spark, sf_dir, n_probe: int = N_PROBE,
+                       iters: int = 4):
+    """IVF top-k with a k-means-trained coarse quantizer instead of the
+    deterministic first-N cells — identical probe machinery, better cell
+    balance on clustered data. Rows-only for the driver (float centroid
+    training); full-probe == exact pinned in tests exactly like the
+    base IVF."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, N_CELLS, iters)
+    assigned = emb.withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+    )
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(
+            F.transform(_nearest_cells(F.col("qv"), cents, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    cands = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE):
     """IVF top-k: every vector is assigned to its nearest centroid cell;
     each query scans only its N_PROBE closest cells. At 100 TB the table
@@ -393,6 +453,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_kmeans": sim_ann_ivf_kmeans,
     "dedup_semantic": dedup_semantic,
 }
 

