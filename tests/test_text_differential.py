@@ -97,3 +97,47 @@ def test_text_ops_differential(spark, tmp_path, seed):
         res = con.execute(oracles[op])
         exp = _rowset([c[0] for c in res.description], res.fetchall())
         assert got == exp, f"{op} diverged at seed {seed}"
+
+
+# corpus-wide operators: recursive-CTE clustering, LATERAL-unnest
+# passages, ordered string_agg, ppm weighting — the SQL mirrors most
+# likely to diverge on corpora the fixed testdata never shows
+_CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
+               "decontaminate_ngram", "dedup_passages", "corpus_mixture",
+               "corpus_temperature_weights", "corpus_temperature_sample",
+               "tfidf_top_terms", "sample_stratified", "pack_token_budget",
+               "shuffle_shards", "split_train_holdout")
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_corpus_ops_differential(spark, tmp_path, seed):
+    from kstore_spark.functions import corpus, dedup, sampling
+
+    queries = {**dedup.QUERIES, **corpus.QUERIES, **sampling.QUERIES}
+    oracles = {**dedup.ORACLES, **corpus.ORACLES, **sampling.ORACLES}
+
+    rng = random.Random(seed * 7)
+    texts = _gen_corpus(seed)
+    d = tmp_path / f"ccorpus{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))), "text": texts,
+            "lang": [rng.choice(("en", "es", "de")) for _ in texts],
+            "source": [rng.choice(("s0", "s1")) for _ in texts],
+            "n_chars": [len(t) for t in texts],
+        }),
+        str(d / "documents.parquet"),
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for op in _CORPUS_OPS:
+        df = queries[op](spark, str(d))
+        got = _rowset(df.columns, [tuple(r) for r in df.collect()])
+        res = con.execute(oracles[op])
+        exp = _rowset([c[0] for c in res.description], res.fetchall())
+        assert got == exp, f"{op} diverged at seed {seed}"
