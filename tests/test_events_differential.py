@@ -1,0 +1,104 @@
+"""Randomized differential testing for the events analytics surface —
+the surface the round-2 testdata encoding change broke. Seeded random
+event streams with planted edge cases (timestamp TIES within a user,
+single-event users, users missing funnel steps, empty-type buckets,
+null-ish JSON props) run through every self-contained events operator
+in Spark AND its DuckDB oracle on the same parquet file.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SEEDS = (5, 19)
+TYPES = ("signup", "view", "purchase", "click")
+
+
+def _gen_events(seed: int):
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000  # epoch µs
+    rows = []
+    eid = 0
+    for user in range(12):
+        n = rng.choice((1, 2, 6, 30))
+        ts = base
+        for _ in range(n):
+            # gaps straddle the 30-min sessionization boundary; 0-gaps
+            # plant exact timestamp ties within a user
+            ts += rng.choice((0, 1, 60, 1799, 1800, 1801, 7200)) * 1_000_000
+            props = json.dumps({"k": rng.randrange(100)}) \
+                if rng.random() < 0.7 else "{}"
+            rows.append((eid, ts, user, rng.choice(TYPES),
+                         rng.random(), props))
+            eid += 1
+    return rows
+
+
+def _write(dirpath, rows):
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }),
+        f"{dirpath}/events.parquet",
+    )
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+_OPS = ("events_by_type", "events_hourly", "events_sessionize",
+        "events_gapfill", "events_gapfill_locf", "events_funnel",
+        "events_user_overlap", "events_asof", "events_json_extract",
+        "events_distinct_users")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_events_ops_differential(spark, tmp_path, seed):
+    from kstore_spark.functions import sketches
+    from kstore_spark.plans import analytics, extended
+
+    queries = {**analytics.QUERIES, **extended.QUERIES, **sketches.QUERIES}
+    oracles = {**analytics.ORACLES, **extended.ORACLES, **sketches.ORACLES}
+
+    d = tmp_path / f"events{seed}"
+    d.mkdir()
+    _write(str(d), _gen_events(seed))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    for op in _OPS:
+        df = queries[op](spark, str(d))
+        got = _rowset(df.columns, [tuple(r) for r in df.collect()])
+        res = con.execute(oracles[op])
+        exp = _rowset([c[0] for c in res.description], res.fetchall())
+        assert got == exp, f"{op} diverged at seed {seed}"
