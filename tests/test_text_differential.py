@@ -102,19 +102,26 @@ def test_text_ops_differential(spark, tmp_path, seed):
 # corpus-wide operators: recursive-CTE clustering, LATERAL-unnest
 # passages, ordered string_agg, ppm weighting — the SQL mirrors most
 # likely to diverge on corpora the fixed testdata never shows
+# (multimodal_features_checksum is deliberately absent: its oracle
+# documents an ASCII-only equivalence and this corpus plants unicode)
 _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
                "decontaminate_ngram", "dedup_passages", "corpus_mixture",
                "corpus_temperature_weights", "corpus_temperature_sample",
                "tfidf_top_terms", "sample_stratified", "pack_token_budget",
-               "shuffle_shards", "split_train_holdout")
+               "shuffle_shards", "split_train_holdout",
+               "string_funcs", "top_tokens",
+               "multimodal_bytes", "multimodal_dedup_exact")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
 def test_corpus_ops_differential(spark, tmp_path, seed):
-    from kstore_spark.functions import corpus, dedup, sampling
+    from kstore_spark.functions import corpus, dedup, multimodal, sampling
+    from kstore_spark.plans import extended
 
-    queries = {**dedup.QUERIES, **corpus.QUERIES, **sampling.QUERIES}
-    oracles = {**dedup.ORACLES, **corpus.ORACLES, **sampling.ORACLES}
+    queries = {**dedup.QUERIES, **corpus.QUERIES, **sampling.QUERIES,
+               **multimodal.QUERIES, **extended.QUERIES}
+    oracles = {**dedup.ORACLES, **corpus.ORACLES, **sampling.ORACLES,
+               **multimodal.ORACLES, **extended.ORACLES}
 
     rng = random.Random(seed * 7)
     texts = _gen_corpus(seed)
@@ -139,5 +146,41 @@ def test_corpus_ops_differential(spark, tmp_path, seed):
         df = queries[op](spark, str(d))
         got = _rowset(df.columns, [tuple(r) for r in df.collect()])
         res = con.execute(oracles[op])
+        exp = _rowset([c[0] for c in res.description], res.fetchall())
+        assert got == exp, f"{op} diverged at seed {seed}"
+
+
+@pytest.mark.parametrize("seed", (13, 29))
+def test_embedding_ops_differential(spark, tmp_path, seed):
+    """Random Gaussian embeddings (continuous sims → no ties): exact
+    top-k (both the fold and the BLAS path) and threshold near-dup must
+    match DuckDB's list_cosine_similarity bit-for-bit."""
+    import numpy as np
+
+    from kstore_spark.functions import similarity
+
+    rng = np.random.default_rng(seed)
+    n, dim = 300, 64
+    V = rng.standard_normal((n, dim)).astype("float32")
+    d = tmp_path / f"emb{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.ravel()), dim).cast(pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup"):
+        df = similarity.QUERIES[op](spark, str(d))
+        got = _rowset(df.columns, [tuple(r) for r in df.collect()])
+        res = con.execute(similarity.ORACLES[op])
         exp = _rowset([c[0] for c in res.description], res.fetchall())
         assert got == exp, f"{op} diverged at seed {seed}"
