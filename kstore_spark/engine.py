@@ -181,8 +181,13 @@ class Engine:
         # are source extensions — same row-aligned group semantics
         if path.endswith(".parquet"):
             raw = self.spark.read.parquet(path)
+        elif path.endswith(".orc"):
+            raw = self.spark.read.orc(path)
         elif path.endswith((".json", ".jsonl", ".ndjson")):
             raw = self.spark.read.json(path)
+        elif path.endswith((".tsv", ".tab")):
+            raw = self.spark.read.csv(path, header=True, sep="\t",
+                                      inferSchema=False)
         else:
             raw = self.spark.read.csv(path, header=True, inferSchema=False)
         cols = raw.columns
