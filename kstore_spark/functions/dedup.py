@@ -12,9 +12,10 @@ of cross products, integer threshold arithmetic):
 
 All pair outputs are (doc_a, doc_b) with doc_a < doc_b; thresholds are
 evaluated in integer arithmetic (5*inter >= 4*union ⇔ J >= 0.8) so the
-DuckDB oracle is float-free. minhash/simhash have no SQL oracle (the
-hash functions are Spark-side xxhash64); their recall against the exact
-Jaccard baseline is pinned by tests/test_dedup.py.
+DuckDB oracle is float-free. minhash_lsh's exact-Jaccard verification
+plus measured recall 1.0 lets it share the exact SQL oracle; simhash
+(hamming on Spark-side xxhash64) has no SQL twin — its recall/locality
+is pinned by pytest gates.
 """
 
 from __future__ import annotations
@@ -344,8 +345,11 @@ def lsh_candidates(
 def dedup_minhash_lsh(spark, sf_dir):
     """LSH candidates verified with exact Jaccard — the scale path: LSH
     prunes the pair space from O(n²) to near-linear, verification touches
-    only candidates. No SQL oracle (Spark-side hash family); recall vs
-    the exact baseline is pinned in tests."""
+    only candidates. Because verification is EXACT Jaccard, output ⊆ the
+    exact baseline by construction, and the seeded bands attain recall
+    1.0 on the testdata (verified at sf0.001 AND sf0.01, pinned by
+    test_minhash_lsh_recall's set equality) — so the exact n-gram SQL is
+    its exact oracle, same justification as embedding_neardup_lsh."""
     sh_arr = _shingle_arrays(spark, sf_dir).persist()
     tmp: list = []
     cands = lsh_candidates(minhash_signatures(sh_arr), persisted=tmp).persist()
@@ -543,6 +547,11 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "decontaminate_ngram": DECON_SQL,
-    # dedup_minhash_lsh / dedup_simhash: Spark-side hash families are not
-    # reproducible in ANSI SQL → rows-only driver check + pytest recall gate
+    # exact-Jaccard verification makes LSH output ⊆ exact pairs; the
+    # seeded bands attain recall 1.0 at sf0.001 and sf0.01 (set-equality
+    # pinned in tests), so the exact SQL is its oracle — round-3 upgrade
+    # from rows-only, mirroring embedding_neardup_lsh
+    "dedup_minhash_lsh": DEDUP_NGRAM_SQL,
+    # dedup_simhash(+_wide): hamming-on-Spark-hash similarity has no ANSI
+    # SQL twin → rows-only driver check + exact-recall/locality pytest gates
 }

@@ -18,13 +18,14 @@ def exact_pairs(spark):
 
 
 def test_minhash_lsh_recall(spark, exact_pairs):
-    """Every reported pair must be a true pair (verification step makes
-    precision exact); recall ≥ 0.9 at the J≥0.8 threshold."""
+    """Verification makes precision exact (output ⊆ exact pairs); the
+    seeded bands attain recall 1.0 on the testdata — pinned as SET
+    EQUALITY because that equality is what justifies registering the
+    exact n-gram SQL as this query's driver oracle."""
     from kstore_spark.functions.dedup import dedup_minhash_lsh
 
     got = _pairs(dedup_minhash_lsh(spark, SF_DIR))
-    assert got <= exact_pairs  # no false positives, ever
-    assert len(got) >= 0.9 * len(exact_pairs)
+    assert got == exact_pairs
 
 
 def test_simhash_finds_neardups(spark, exact_pairs):
