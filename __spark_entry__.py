@@ -23,52 +23,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 queries() entries against the DuckDB
 # oracle (observed in round 1: entries 51+ got no CORRECTNESS row).
-# Round-3 rotation (VERDICT r2 item 3 / ROADMAP #1): lead with the five
-# oracled queries that have never had a driver row in any round, then
-# everything round 3 touches (the whole streaming read path + the ANN
-# primary swap), then the §2 parity entries and r2-tail analytics. The
-# tail holds entries whose most recent driver row (r1 or r2) is green
-# and whose code is unchanged this round — the union of CORRECTNESS
-# r1+r2+r3 rows then covers all 91 oracled queries.
+# Round-4 rotation (VERDICT r3 item 2): lead with the queries that have
+# never had a green driver row in ANY round — the r3 red row (LOCF
+# oracle type fix landed this round) plus the six r3 latecomers — then
+# dedup_minhash_lsh's first row under the exact n-gram oracle, then the
+# new r4 entries and everything r4 touches, then the r1-stale parity
+# variants, then the oldest r2-green analytics. Entries left past the
+# window all have green r2/r3 rows, unchanged code this round, and
+# pytest pins; they rotate forward in r5.
 _PRIORITY = [
-    # never driver-checked in any round (landed after the r2 window)
-    "dedup_clusters", "events_gapfill", "events_gapfill_locf",
-    "events_funnel", "shuffle_shards",
-    # streaming — read path rewritten this round (TIMESTAMP_NTZ fix);
-    # the first two ERRORED in CORRECTNESS_r02
-    "stream_hourly_counts", "stream_interval_join", "stream_dedup_counts",
-    "stream_hourly_approx_users",
-    # events analytics touched by the ts normalization
-    "events_sessionize", "events_hourly", "events_by_type", "events_asof",
-    # ANN primary swap this round (matmul becomes the headline path)
-    "sim_topk_bruteforce", "sim_topk_matmul",
-    "multimodal_neardup", "events_approx_distinct", "events_approx_quantiles",
-    # new curation operators this round
-    "pii_scrub", "split_train_holdout", "dedup_keep_best", "dedup_semantic",
-    "corpus_temperature_sample",
-    # §2 parity rotation (green r1 rows; re-verify per ROADMAP #1).
-    # math_sub/math_mul/join_sort/join_tree/join_loop yield the window
-    # to the five new queries above: each is a pure variant of an
-    # in-window sibling (same cints/join code path as math_add/math_div/
-    # join_hash), has a green r1 driver row, and is pinned by the
-    # Hypothesis int32 suite and the random differential fuzzer.
-    # (corpus_temperature_weights sits in the tail: the in-window sample
-    # query embeds the full weights computation.)
-    "select_all", "select_value", "select_range", "fetch",
-    "agg_min", "agg_max", "agg_sum", "agg_count", "agg_avg_trunc",
-    "math_add", "math_div",
-    "join_hash",
-    "tuple_zip", "mutation_insert", "mutation_delete", "mutation_update",
-    # r2-tail analytics rotation
-    "q1_pricing_summary", "q6_forecast_revenue",
-    "q13_customer_distribution", "q4_order_priority",
-    "top_customers", "distinct_segments", "set_ops_customers",
-    "window_top_orders", "argmin_supplier_per_nation",
-    "price_histogram", "orders_by_month",
-    # (rollup_orders, pivot_event_types, semi_join_customers and the
-    # r2-green pipeline/TPC-H entries sit just past the window: each has
-    # a green r1 or r2 driver row, unchanged code this round, and pytest
-    # pins — the three-round union still covers every oracled query.)
+    # never green in any round (red r3 row / landed after the r3 window)
+    "events_gapfill_locf", "events_user_overlap", "dedup_simhash_wide",
+    "sim_ann_ivf_kmeans", "text_rarity", "multimodal_dedup_exact",
+    "corpus_temperature_weights",
+    # first driver row under the exact n-gram oracle (upgraded a8bf94d)
+    "dedup_minhash_lsh",
+    # new r4 entries: the strong-gap semantic headline + the LSH-fed
+    # scale paths for canonical selection and the leakage-safe split
+    "dedup_semantic_strong", "dedup_keep_best_lsh", "split_train_holdout_lsh",
+    # code touched this round (deterministic-z fix → both temperature
+    # queries; _simhash_band_pairs persist → simhash; _semantic_prune
+    # refactor → dedup_semantic; pairs= plumbing → keep_best/split)
+    "corpus_temperature_sample", "dedup_simhash", "dedup_semantic",
+    "dedup_keep_best", "split_train_holdout",
+    # r1-stale §2 parity variants (VERDICT r3 "what's wrong" item 3):
+    # last driver rows are three rounds old
+    "join_sort", "join_tree", "join_loop", "math_sub", "math_mul",
+    # r1-stale analytics
+    "rollup_orders", "pivot_event_types", "semi_join_customers",
+    # r2-stale rotation (oldest green rows first: TPC-H + analytics)
+    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_parts", "q12_shipmode_priority",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
+    "q17_small_quantity", "q18_large_volume", "q19_discounted_revenue",
+    "q20_excess_suppliers", "q21_waiting_supplier", "q22_inactive_rich",
+    "median_price_by_segment", "anti_join_customers", "except_suppliers",
+    "events_json_extract", "string_funcs", "top_tokens",
+    "dedup_exact", "dedup_ngram_jaccard",
+    # (the remaining r2-stale entries — text_*, multimodal_bytes/
+    # features, sample_stratified, pack_token_budget, dedup_passages,
+    # corpus_mixture, tfidf_top_terms, events_distinct_users,
+    # embedding_neardup(_lsh), sim_ann_ivf — plus everything green in
+    # r3 sit just past the window and lead the r5 rotation.)
 ]
 
 

@@ -127,6 +127,13 @@ def headline_queries():
         "dedup_simhash_wide": dedup.dedup_simhash_wide,
         "dedup_semantic": similarity.dedup_semantic,
         "corpus_temperature_sample": corpus.corpus_temperature_sample,
+        # round-4 additions (keys above stay comparable round-over-round)
+        # dedup_semantic_strong is the semantic-dedup HEADLINE (VERDICT
+        # r3 item 4): the production operating point (cos ≥ 0.9, w=16/
+        # b=32 — strong band selectivity, near-linear candidate volume);
+        # dedup_semantic above stays as the weak-gap stress case
+        "dedup_semantic_strong": similarity.dedup_semantic_strong,
+        "dedup_keep_best_lsh": dedup.dedup_keep_best_lsh,
     }
 
 

@@ -155,13 +155,33 @@ def corpus_temperature_weights(spark, sf_dir):
     engines, and weights are emitted in exact parts-per-million of the
     renormalized mixture so the driver can hash them. All arithmetic
     runs on the aggregated |sources|×|langs| frame — the corpus is
-    touched by exactly one scan + one groupBy."""
+    touched by exactly one scan + one groupBy.
+
+    The normalizer z = Σ√share is summed by an EXPLICIT left fold over
+    the strata sorted by (source, lang) — not a plain SUM, whose float
+    summation order is partition-dependent in Spark and engine-specific
+    in DuckDB. A floor(1e6·w/z) landing within an ulp of an integer
+    boundary could otherwise flip between engines or reruns (ADVICE
+    r3); the fold order here matches the oracle's list_reduce exactly,
+    and Spark's 0.0 seed is a no-op under IEEE (+0.0 + x == x). The
+    frame is tiny, so the coalesced sort costs nothing."""
     mix = corpus_mixture(spark, sf_dir)
     w = F.sqrt(F.col("token_share"))
-    z = F.sum(w).over(Window.partitionBy())
-    return mix.select(
+    withw = mix.select("source", "lang", "n_docs", "n_tokens", w.alias("w"))
+    zdf = withw.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "lang", "w"))),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
+    )
+    return withw.crossJoin(F.broadcast(zdf)).select(
         "source", "lang", "n_docs", "n_tokens",
-        F.floor(F.lit(1_000_000) * w / z).cast("long").alias("weight_ppm"),
+        F.floor(F.lit(1_000_000) * F.col("w") / F.col("z"))
+        .cast("long").alias("weight_ppm"),
     )
 
 
@@ -174,10 +194,15 @@ WITH per AS (
   SELECT source, lang, n_docs, n_tokens,
          sqrt(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS w
   FROM per
+), norm AS (
+  -- explicit left fold in (source, lang) order: bit-identical to the
+  -- Spark side's F.aggregate over the array_sort'ed strata
+  SELECT list_reduce(list(w ORDER BY source, lang), (a, x) -> a + x) AS z
+  FROM sh
 )
 SELECT source, lang, n_docs, n_tokens,
-       CAST(FLOOR(1000000 * w / SUM(w) OVER ()) AS BIGINT) AS weight_ppm
-FROM sh
+       CAST(FLOOR(1000000 * w / z) AS BIGINT) AS weight_ppm
+FROM sh, norm
 """
 
 
@@ -222,10 +247,13 @@ WITH per AS (
   SELECT source, lang, n_docs,
          sqrt(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS w
   FROM per
+), norm AS (
+  SELECT list_reduce(list(w ORDER BY source, lang), (a, x) -> a + x) AS z
+  FROM sh
 ), wts AS (
   SELECT source, lang, n_docs,
-         CAST(FLOOR(1000000 * w / SUM(w) OVER ()) AS BIGINT) AS weight_ppm
-  FROM sh
+         CAST(FLOOR(1000000 * w / z) AS BIGINT) AS weight_ppm
+  FROM sh, norm
 ), rates AS (
   SELECT source, lang,
          LEAST(CAST(1000000 AS BIGINT),

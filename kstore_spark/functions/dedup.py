@@ -440,7 +440,9 @@ def _simhash_band_pairs(sims: DataFrame, bands: int, hamming_max: int) -> DataFr
         F.posexplode(F.array(*[
             F.shiftright("sim", width * i).bitwiseAND(F.lit(mask)) for i in range(bands)
         ])).alias("band", "chunk"),
-    )
+    ).persist()  # consumed by BOTH sides of the self-join: without the
+    # persist the signature stage (explode + 64-bit-agg groupBy — the
+    # expensive part) recomputes per branch, same 2× lsh_candidates saves
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "chunk")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band", "chunk")
     pairs = (
@@ -450,7 +452,10 @@ def _simhash_band_pairs(sims: DataFrame, bands: int, hamming_max: int) -> DataFr
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return pairs.filter(hamming <= hamming_max).select("doc_a", "doc_b")
+    res = pairs.filter(hamming <= hamming_max).select("doc_a", "doc_b").persist()
+    res.count()  # materialize pair output (small), then free the band frame
+    banded.unpersist()
+    return res
 
 
 def dedup_simhash(spark, sf_dir):
@@ -530,11 +535,24 @@ GROUP BY doc_id
 """
 
 
+def dedup_keep_best_lsh(spark, sf_dir, max_iter: int = 20):
+    """dedup_keep_best fed by the MinHash-LSH pair graph — the actual
+    100 TB path (what examples/curate_corpus.py runs), promoted to a
+    driver entry (VERDICT r3 item 7). Carries the SAME SQL oracle as
+    the exact default: LSH pairs == exact n-gram pairs on the shipped
+    testdata (recall 1.0, set-equality pinned at sf0.001/sf0.01/sf0.1
+    in test_minhash_lsh_recall), so canonical selection over either
+    graph is identical."""
+    return dedup_keep_best(
+        spark, sf_dir, max_iter, pairs=dedup_minhash_lsh(spark, sf_dir))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_keep_best_lsh": dedup_keep_best_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_wide": dedup_simhash_wide,
@@ -552,6 +570,9 @@ ORACLES = {
     # pinned in tests), so the exact SQL is its oracle — round-3 upgrade
     # from rows-only, mirroring embedding_neardup_lsh
     "dedup_minhash_lsh": DEDUP_NGRAM_SQL,
+    # the LSH-fed keep_best inherits the exact oracle through the same
+    # recall-1.0 equivalence (pair graphs are set-equal on the testdata)
+    "dedup_keep_best_lsh": DEDUP_KEEP_BEST_SQL,
     # dedup_simhash(+_wide): hamming-on-Spark-hash similarity has no ANSI
     # SQL twin → rows-only driver check + exact-recall/locality pytest gates
 }

@@ -235,11 +235,26 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 """
 
 
+def split_train_holdout_lsh(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
+    """split_train_holdout fed by the MinHash-LSH pair graph — the
+    100 TB path (what examples/curate_corpus.py runs), promoted to a
+    driver entry (VERDICT r3 item 7). Same SQL oracle as the exact
+    default: the LSH pair graph is set-equal to the exact n-gram graph
+    on the shipped testdata (recall 1.0, pinned at sf0.001/sf0.01/sf0.1
+    in test_minhash_lsh_recall), so cluster representatives — and thus
+    every split decision — are identical."""
+    from kstore_spark.functions.dedup import dedup_minhash_lsh
+
+    return split_train_holdout(
+        spark, sf_dir, holdout_pct, pairs=dedup_minhash_lsh(spark, sf_dir))
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "pack_token_budget": pack_token_budget,
     "shuffle_shards": shuffle_shards,
     "split_train_holdout": split_train_holdout,
+    "split_train_holdout_lsh": split_train_holdout_lsh,
 }
 
 ORACLES = {
@@ -248,3 +263,6 @@ ORACLES = {
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
 }
 ORACLES["split_train_holdout"] = _split_sql()
+# the LSH-fed split inherits the exact oracle through the recall-1.0
+# pair-graph equivalence (see split_train_holdout_lsh docstring)
+ORACLES["split_train_holdout_lsh"] = _split_sql()

@@ -415,9 +415,9 @@ WITH means AS (
 )
 SELECT g.hour, g.event_type,
        m.mean_micro IS NOT NULL AS observed,
-       LAST_VALUE(m.mean_micro IGNORE NULLS) OVER (
+       CAST(LAST_VALUE(m.mean_micro IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.hour
-         ROWS UNBOUNDED PRECEDING) AS mean_micro
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mean_micro
 FROM grid g LEFT JOIN means m ON g.hour = m.hour AND g.event_type = m.event_type
 """
 

@@ -318,6 +318,17 @@ class MatView:
         """Ingest unseen live segment files and merge into the view;
         rebuild from scratch if an ingested segment was rewritten."""
         src_dir, live, gcols = self._source_info()
+        if self.join_column is not None and gcols is not None:
+            # ADVICE r3: the pending buffer persists/reads the 2-column
+            # COLUMN_SCHEMA — a group-covered source would carry sibling
+            # columns into the drain-path union (throw) or silently lose
+            # them. A group-covered column doesn't need the join anyway:
+            # its siblings arrive row-aligned in the same segment files.
+            raise ValueError(
+                f"column {self.column!r} is group-covered; join_column "
+                "views require a detached source — reference the group "
+                "siblings directly in key/aggs instead"
+            )
         if self._invalidated(src_dir, live):
             self._reset()
 

@@ -229,3 +229,76 @@ def test_matview_join_column_multi_column_expressions(spark, tmp_path):
     view.refresh()
     assert _got(view) == expected()
     assert 2 not in _got(view)
+
+
+def test_matview_join_column_invalidation_on_streamed_mutation(spark, tmp_path):
+    """VERDICT r3 item 8: a join view must invalidate and rebuild on a
+    mutation of EITHER source column. The sibling test covers the join
+    column; this one mutates the STREAMED column (segment rewrite moves
+    rows under the checkpoint) and then updates it, checking the rebuilt
+    view each time."""
+    db = str(tmp_path / "db")
+    e = Engine(spark, db)
+    e.run_script('create(jx,"unsorted")\ncreate(jy,"unsorted")')
+    for vx, vy in [(5, 1), (105, 1), (205, 2), (15, 2), (300, 3)]:
+        e.run_script(f"insert(jx,{vx})")
+        e.run_script(f"insert(jy,{vy})")
+
+    view = MatView(
+        spark, db, "jx", str(tmp_path / "view"),
+        key="cast(jy as long)",
+        aggs={"n": ("count", None), "s": ("sum", "cast(val as long)")},
+        join_column="jy",
+    )
+
+    def expected():
+        x = e.catalog.read("jx").select("pos", F.col("val").alias("x"))
+        y = e.catalog.read("jy").select("pos", F.col("val").alias("y"))
+        return {
+            r["bucket"]: (r["n"], r["s"])
+            for r in x.join(y, "pos")
+            .groupBy(F.col("y").cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("x").cast("long")).alias("s"))
+            .collect()
+        }
+
+    view.refresh()
+    assert _got(view) == expected() == {1: (2, 110), 2: (2, 220), 3: (1, 300)}
+
+    # DELETE on the streamed column: its segments are rewritten; the
+    # manifest notices an ingested segment is no longer live → rebuild
+    e.run_script("d=select(jx,105,105)\ndelete(d,jx)")
+    view.refresh()
+    assert _got(view) == expected()
+    assert _got(view)[1] == (1, 5)
+
+    # UPDATE on the streamed column: same rewrite path, new values must
+    # land in the rebuilt aggregate
+    e.run_script("u=select(jx,205,205)\nupdate(u,jx,206)")
+    view.refresh()
+    assert _got(view) == expected()
+    assert _got(view)[2] == (2, 221)
+
+
+def test_matview_join_column_requires_detached_source(spark, tmp_path):
+    """ADVICE r3: the pending buffer persists the 2-column COLUMN_SCHEMA,
+    so a group-covered streamed column under a join view must be refused
+    loudly (its siblings would break the drain-path union), not fail
+    later or lose sibling values."""
+    import pytest
+
+    db = str(tmp_path / "db")
+    e = Engine(spark, db)
+    csv = tmp_path / "g.csv"
+    with open(csv, "w") as f:
+        f.write("gva,gvb\n5,1\n105,2\n")
+    e.run_script(f'create(gva,"unsorted")\ncreate(gvb,"unsorted")\nload("{csv}")')
+    e.run_script('create(jz,"unsorted")\ninsert(jz,7)')
+
+    view = MatView(
+        spark, db, "gva", str(tmp_path / "view"),
+        key="cast(jz as long)", join_column="jz",
+    )
+    with pytest.raises(ValueError, match="group-covered"):
+        view.refresh()

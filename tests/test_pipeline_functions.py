@@ -28,6 +28,32 @@ def test_minhash_lsh_recall(spark, exact_pairs):
     assert got == exact_pairs
 
 
+def test_minhash_lsh_recall_sf01(spark):
+    """ADVICE r3: dedup_minhash_lsh carries the EXACT n-gram SQL oracle
+    on empirical set-equality grounds, so the equality must be pinned at
+    every shipped scale — including sf0.1, the driver's bench default.
+    A regenerated testdata tranche where one J≈0.8 pair misses every
+    band should fail HERE, not as a red driver row."""
+    from kstore_spark.functions.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    sf = "/root/testdata/sf0.1"
+    assert _pairs(dedup_minhash_lsh(spark, sf)) == _pairs(dedup_ngram_jaccard(spark, sf))
+
+
+def test_matmul_topk_matches_fold_sf01(spark):
+    """ADVICE r3 (same caveat as the minhash oracle): sim_topk_matmul
+    shares the fold's DuckDB oracle on a rank-gap-vs-float-noise margin
+    argument — pin rank identity against the fold at sf0.1 so a testdata
+    change that shrinks the margin surfaces in pytest."""
+    from kstore_spark.functions.similarity import (
+        sim_topk_bruteforce, sim_topk_matmul)
+
+    sf = "/root/testdata/sf0.1"
+    fold = {tuple(r) for r in sim_topk_bruteforce(spark, sf).collect()}
+    mat = {tuple(r) for r in sim_topk_matmul(spark, sf).collect()}
+    assert mat == fold
+
+
 def test_simhash_finds_neardups(spark, exact_pairs):
     """SimHash(hamming≤3) targets a different similarity notion than
     Jaccard, but on this corpus (planted ~0.97 near-dups) it must
@@ -197,6 +223,30 @@ def test_embedding_lsh_strong_regime_prunes(spark, tmp_path):
     )
     total = len(allv) * (len(allv) - 1) // 2
     assert n_cand < 0.02 * total  # ≥50× pair-space cut on random data
+
+
+def test_dedup_semantic_strong_prunes_planted(spark):
+    """The strong-gap headline (VERDICT r3 item 4): every planted scaled
+    copy must collapse into its source's component (rep = the source,
+    keep = False), and every un-duplicated vector must survive as its
+    own singleton — the LSH recall here is structural (a scaled copy
+    shares its source's hyperplane signature), so this must hold
+    exactly, with no tolerance."""
+    from kstore_spark.functions.similarity import (
+        STRONG_EVERY, STRONG_OFFSET, dedup_semantic_strong)
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["vec_id"]: (r["rep_id"], r["keep"])
+            for r in dedup_semantic_strong(spark, sf).collect()}
+    n_base = sum(1 for v in rows if v < STRONG_OFFSET)
+    assert n_base == 500 and len(rows) == 500 + 500 // STRONG_EVERY
+    for vid, (rep, keep) in rows.items():
+        if vid >= STRONG_OFFSET:          # planted copy → pruned
+            assert rep == vid - STRONG_OFFSET and not keep
+        elif vid % STRONG_EVERY == 0:     # duplicated source → kept rep
+            assert rep == vid and keep
+        else:                             # untouched vector → singleton
+            assert rep == vid and keep
 
 
 def test_exact_dedup_identity(spark):

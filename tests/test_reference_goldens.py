@@ -62,6 +62,26 @@ def test_p4challenge_stages_verbatim(spark, tmp_path):
         )
 
 
+def test_p4challenge_composed_single_script(spark, tmp_path):
+    """The reference's COMPOSED p4challenge.txt (reference p4challenge/
+    p4challenge.txt — all six stages in one script: 5 inserts, a ranged
+    delete, two ranged updates, and the six-tuple re-query sequence)
+    run as ONE Engine.run_script call. This is the variant that
+    exercises env/mutation interleaving inside a single session — bind
+    names like ta_fetch are reassigned across stages while mutations
+    shift positions under them (VERDICT r3 item 6)."""
+    from tests.golden.challenge_data import write_csvs
+
+    write_csvs(tmp_path)
+    e = Engine(spark, str(tmp_path / "db"), load_dir=str(tmp_path))
+    e.run_script(_read("p4_load.txt"))
+    out = e.run_script(_read("p4challenge.txt"))
+    expected = _read("p4challenge.expected")
+    assert _golden_eq(_normalize_tuples(out), _normalize_tuples(expected)), (
+        f"composed p4challenge: got {out!r}, want {expected!r}"
+    )
+
+
 def test_p4challenge_survives_restart_between_stages(spark, tmp_path):
     """Same staged run, but a fresh Engine (catalog re-open) before each
     stage — the reference keeps state server-side across client
