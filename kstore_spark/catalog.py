@@ -197,7 +197,11 @@ class Catalog:
             self._save()
 
     def _tombstone(self, *relpaths: str) -> None:
-        now = int(time.time())
+        # Float, NOT int(time.time()): truncation moves the tombstone up
+        # to 1 s earlier, so a session that opened in the same wall-second
+        # but BEFORE the replace (start=1000.2, tombstone 1000.9 → 1000)
+        # would fail the ts < barrier guard and lose its live snapshot.
+        now = time.time()
         self.tombstones.extend([rel, now] for rel in relpaths)
 
     # -- persistence ---------------------------------------------------

@@ -49,7 +49,7 @@ def test_gc_waits_for_live_sessions_then_reclaims(spark, tmp_path):
 
     for c in (c1, c2, c3):
         c.close()
-    time.sleep(0.01)  # tombstone ts has 1s granularity; barrier is float
+    time.sleep(0.01)  # let the clock advance past the float tombstone ts
     c4 = Catalog(spark, db)
     try:
         assert not c4.tombstones
@@ -58,6 +58,23 @@ def test_gc_waits_for_live_sessions_then_reclaims(spark, tmp_path):
         assert sorted(r[VAL] for r in c4.read("c").collect()) == [9, 9, 9]
     finally:
         c4.close()
+
+
+def test_tombstone_epoch_keeps_subsecond_precision(monkeypatch, spark, tmp_path):
+    """int(time.time()) truncation moved a tombstone up to 1 s earlier
+    than the replace, so a session opened in the same wall-second but
+    before the replace (start 1000.2 < real tombstone 1000.9 → stored
+    1000) failed the ts < barrier guard and lost its live snapshot."""
+    import kstore_spark.catalog as catmod
+
+    c = Catalog(spark, str(tmp_path / "db"))
+    try:
+        monkeypatch.setattr(catmod.time, "time", lambda: 1000.9)
+        c._tombstone("data/c/x")
+        assert c.tombstones[-1][1] == 1000.9  # not truncated to 1000
+    finally:
+        monkeypatch.undo()
+        c.close()
 
 
 def test_dead_sessions_are_swept(spark, tmp_path):
