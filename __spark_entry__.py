@@ -38,9 +38,11 @@ _PRIORITY = [
     "corpus_temperature_weights",
     # first driver row under the exact n-gram oracle (upgraded a8bf94d)
     "dedup_minhash_lsh",
-    # new r4 entries: the strong-gap semantic headline + the LSH-fed
-    # scale paths for canonical selection and the leakage-safe split
+    # new r4 entries: the strong-gap semantic headline, the LSH-fed
+    # scale paths for canonical selection and the leakage-safe split,
+    # and exact duplicated-span detection (Lee et al. substring dedup)
     "dedup_semantic_strong", "dedup_keep_best_lsh", "split_train_holdout_lsh",
+    "dedup_substring", "cluster_balanced_sample",
     # code touched this round (deterministic-z fix → both temperature
     # queries; _simhash_band_pairs persist → simhash; _semantic_prune
     # refactor → dedup_semantic; pairs= plumbing → keep_best/split)

@@ -535,6 +535,63 @@ GROUP BY doc_id
 """
 
 
+# -- exact substring (duplicated-span) dedup ---------------------------
+
+SPAN_WIDTH = 15  # tokens per span; ~ the scale of Lee et al.'s 50-token
+                 # spans, shrunk to the testdata's 10-99-token documents
+
+
+def dedup_substring(spark, sf_dir, width: int = SPAN_WIDTH):
+    """Exact duplicated-span detection (the substring-dedup shape of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): document pairs sharing at least one exact run of
+    ``width`` consecutive tokens, with ``n_spans`` = number of distinct
+    shared spans. Complements the set-similarity family: Jaccard misses
+    a long verbatim quote inside two otherwise-different documents;
+    span matching is exactly that detector.
+
+    Scale shape: the suffix-array of the paper is replaced by the
+    engine's inverted-index idiom — per-doc sliding windows are hashed
+    to a 32-byte sha2 digest IN the row (array expressions, no UDF, no
+    shuffle of text), and only (doc_id, digest) enters the self-join.
+    A span shared by k docs yields k·(k-1)/2 pairs — inherent to pair
+    semantics; boilerplate-heavy corpora should pre-filter hot digests
+    by document frequency (same cap idiom as lsh_candidates) or use the
+    span-removal aggregate instead of pairs."""
+    tok = _tokens(spark, sf_dir).filter(F.size("t") >= width)
+    sp = tok.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"array_distinct(transform(sequence(1, size(t)-{width}+1),"
+            f" i -> sha2(array_join(slice(t, i, {width}), ' '), 256)))"
+        )).alias("h"),
+    )
+    a = sp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sp.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+# digest equality ⇔ span-string equality (256-bit sha2), so the oracle
+# joins on the span text itself — same pairs, same distinct-span counts
+DEDUP_SUBSTRING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {SPAN_WIDTH}
+), sp AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{SPAN_WIDTH}-1], ' ') AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(t)-{SPAN_WIDTH}+1)) u(i)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_spans
+FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def dedup_keep_best_lsh(spark, sf_dir, max_iter: int = 20):
     """dedup_keep_best fed by the MinHash-LSH pair graph — the actual
     100 TB path (what examples/curate_corpus.py runs), promoted to a
@@ -556,6 +613,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_wide": dedup_simhash_wide,
+    "dedup_substring": dedup_substring,
     "decontaminate_ngram": decontaminate_ngram,
 }
 
@@ -564,6 +622,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "decontaminate_ngram": DECON_SQL,
     # exact-Jaccard verification makes LSH output ⊆ exact pairs; the
     # seeded bands attain recall 1.0 at sf0.001 and sf0.01 (set-equality

@@ -393,6 +393,77 @@ def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE):
     )
 
 
+# -- cluster-balanced (diversity) sampling -----------------------------
+
+_MIX, _MIX_MOD = 2654435761, 2**32  # Knuth multiplicative hash (2^32/φ)
+
+
+def cluster_balanced_sample(spark, sf_dir):
+    """Diversity sampling over embedding-space clusters (the D4-style
+    curation step): assign every vector to its nearest quantizer cell,
+    then keep ceil(sqrt(n)) vectors per cell — α=0.5 power sampling,
+    which upweights small/rare clusters relative to proportional
+    sampling (a head cluster of 10k contributes 100, a tail cluster of
+    4 contributes 2). Within-cell selection ranks by a Knuth-mix of
+    vec_id — deterministic, engine-agnostic, no RNG (same idiom as
+    shuffle_shards).
+
+    Scale shape: assignment is the same JVM nearest-cell expression IVF
+    uses (centroids are a k×dim literal — no join, no shuffle of
+    vectors); the only shuffle keys are (cell) for the count/rank
+    windows. Exact oracle: the cosine fold is sequenced identically to
+    DuckDB's list_cosine_similarity (bit-equal doubles — the same
+    equivalence sim_topk_bruteforce's oracle rests on), the argmax
+    tie-break (higher cell id on equal sim) is mirrored, and everything
+    after assignment is integer arithmetic. ceil(sqrt(n)) is exact for
+    any conceivable n (doubles are exact to 2^53; sqrt of a perfect
+    square is exact under IEEE)."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb)
+    assigned = emb.select(
+        "vec_id", _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell"))
+    mix = (F.col("vec_id") * F.lit(_MIX)) % F.lit(_MIX_MOD)
+    sized = assigned.select(
+        "vec_id", "cell",
+        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("n"),
+        F.row_number().over(
+            Window.partitionBy("cell").orderBy(mix.asc(), F.col("vec_id").asc())
+        ).alias("rn"),
+    )
+    return (
+        sized.filter(F.col("rn") <= F.ceil(F.sqrt(F.col("n"))).cast("long"))
+        .select("vec_id", "cell")
+    )
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {N_CELLS}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC
+           ) AS rnk
+    FROM e CROSS JOIN c)
+  WHERE rnk = 1
+), sized AS (
+  SELECT vec_id, cell,
+         COUNT(*) OVER (PARTITION BY cell) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY (vec_id * {_MIX}) % {_MIX_MOD}, vec_id
+         ) AS rn
+  FROM assigned
+)
+SELECT vec_id, cell FROM sized WHERE rn <= CAST(CEIL(SQRT(n)) AS BIGINT)
+"""
+
+
 # -- semantic dedup (SemDeDup-style) -----------------------------------
 
 
@@ -546,6 +617,7 @@ QUERIES = {
     "sim_ann_ivf_kmeans": sim_ann_ivf_kmeans,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -566,6 +638,10 @@ ORACLES = {
     # copies share their source's hyperplane signature) + exact-cosine
     # verify + 0.3 cosine margin ⇒ brute-force SQL is the exact oracle
     "dedup_semantic_strong": DEDUP_SEMANTIC_STRONG_SQL,
+    # cluster_balanced_sample: assignment rides the bit-equal cosine
+    # fold (same basis as sim_topk_bruteforce's oracle) with the argmax
+    # tie-break mirrored; everything downstream is integer arithmetic
+    "cluster_balanced_sample": CLUSTER_BALANCED_SAMPLE_SQL,
     # sim_ann_ivf: approximate by construction → rows-only check +
     # recall/exactness gates in tests/test_pipeline_functions.py
 }

@@ -54,6 +54,36 @@ def test_matmul_topk_matches_fold_sf01(spark):
     assert mat == fold
 
 
+def test_substring_pairs_match_bruteforce(spark):
+    """dedup_substring == an in-Python sliding-window brute force at
+    sf0.001: same pairs, same distinct-shared-span counts (pins the
+    digest-keyed inverted-index path against first-principles sets)."""
+    from kstore_spark.functions.dedup import SPAN_WIDTH, dedup_substring
+    from kstore_spark.tables import table
+
+    toks = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+    spans = {
+        d: {" ".join(t[i:i + SPAN_WIDTH]) for i in range(len(t) - SPAN_WIDTH + 1)}
+        for d, t in toks.items() if len(t) >= SPAN_WIDTH
+    }
+    ids = sorted(spans)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(spans[a] & spans[b])
+            if n:
+                expected[(a, b)] = n
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_spans"]
+        for r in dedup_substring(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected  # the planted near-dups must actually share spans
+
+
 def test_simhash_finds_neardups(spark, exact_pairs):
     """SimHash(hamming≤3) targets a different similarity notion than
     Jaccard, but on this corpus (planted ~0.97 near-dups) it must
@@ -386,6 +416,44 @@ def test_write_training_shards_replay_order(spark, tmp_path):
     # the writer leaves exactly one file per shard dir
     got = [r["doc_id"] for r in back.filter("shard = 3").collect()]
     assert got == expect
+
+
+def test_cluster_balanced_sample_quota_and_margin(spark):
+    """Per-cell quota is exactly ceil(sqrt(cell size)) and every
+    non-empty cell is represented (α=0.5 power sampling); plus the
+    oracle-safety margin: the argmax cell assignment must not rest on a
+    float knife-edge — the top-1 vs top-2 cell similarity gap stays
+    far above ulp noise at both small scales."""
+    import math
+
+    from kstore_spark.functions.similarity import (
+        _centroids, _cosine, _emb, _nearest_cells, cluster_balanced_sample)
+    from pyspark.sql import functions as F
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        emb = _emb(spark, sf)
+        cents = _centroids(emb)
+        cells = {
+            r["vec_id"]: r["cell"] for r in emb.select(
+                "vec_id", _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell")
+            ).collect()
+        }
+        sizes = {}
+        for c in cells.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        got = {}
+        for r in cluster_balanced_sample(spark, sf).collect():
+            assert cells[r["vec_id"]] == r["cell"]
+            got[r["cell"]] = got.get(r["cell"], 0) + 1
+        assert got == {c: math.isqrt(n - 1) + 1 if math.isqrt(n) ** 2 != n
+                       else math.isqrt(n) for c, n in sizes.items()}
+        top2 = emb.select(
+            F.transform(
+                _nearest_cells(F.col("v"), cents, 2), lambda s: s["s"]
+            ).alias("ss")
+        ).select((F.col("ss")[0] - F.col("ss")[1]).alias("gap"))
+        min_gap = top2.agg(F.min("gap")).first()[0]
+        assert min_gap > 1e-6, f"assignment margin too thin at {sf}: {min_gap}"
 
 
 def test_dedup_clusters_match_union_find(spark, exact_pairs):

@@ -105,6 +105,7 @@ def test_text_ops_differential(spark, tmp_path, seed):
 # (multimodal_features_checksum is deliberately absent: its oracle
 # documents an ASCII-only equivalence and this corpus plants unicode)
 _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
+               "dedup_substring",
                "decontaminate_ngram", "dedup_passages", "corpus_mixture",
                "corpus_temperature_weights", "corpus_temperature_sample",
                "tfidf_top_terms", "sample_stratified", "pack_token_budget",
@@ -178,7 +179,8 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{d}/embeddings.parquet')"
     )
-    for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup"):
+    for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup",
+               "cluster_balanced_sample"):
         df = similarity.QUERIES[op](spark, str(d))
         got = _rowset(df.columns, [tuple(r) for r in df.collect()])
         res = con.execute(similarity.ORACLES[op])
