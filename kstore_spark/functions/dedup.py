@@ -314,6 +314,15 @@ def minhash_signatures(sh_arr: DataFrame, num_perm: int = NUM_PERM) -> DataFrame
     return arred.select("doc_id", sig.alias("sig"))
 
 
+def band_hashes(bands: int = BANDS, rows: int = ROWS_PER_BAND):
+    """array<long> of per-band bucket hashes over a ``sig`` column —
+    shared by the batch LSH join and the streaming near-dup keying."""
+    return F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+        for b in range(bands)
+    ])
+
+
 def lsh_candidates(
     sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND,
     persisted: list | None = None,
@@ -323,10 +332,7 @@ def lsh_candidates(
     the shuffle at |docs|×bands rows of (int, long). The internally
     persisted band frame is appended to ``persisted`` (if given) so the
     caller can unpersist it once candidates are materialized."""
-    band_arr = F.array(*[
-        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
-        for b in range(bands)
-    ])
+    band_arr = band_hashes(bands, rows)
     banded = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "bh")
     ).persist()  # consumed by both sides of the self-join

@@ -76,8 +76,132 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name).select("event_type", "n_admitted")
 
 
+# -- streaming NEAR-dup (stateful MinHash LSH) -------------------------
+
+# signature-agreement admission: E[agree/64] = Jaccard, so ≥52/64 ≈ the
+# J ≥ 0.8 batch operating point (the estimator makes this approximate —
+# hence rows-only for the driver; the stream==batch mirror is exact)
+STREAM_MIN_AGREE = 52
+
+_NEARDUP_OUT = "doc_a long, doc_b long, n_agree int"
+_NEARDUP_STATE = "ids array<long>, sigs array<array<long>>"
+
+
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (same symlink staging
+    as the events stream)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        stage = os.path.join(
+            "/tmp", f"kstore_stream_{abs(hash((path, os.path.getmtime(path)))):x}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _bucket_pairs(key, pdf_iter, state):
+    """Per-(band, bucket) state: every signature seen in this bucket.
+    Each arriving doc is compared against the bucket's history (and
+    batch-mates processed before it); a pair is emitted when signature
+    agreement clears STREAM_MIN_AGREE. State grows with the bucket's
+    cardinality — at scale the band hash spreads docs over 2^64
+    buckets, so a bucket holds collision candidates only (that is the
+    entire point of LSH keying)."""
+    import pandas as pd
+
+    if state.exists:
+        ids, sigs = state.get
+        ids, sigs = list(ids), [list(s) for s in sigs]
+    else:
+        ids, sigs = [], []
+    out_a, out_b, out_n = [], [], []
+    for pdf in pdf_iter:
+        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            doc_id, sig = int(doc_id), [int(x) for x in sig]
+            for seen_id, seen_sig in zip(ids, sigs):
+                n = sum(1 for x, y in zip(sig, seen_sig) if x == y)
+                if n >= STREAM_MIN_AGREE and seen_id != doc_id:
+                    a, b = sorted((seen_id, doc_id))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_n.append(n)
+            ids.append(doc_id)
+            sigs.append(sig)
+    state.update((ids, sigs))
+    yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "n_agree": out_n})
+
+
+def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection — the streaming face of
+    dedup_minhash_lsh: documents arrive as a stream, MinHash signatures
+    and band bucket keys are computed row-locally IN the stream (the
+    same JVM expressions as the batch path — no Python until the
+    bucket-state step), and a stateful ``applyInPandasWithState`` keyed
+    by (band, bucket) emits a pair the moment a new document collides
+    with one already seen, at signature agreement ≥ 52/64 (the J≈0.8
+    estimator). This is the production online-ingest shape: each newly
+    crawled document is checked against the full history at arrival
+    time without ever re-scanning the corpus.
+
+    A pair colliding in several bands is emitted by each — identical
+    (doc_a, doc_b, n_agree) rows, deduplicated on the returned batch
+    frame (production sinks dedup on read the same way). The emitted
+    set is deterministic regardless of micro-batch boundaries: a pair is
+    emitted exactly when both docs share a band bucket, whether the
+    partner is in state (earlier batch) or a batch-mate — pinned
+    set-equal to the batch band-collision + agreement computation in
+    tests. Approximate by construction (estimator admission) → rows-only
+    driver check."""
+    from kstore_spark.functions.dedup import band_hashes, minhash_signatures
+
+    stream = _doc_stream(spark, sf_dir)
+    tok = stream.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.concat_ws(
+            " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
+    )
+    sigs = minhash_signatures(tok.select("doc_id", F.array_distinct(sh).alias("sh")))
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode(band_hashes()).alias("band", "bh"))
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pairs = banded.groupBy("band", "bh").applyInPandasWithState(
+        _bucket_pairs,
+        outputStructType=_NEARDUP_OUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_neardup_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
+    return spark.table(name).select("doc_a", "doc_b", "n_agree").distinct()
+
+
 QUERIES = {
     "stream_dedup_counts": stream_dedup_counts,
+    "stream_neardup_pairs": stream_neardup_pairs,
 }
 
 ORACLES = {

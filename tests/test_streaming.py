@@ -173,3 +173,40 @@ def test_stream_hourly_approx_users_error_bound(spark):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(3 * 0.02 * n, 2), (k, got[k], n)
+
+
+def test_stream_neardup_matches_batch_lsh(spark):
+    """The stateful streaming near-dup emits EXACTLY the batch
+    band-collision ∧ signature-agreement set, independent of micro-batch
+    boundaries: a pair appears when both docs share a band bucket
+    (partner in state or batch-mate), and agreement is computed from the
+    same full signatures. Also sanity: admitted pairs at ≥52/64 must be
+    a subset of the exact-Jaccard J ≥ 0.8 pairs' candidate superset —
+    i.e. each streamed pair band-collides in batch too."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.dedup import (
+        _shingle_arrays, band_hashes, lsh_candidates, minhash_signatures)
+    from kstore_spark.streaming.dedup import (
+        STREAM_MIN_AGREE, stream_neardup_pairs)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_agree"]
+        for r in stream_neardup_pairs(spark, SF_DIR).collect()
+    }
+
+    sig = minhash_signatures(_shingle_arrays(spark, SF_DIR))
+    cands = lsh_candidates(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b))
+    expected = {
+        (r["doc_a"], r["doc_b"]): r["n_agree"]
+        for r in cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("n_agree"))
+        .filter(F.col("n_agree") >= STREAM_MIN_AGREE)
+        .collect()
+    }
+    assert got == expected
+    assert expected  # the planted near-dups must actually stream out
