@@ -582,6 +582,50 @@ def dedup_substring(spark, sf_dir, width: int = SPAN_WIDTH):
     )
 
 
+def dedup_substring_spans(spark, sf_dir, width: int = SPAN_WIDTH):
+    """The removal side of substring dedup (what Lee et al. 2021
+    actually excise): for every document, the 1-based token positions
+    whose ``width``-token span also occurs in at least one OTHER
+    document, with ``n_docs`` = how many documents carry that span.
+    Feeding this to a span-merger gives the byte ranges to cut.
+
+    Same scale shape as dedup_substring, but positions are kept
+    (posexplode, no array_distinct) and the frequency side is a digest
+    groupBy (countDistinct doc_id) instead of a pair join — output is
+    linear in the corpus's duplicated-span density, never quadratic in
+    cluster size."""
+    tok = _tokens(spark, sf_dir).filter(F.size("t") >= width)
+    sp = tok.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t)-{width}+1),"
+            f" i -> sha2(array_join(slice(t, i, {width}), ' '), 256))"
+        )).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("span_pos"), "h")
+    freq = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return sp.join(freq, "h").select("doc_id", "span_pos", "n_docs")
+
+
+DEDUP_SUBSTRING_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {SPAN_WIDTH}
+), sp AS (
+  SELECT doc_id, i AS span_pos, array_to_string(t[i:i+{SPAN_WIDTH}-1], ' ') AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(t)-{SPAN_WIDTH}+1)) u(i)
+), freq AS (
+  SELECT s, COUNT(DISTINCT doc_id) AS n_docs FROM sp
+  GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT sp.doc_id, sp.span_pos, freq.n_docs
+FROM sp JOIN freq ON sp.s = freq.s
+"""
+
+
 # digest equality ⇔ span-string equality (256-bit sha2), so the oracle
 # joins on the span text itself — same pairs, same distinct-span counts
 DEDUP_SUBSTRING_SQL = f"""
@@ -620,6 +664,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_wide": dedup_simhash_wide,
     "dedup_substring": dedup_substring,
+    "dedup_substring_spans": dedup_substring_spans,
     "decontaminate_ngram": decontaminate_ngram,
 }
 
@@ -629,6 +674,7 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
+    "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
     "decontaminate_ngram": DECON_SQL,
     # exact-Jaccard verification makes LSH output ⊆ exact pairs; the
     # seeded bands attain recall 1.0 at sf0.001 and sf0.01 (set-equality

@@ -160,3 +160,36 @@ def test_matmul_topk_shuffles_only_candidates(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan[:2000]
     assert "WindowGroupLimit" in plan
+
+
+def test_cluster_balanced_sample_single_exchange_no_join(spark):
+    """Centroids are a collected k×dim literal, so assignment is a pure
+    map — the plan must contain NO join, and the quota + rank windows
+    must share ONE (cell) hash exchange; the unused label column is
+    pruned from the embeddings scan."""
+    from kstore_spark.functions.similarity import cluster_balanced_sample
+
+    df = cluster_balanced_sample(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("label" not in ln for ln in read_lines)
+
+
+def test_dedup_substring_scan_pruned_no_python(spark):
+    """The span pipeline is all JVM array expressions (no Python stage)
+    and the documents scan reads only (doc_id, text) — lang/source/
+    n_chars never leave parquet. The self-join key is the 32-byte span
+    digest, so no Exchange ever carries the text column (the only
+    text-carrying movement is the small-scan starvation repartition,
+    which disappears at corpus scale per _tokens)."""
+    from kstore_spark.functions.dedup import dedup_substring
+
+    plan = _plan(dedup_substring(spark, SF_DIR))
+    assert "Python" not in plan
+    read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all(
+        "lang" not in ln and "source" not in ln and "n_chars" not in ln
+        for ln in read_lines
+    )
