@@ -626,6 +626,74 @@ FROM sp JOIN freq ON sp.s = freq.s
 """
 
 
+def dedup_substring_strip(spark, sf_dir, width: int = SPAN_WIDTH):
+    """The excision step of Lee et al. substring dedup: every document
+    rewritten with all cross-document duplicated ``width``-token spans
+    removed (overlapping spans merge naturally — a token is cut if ANY
+    duplicated span covers it). Documents without duplicated spans pass
+    through verbatim; a fully-covered document comes out as "" (caller
+    filters, same convention as dedup_passages' clean_text).
+
+    Scale shape: the span-frequency side is dedup_substring_spans
+    (digest groupBy, linear output); coverage folds back into ONE
+    per-doc array of positions, and the rewrite is a row-local
+    index-filter over the token array — the only shuffles are the
+    digest groupBy/join and the (doc_id) coverage groupBy. Text is
+    never a shuffle key."""
+    spans = dedup_substring_spans(spark, sf_dir, width)
+    cov = spans.groupBy("doc_id").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(
+            F.sequence(F.col("span_pos"), F.col("span_pos") + width - 1)
+        )))).alias("cov")
+    )
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    "t",
+                    lambda x, i: ~F.array_contains(
+                        F.coalesce(F.col("cov"), F.expr("array()")), i + F.lit(1)
+                    ),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_STRIP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wtok AS (
+  SELECT doc_id, t FROM tok WHERE len(t) >= {SPAN_WIDTH}
+), sp AS (
+  SELECT doc_id, i AS span_pos, array_to_string(t[i:i+{SPAN_WIDTH}-1], ' ') AS s
+  FROM wtok, LATERAL unnest(generate_series(1, len(t)-{SPAN_WIDTH}+1)) u(i)
+), freq AS (
+  SELECT s FROM sp GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT sp.doc_id, v.j
+  FROM sp JOIN freq ON sp.s = freq.s,
+       LATERAL unnest(generate_series(sp.span_pos, sp.span_pos + {SPAN_WIDTH} - 1)) v(j)
+), toks AS (
+  SELECT doc_id, t[i] AS tok, i
+  FROM tok, LATERAL unnest(generate_series(1, len(t))) u(i)
+), kept AS (
+  SELECT toks.doc_id, toks.tok, toks.i
+  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.i = cov.j
+  WHERE cov.j IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
 # digest equality ⇔ span-string equality (256-bit sha2), so the oracle
 # joins on the span text itself — same pairs, same distinct-span counts
 DEDUP_SUBSTRING_SQL = f"""
@@ -665,6 +733,7 @@ QUERIES = {
     "dedup_simhash_wide": dedup_simhash_wide,
     "dedup_substring": dedup_substring,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_strip": dedup_substring_strip,
     "decontaminate_ngram": decontaminate_ngram,
 }
 
@@ -675,6 +744,7 @@ ORACLES = {
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
+    "dedup_substring_strip": DEDUP_SUBSTRING_STRIP_SQL,
     "decontaminate_ngram": DECON_SQL,
     # exact-Jaccard verification makes LSH output ⊆ exact pairs; the
     # seeded bands attain recall 1.0 at sf0.001 and sf0.01 (set-equality

@@ -84,6 +84,41 @@ def test_substring_pairs_match_bruteforce(spark):
     assert expected  # the planted near-dups must actually share spans
 
 
+def test_substring_strip_matches_bruteforce(spark):
+    """dedup_substring_strip == a first-principles Python excision at
+    sf0.001: collect spans per doc, mark positions whose span occurs in
+    ≥2 docs, cut every covered token, rejoin. Pins overlap merging,
+    pass-through of clean docs, and the short-doc (< width) path."""
+    from kstore_spark.functions.dedup import SPAN_WIDTH, dedup_substring_strip
+    from kstore_spark.tables import table
+
+    toks = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+    where = {}  # span string -> {doc_id -> [start indices]}
+    for d, t in toks.items():
+        for i in range(len(t) - SPAN_WIDTH + 1):
+            s = " ".join(t[i:i + SPAN_WIDTH])
+            where.setdefault(s, {}).setdefault(d, []).append(i)
+    covered = {d: set() for d in toks}
+    for s, docs in where.items():
+        if len(docs) >= 2:
+            for d, starts in docs.items():
+                for i in starts:
+                    covered[d].update(range(i, i + SPAN_WIDTH))
+    expected = {
+        d: " ".join(x for i, x in enumerate(t) if i not in covered[d])
+        for d, t in toks.items()
+    }
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_substring_strip(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert any(covered[d] for d in covered)  # something actually stripped
+
+
 def test_simhash_finds_neardups(spark, exact_pairs):
     """SimHash(hamming≤3) targets a different similarity notion than
     Jaccard, but on this corpus (planted ~0.97 near-dups) it must

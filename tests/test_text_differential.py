@@ -106,6 +106,7 @@ def test_text_ops_differential(spark, tmp_path, seed):
 # documents an ASCII-only equivalence and this corpus plants unicode)
 _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
                "dedup_substring", "dedup_substring_spans",
+               "dedup_substring_strip",
                "decontaminate_ngram", "dedup_passages", "corpus_mixture",
                "corpus_temperature_weights", "corpus_temperature_sample",
                "tfidf_top_terms", "sample_stratified", "pack_token_budget",
