@@ -134,6 +134,9 @@ def headline_queries():
         # dedup_semantic above stays as the weak-gap stress case
         "dedup_semantic_strong": similarity.dedup_semantic_strong,
         "dedup_keep_best_lsh": dedup.dedup_keep_best_lsh,
+        # exact substring-span dedup (Lee et al. shape): digest-keyed
+        # inverted-index join over per-row sha2 sliding windows
+        "dedup_substring": dedup.dedup_substring,
     }
 
 
