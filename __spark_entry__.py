@@ -43,7 +43,7 @@ _PRIORITY = [
     # and exact duplicated-span detection (Lee et al. substring dedup)
     "dedup_semantic_strong", "dedup_keep_best_lsh", "split_train_holdout_lsh",
     "dedup_substring", "dedup_substring_spans", "dedup_substring_strip",
-    "cluster_balanced_sample", "stream_neardup_pairs",
+    "cluster_balanced_sample", "stream_neardup_pairs", "stream_dedup_spans",
     # code touched this round (deterministic-z fix → both temperature
     # queries; _simhash_band_pairs persist → simhash; _semantic_prune
     # refactor → dedup_semantic; pairs= plumbing → keep_best/split)

@@ -199,11 +199,127 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_a", "doc_b", "n_agree").distinct()
 
 
+# -- streaming EXACT substring dedup (keep-first-by-id) ----------------
+
+_SPAN_OUT = "doc_id long, span_pos int"
+_SPAN_STATE = "min_doc long, min_pos array<int>"
+
+
+def _span_state(key, pdf_iter, state):
+    """Per-span-digest state: the minimum doc_id seen carrying this
+    span, with its positions. Every other occurrence is emitted as a
+    cut decision the moment the partner exists — including
+    retro-emitting the stored occurrences when a SMALLER doc_id
+    arrives later. Result: exactly the occurrences of every doc except
+    the digest's global-minimum doc, INDEPENDENT of micro-batch
+    boundaries or arrival order — which is what lets this stateful op
+    carry an exact SQL oracle."""
+    import pandas as pd
+
+    m, mpos = state.get if state.exists else (None, [])
+    mpos = list(mpos)
+    batch: dict[int, list[int]] = {}
+    for pdf in pdf_iter:
+        for doc_id, pos in zip(pdf["doc_id"], pdf["span_pos"]):
+            batch.setdefault(int(doc_id), []).append(int(pos))
+    out_d, out_p = [], []
+    for doc in sorted(batch):
+        if m is None:
+            m, mpos = doc, batch[doc]
+        elif doc == m:
+            mpos.extend(batch[doc])
+        elif doc < m:
+            out_d.extend([m] * len(mpos))
+            out_p.extend(mpos)
+            m, mpos = doc, batch[doc]
+        else:
+            out_d.extend([doc] * len(batch[doc]))
+            out_p.extend(batch[doc])
+    state.update((m, mpos))
+    yield pd.DataFrame({"doc_id": out_d, "span_pos": out_p})
+
+
+def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact substring dedup with keep-first semantics: as
+    documents arrive, every 15-token span already carried by a
+    lower-doc_id document is flagged for excision at (doc_id,
+    span_pos). Span digests are computed row-locally in the stream (the
+    same sha2 sliding windows as batch dedup_substring_spans); state is
+    keyed by digest and holds one (min_doc, positions) entry per span
+    ever seen — the online ingest shape where each crawled page is
+    cut against the full crawl history without re-scanning it.
+
+    Unlike stream_neardup_pairs (estimator admission → rows-only),
+    the emitted set here is EXACT and arrival-order independent (see
+    _span_state), so the batch SQL — all occurrences except the
+    digest's minimum doc's — is its exact oracle."""
+    from kstore_spark.functions.dedup import SPAN_WIDTH
+
+    stream = _doc_stream(spark, sf_dir)
+    tok = stream.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= SPAN_WIDTH)
+    sp = tok.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t)-{SPAN_WIDTH}+1),"
+            f" i -> sha2(array_join(slice(t, i, {SPAN_WIDTH}), ' '), 256))"
+        )).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("span_pos"), "h")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cuts = sp.groupBy("h").applyInPandasWithState(
+        _span_state,
+        outputStructType=_SPAN_OUT,
+        stateStructType=_SPAN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_spans_{uuid.uuid4().hex[:8]}"
+    q = (
+        cuts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
+    return spark.table(name).select("doc_id", "span_pos")
+
+
+def _stream_dedup_spans_sql() -> str:
+    from kstore_spark.functions.dedup import SPAN_WIDTH
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {SPAN_WIDTH}
+), sp AS (
+  SELECT doc_id, i AS span_pos, array_to_string(t[i:i+{SPAN_WIDTH}-1], ' ') AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(t)-{SPAN_WIDTH}+1)) u(i)
+), mins AS (
+  SELECT s, MIN(doc_id) AS m FROM sp GROUP BY s
+)
+SELECT sp.doc_id, sp.span_pos
+FROM sp JOIN mins ON sp.s = mins.s
+WHERE sp.doc_id > mins.m
+"""
+
+
 QUERIES = {
     "stream_dedup_counts": stream_dedup_counts,
     "stream_neardup_pairs": stream_neardup_pairs,
+    "stream_dedup_spans": stream_dedup_spans,
 }
 
 ORACLES = {
     "stream_dedup_counts": STREAM_DEDUP_SQL,
+    # keep-first span dedup is arrival-order independent by state
+    # construction → the batch keep-first SQL is its exact oracle
+    "stream_dedup_spans": _stream_dedup_spans_sql(),
 }

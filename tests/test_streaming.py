@@ -210,3 +210,77 @@ def test_stream_neardup_matches_batch_lsh(spark):
     }
     assert got == expected
     assert expected  # the planted near-dups must actually stream out
+
+
+def test_stream_dedup_spans_matches_keep_first_batch(spark):
+    """Streaming keep-first span dedup == the batch rule (every span
+    occurrence except the digest's minimum doc's) on the backfill."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.dedup import SPAN_WIDTH, _tokens
+    from kstore_spark.streaming.dedup import stream_dedup_spans
+
+    got = {
+        (r["doc_id"], r["span_pos"])
+        for r in stream_dedup_spans(spark, SF_DIR).collect()
+    }
+    sp = (
+        _tokens(spark, SF_DIR).filter(F.size("t") >= SPAN_WIDTH)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(1, size(t)-{SPAN_WIDTH}+1),"
+                f" i -> sha2(array_join(slice(t, i, {SPAN_WIDTH}), ' '), 256))"
+            )).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("span_pos"), "h")
+    )
+    mins = sp.groupBy("h").agg(F.min("doc_id").alias("m"))
+    expected = {
+        (r["doc_id"], r["span_pos"])
+        for r in sp.join(mins, "h").filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id", "span_pos").collect()
+    }
+    assert got == expected
+    assert expected
+
+
+def test_span_state_retro_emits_on_late_smaller_doc():
+    """The arrival-order-independence crux: when a SMALLER doc_id shows
+    up in a LATER micro-batch, the previously-stored minimum's
+    positions are retro-emitted and the newcomer becomes the keeper —
+    so the emitted set equals the batch keep-first rule under any
+    batching."""
+    import pandas as pd
+
+    from kstore_spark.streaming.dedup import _span_state
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    st = FakeState()
+
+    def run(batch):  # {doc: [pos...]} -> emitted set
+        pdf = pd.DataFrame({
+            "doc_id": [d for d, ps in batch.items() for _ in ps],
+            "span_pos": [p for ps in batch.values() for p in ps],
+        })
+        out = pd.concat(list(_span_state(("h",), iter([pdf]), st)))
+        return set(zip(out["doc_id"], out["span_pos"]))
+
+    assert run({5: [1, 2]}) == set()          # first doc: stored, kept
+    assert st.get[0] == 5
+    assert run({7: [9]}) == {(7, 9)}          # later, larger: cut
+    assert run({3: [4]}) == {(5, 1), (5, 2)}  # later, SMALLER: retro-cut 5
+    assert st.get == (3, [4])
+    assert run({3: [6], 8: [1]}) == {(8, 1)}  # keeper grows, others cut
+    assert st.get == (3, [4, 6])
