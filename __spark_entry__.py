@@ -40,7 +40,9 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     # new r4 entries: the strong-gap semantic headline, the LSH-fed
     # scale paths for canonical selection and the leakage-safe split,
-    # and exact duplicated-span detection (Lee et al. substring dedup)
+    # the exact substring-dedup family (detect / locate / strip),
+    # cluster-balanced diversity sampling, and the two stateful
+    # streaming dedup ops (near-dup rows-only; span dedup oracled)
     "dedup_semantic_strong", "dedup_keep_best_lsh", "split_train_holdout_lsh",
     "dedup_substring", "dedup_substring_spans", "dedup_substring_strip",
     "cluster_balanced_sample", "stream_neardup_pairs", "stream_dedup_spans",
