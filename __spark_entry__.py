@@ -63,14 +63,15 @@ _PRIORITY = [
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
     "q17_small_quantity", "q18_large_volume", "q19_discounted_revenue",
     "q20_excess_suppliers", "q21_waiting_supplier", "q22_inactive_rich",
-    "median_price_by_segment", "anti_join_customers", "except_suppliers",
-    "events_json_extract", "string_funcs", "top_tokens",
-    "dedup_exact", "dedup_ngram_jaccard",
-    # (the remaining r2-stale entries — text_*, multimodal_bytes/
-    # features, sample_stratified, pack_token_budget, dedup_passages,
-    # corpus_mixture, tfidf_top_terms, events_distinct_users,
-    # embedding_neardup(_lsh), sim_ann_ivf — plus everything green in
-    # r3 sit just past the window and lead the r5 rotation.)
+    "median_price_by_segment", "anti_join_customers",
+    # -- 50-entry window ends here (entries below get NO r4 driver row
+    # and lead the r5 rotation together with the unlisted tail:
+    # text_*, multimodal_bytes/features, sample_stratified,
+    # pack_token_budget, dedup_passages, corpus_mixture,
+    # tfidf_top_terms, events_distinct_users, embedding_neardup(_lsh),
+    # sim_ann_ivf, and everything green in r3) --
+    "except_suppliers", "events_json_extract", "string_funcs",
+    "top_tokens", "dedup_exact", "dedup_ngram_jaccard",
 ]
 
 

@@ -164,10 +164,18 @@ def corpus_temperature_weights(spark, sf_dir):
     boundary could otherwise flip between engines or reruns (ADVICE
     r3); the fold order here matches the oracle's list_reduce exactly,
     and Spark's 0.0 seed is a no-op under IEEE (+0.0 + x == x). The
-    frame is tiny, so the coalesced sort costs nothing."""
+    frame is tiny, so the coalesced sort costs nothing.
+
+    The strata frame feeds TWO consumers (the z-fold and the final
+    weight projection): localCheckpoint it eagerly so the corpus scan
+    + groupBy run once and both branches read the |sources|×|langs|
+    materialization — without it each branch re-derives the whole
+    corpus aggregation (4 scans measured)."""
     mix = corpus_mixture(spark, sf_dir)
     w = F.sqrt(F.col("token_share"))
-    withw = mix.select("source", "lang", "n_docs", "n_tokens", w.alias("w"))
+    withw = mix.select(
+        "source", "lang", "n_docs", "n_tokens", w.alias("w")
+    ).localCheckpoint(eager=True)
     zdf = withw.agg(
         F.aggregate(
             F.transform(

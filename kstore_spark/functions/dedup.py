@@ -353,8 +353,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     prunes the pair space from O(n²) to near-linear, verification touches
     only candidates. Because verification is EXACT Jaccard, output ⊆ the
     exact baseline by construction, and the seeded bands attain recall
-    1.0 on the testdata (verified at sf0.001 AND sf0.01, pinned by
-    test_minhash_lsh_recall's set equality) — so the exact n-gram SQL is
+    1.0 on the testdata (set equality pinned at sf0.001, sf0.01 AND
+    sf0.1 by the test_minhash_lsh_recall* gates) — so the exact n-gram SQL is
     its exact oracle, same justification as embedding_neardup_lsh."""
     sh_arr = _shingle_arrays(spark, sf_dir).persist()
     tmp: list = []
@@ -582,6 +582,20 @@ def dedup_substring(spark, sf_dir, width: int = SPAN_WIDTH):
     )
 
 
+def _span_positions(tok: DataFrame, width: int) -> DataFrame:
+    """(doc_id, span_pos 1-based, h) — sha2 digests of every sliding
+    ``width``-token window over a (doc_id, t) token frame. Shared by
+    the batch locate/strip pair and mirrored by the streaming
+    stream_dedup_spans."""
+    return tok.filter(F.size("t") >= width).select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t)-{width}+1),"
+            f" i -> sha2(array_join(slice(t, i, {width}), ' '), 256))"
+        )).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("span_pos"), "h")
+
+
 def dedup_substring_spans(spark, sf_dir, width: int = SPAN_WIDTH):
     """The removal side of substring dedup (what Lee et al. 2021
     actually excise): for every document, the 1-based token positions
@@ -594,14 +608,7 @@ def dedup_substring_spans(spark, sf_dir, width: int = SPAN_WIDTH):
     groupBy (countDistinct doc_id) instead of a pair join — output is
     linear in the corpus's duplicated-span density, never quadratic in
     cluster size."""
-    tok = _tokens(spark, sf_dir).filter(F.size("t") >= width)
-    sp = tok.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(1, size(t)-{width}+1),"
-            f" i -> sha2(array_join(slice(t, i, {width}), ' '), 256))"
-        )).alias("p0", "h"),
-    ).select("doc_id", (F.col("p0") + 1).alias("span_pos"), "h")
+    sp = _span_positions(_tokens(spark, sf_dir), width)
     freq = (
         sp.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -634,20 +641,29 @@ def dedup_substring_strip(spark, sf_dir, width: int = SPAN_WIDTH):
     through verbatim; a fully-covered document comes out as "" (caller
     filters, same convention as dedup_passages' clean_text).
 
-    Scale shape: the span-frequency side is dedup_substring_spans
-    (digest groupBy, linear output); coverage folds back into ONE
-    per-doc array of positions, and the rewrite is a row-local
+    Scale shape: the span-frequency side is the dedup_substring_spans
+    computation (digest groupBy, linear output); coverage folds back
+    into ONE per-doc array of positions, and the rewrite is a row-local
     index-filter over the token array — the only shuffles are the
     digest groupBy/join and the (doc_id) coverage groupBy. Text is
-    never a shuffle key."""
-    spans = dedup_substring_spans(spark, sf_dir, width)
+    never a shuffle key. The token frame feeds BOTH the digest pass and
+    the rewrite pass, so it is persisted and freed once the rewrite
+    materializes (the dedup_minhash_lsh persist discipline) — one
+    corpus scan + one tokenization instead of two of each."""
+    tok = _tokens(spark, sf_dir).persist()
+    sp = _span_positions(tok, width)
+    freq = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    spans = sp.join(freq, "h").select("doc_id", "span_pos", "n_docs")
     cov = spans.groupBy("doc_id").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list(
             F.sequence(F.col("span_pos"), F.col("span_pos") + width - 1)
         )))).alias("cov")
     )
-    tok = _tokens(spark, sf_dir)
-    return (
+    res = (
         tok.join(cov, "doc_id", "left")
         .select(
             "doc_id",
@@ -661,7 +677,11 @@ def dedup_substring_strip(spark, sf_dir, width: int = SPAN_WIDTH):
                 " ",
             ).alias("clean_text"),
         )
+        .persist()
     )
+    res.count()  # materialize the rewrite, then free the token cache
+    tok.unpersist()
+    return res
 
 
 DEDUP_SUBSTRING_STRIP_SQL = f"""
@@ -716,7 +736,7 @@ def dedup_keep_best_lsh(spark, sf_dir, max_iter: int = 20):
     driver entry (VERDICT r3 item 7). Carries the SAME SQL oracle as
     the exact default: LSH pairs == exact n-gram pairs on the shipped
     testdata (recall 1.0, set-equality pinned at sf0.001/sf0.01/sf0.1
-    in test_minhash_lsh_recall), so canonical selection over either
+    by the test_minhash_lsh_recall* gates), so canonical selection over either
     graph is identical."""
     return dedup_keep_best(
         spark, sf_dir, max_iter, pairs=dedup_minhash_lsh(spark, sf_dir))

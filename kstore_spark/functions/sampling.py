@@ -241,7 +241,7 @@ def split_train_holdout_lsh(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
     driver entry (VERDICT r3 item 7). Same SQL oracle as the exact
     default: the LSH pair graph is set-equal to the exact n-gram graph
     on the shipped testdata (recall 1.0, pinned at sf0.001/sf0.01/sf0.1
-    in test_minhash_lsh_recall), so cluster representatives — and thus
+    by the test_minhash_lsh_recall* gates), so cluster representatives — and thus
     every split decision — are identical."""
     from kstore_spark.functions.dedup import dedup_minhash_lsh
 

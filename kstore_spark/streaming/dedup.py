@@ -30,12 +30,12 @@ from pyspark.sql import functions as F
 from kstore_spark.streaming.windows import _events_stream
 
 
-def _run_to_table(agg: DataFrame, prefix: str) -> str:
+def _run_to_table(agg: DataFrame, prefix: str, output_mode: str = "complete") -> str:
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -92,18 +92,11 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the events stream)."""
     import os
 
+    from kstore_spark.streaming.windows import _stage_single_parquet
+
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
-        stage = os.path.join(
-            "/tmp", f"kstore_stream_{abs(hash((path, os.path.getmtime(path)))):x}"
-        )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "documents.parquet")
-        if not os.path.exists(link):
-            os.symlink(path, link)
-        path = stage
-    return spark.readStream.schema(schema).parquet(path)
+    return spark.readStream.schema(schema).parquet(_stage_single_parquet(path))
 
 
 def _bucket_pairs(key, pdf_iter, state):
@@ -182,20 +175,7 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stream_neardup_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 300s — refusing to "
-            "return a silently-partial result"
-        )
+    name = _run_to_table(pairs, "stream_neardup", output_mode="append")
     return spark.table(name).select("doc_a", "doc_b", "n_agree").distinct()
 
 
@@ -253,19 +233,11 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted set here is EXACT and arrival-order independent (see
     _span_state), so the batch SQL — all occurrences except the
     digest's minimum doc's — is its exact oracle."""
-    from kstore_spark.functions.dedup import SPAN_WIDTH
+    from kstore_spark.functions.dedup import SPAN_WIDTH, _span_positions
 
     stream = _doc_stream(spark, sf_dir)
-    tok = stream.select(
-        "doc_id", F.split("text", " ").alias("t")
-    ).filter(F.size("t") >= SPAN_WIDTH)
-    sp = tok.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(1, size(t)-{SPAN_WIDTH}+1),"
-            f" i -> sha2(array_join(slice(t, i, {SPAN_WIDTH}), ' '), 256))"
-        )).alias("p0", "h"),
-    ).select("doc_id", (F.col("p0") + 1).alias("span_pos"), "h")
+    sp = _span_positions(
+        stream.select("doc_id", F.split("text", " ").alias("t")), SPAN_WIDTH)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     cuts = sp.groupBy("h").applyInPandasWithState(
@@ -275,20 +247,7 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stream_spans_{uuid.uuid4().hex[:8]}"
-    q = (
-        cuts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 300s — refusing to "
-            "return a silently-partial result"
-        )
+    name = _run_to_table(cuts, "stream_spans", output_mode="append")
     return spark.table(name).select("doc_id", "span_pos")
 
 

@@ -27,22 +27,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _stage_single_parquet(path: str) -> str:
+    """The file streaming source ingests directories; stage a single
+    parquet file behind a symlink dir (no data copy). The stage name is
+    a stable digest of (path, mtime) so every session reuses one dir
+    per file version (hash() would be PYTHONHASHSEED-dependent and leak
+    a fresh /tmp dir per process)."""
+    import hashlib
+
+    if not os.path.isfile(path):
+        return path
+    tag = hashlib.md5(
+        f"{path}:{os.path.getmtime(path)}".encode()).hexdigest()[:16]
+    stage = os.path.join("/tmp", f"kstore_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return stage
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns ts
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
-        # the file streaming source ingests directories; stage the single
-        # parquet file behind a symlink dir (no data copy)
-        stage = os.path.join(
-            "/tmp", f"kstore_stream_{abs(hash((path, os.path.getmtime(path)))):x}"
-        )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(path, link)
-        path = stage
-    stream = spark.readStream.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(_stage_single_parquet(path))
     from kstore_spark.tables import normalize_events_ts
 
     return normalize_events_ts(stream)

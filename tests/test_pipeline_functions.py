@@ -28,15 +28,17 @@ def test_minhash_lsh_recall(spark, exact_pairs):
     assert got == exact_pairs
 
 
-def test_minhash_lsh_recall_sf01(spark):
-    """ADVICE r3: dedup_minhash_lsh carries the EXACT n-gram SQL oracle
+@pytest.mark.parametrize("sf", ("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+def test_minhash_lsh_recall_larger_scales(spark, sf):
+    """ADVICE r3: dedup_minhash_lsh (and the keep_best/split _lsh
+    variants built on its pair graph) carry the EXACT n-gram SQL oracle
     on empirical set-equality grounds, so the equality must be pinned at
-    every shipped scale — including sf0.1, the driver's bench default.
-    A regenerated testdata tranche where one J≈0.8 pair misses every
-    band should fail HERE, not as a red driver row."""
+    EVERY shipped scale — sf0.01 (the driver's correctness gate) and
+    sf0.1 (the bench default); sf0.001 is covered above. A regenerated
+    testdata tranche where one J≈0.8 pair misses every band should fail
+    HERE, not as a red driver row."""
     from kstore_spark.functions.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
 
-    sf = "/root/testdata/sf0.1"
     assert _pairs(dedup_minhash_lsh(spark, sf)) == _pairs(dedup_ngram_jaccard(spark, sf))
 
 
