@@ -563,7 +563,17 @@ def dedup_substring(spark, sf_dir, width: int = SPAN_WIDTH):
     A span shared by k docs yields k·(k-1)/2 pairs — inherent to pair
     semantics; boilerplate-heavy corpora should pre-filter hot digests
     by document frequency (same cap idiom as lsh_candidates) or use the
-    span-removal aggregate instead of pairs."""
+    span-removal aggregate instead of pairs.
+
+    The digest frame is persisted AND materialized before the
+    self-join: it feeds both branches (one span computation, not two —
+    the lsh_candidates discipline), and, decisively, the planner then
+    sees TRUE cached-relation stats. Catalyst's post-explode size
+    estimate is garbage (the project drops the text column, shrinking
+    the estimate below the broadcast threshold), so the unpersisted
+    plan BROADCASTS one side of the self-join — measured blowing the
+    1 GB driver result cap at the 100× probe. A self-join's sides are
+    identical in size; broadcast is never right for it at scale."""
     tok = _tokens(spark, sf_dir).filter(F.size("t") >= width)
     sp = tok.select(
         "doc_id",
@@ -571,15 +581,20 @@ def dedup_substring(spark, sf_dir, width: int = SPAN_WIDTH):
             f"array_distinct(transform(sequence(1, size(t)-{width}+1),"
             f" i -> sha2(array_join(slice(t, i, {width}), ' '), 256)))"
         )).alias("h"),
-    )
+    ).persist()
+    sp.count()  # materialize: accurate stats + one span computation
     a = sp.select(F.col("doc_id").alias("doc_a"), "h")
     b = sp.select(F.col("doc_id").alias("doc_b"), "h")
-    return (
+    res = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_spans"))
+        .persist()
     )
+    res.count()  # materialize the (small) pair output, free the digests
+    sp.unpersist()
+    return res
 
 
 def _span_positions(tok: DataFrame, width: int) -> DataFrame:
@@ -607,14 +622,22 @@ def dedup_substring_spans(spark, sf_dir, width: int = SPAN_WIDTH):
     (posexplode, no array_distinct) and the frequency side is a digest
     groupBy (countDistinct doc_id) instead of a pair join — output is
     linear in the corpus's duplicated-span density, never quadratic in
-    cluster size."""
-    sp = _span_positions(_tokens(spark, sf_dir), width)
+    cluster size. The position frame is persisted/materialized for the
+    same two reasons as dedup_substring: it feeds both the frequency
+    aggregate and the join back, and materialized stats stop the
+    planner's post-explode estimate from broadcasting a corpus-sized
+    side."""
+    sp = _span_positions(_tokens(spark, sf_dir), width).persist()
+    sp.count()
     freq = (
         sp.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
-    return sp.join(freq, "h").select("doc_id", "span_pos", "n_docs")
+    res = sp.join(freq, "h").select("doc_id", "span_pos", "n_docs").persist()
+    res.count()
+    sp.unpersist()
+    return res
 
 
 DEDUP_SUBSTRING_SPANS_SQL = f"""
@@ -649,9 +672,14 @@ def dedup_substring_strip(spark, sf_dir, width: int = SPAN_WIDTH):
     never a shuffle key. The token frame feeds BOTH the digest pass and
     the rewrite pass, so it is persisted and freed once the rewrite
     materializes (the dedup_minhash_lsh persist discipline) — one
-    corpus scan + one tokenization instead of two of each."""
+    corpus scan + one tokenization instead of two of each. The span
+    frame is persisted/materialized too (feeds the frequency aggregate
+    AND the join back, and keeps the planner off the post-explode
+    broadcast cliff — see dedup_substring); it is freed as soon as the
+    small coverage frame materializes."""
     tok = _tokens(spark, sf_dir).persist()
-    sp = _span_positions(tok, width)
+    sp = _span_positions(tok, width).persist()
+    sp.count()
     freq = (
         sp.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -662,7 +690,9 @@ def dedup_substring_strip(spark, sf_dir, width: int = SPAN_WIDTH):
         F.array_sort(F.array_distinct(F.flatten(F.collect_list(
             F.sequence(F.col("span_pos"), F.col("span_pos") + width - 1)
         )))).alias("cov")
-    )
+    ).persist()
+    cov.count()  # small (docs-with-dups only); free the span frame now
+    sp.unpersist()
     res = (
         tok.join(cov, "doc_id", "left")
         .select(
@@ -679,8 +709,9 @@ def dedup_substring_strip(spark, sf_dir, width: int = SPAN_WIDTH):
         )
         .persist()
     )
-    res.count()  # materialize the rewrite, then free the token cache
+    res.count()  # materialize the rewrite, then free the big caches
     tok.unpersist()
+    cov.unpersist()
     return res
 
 
