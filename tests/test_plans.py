@@ -193,3 +193,7 @@ def test_dedup_substring_scan_pruned_no_python(spark):
         "lang" not in ln and "source" not in ln and "n_chars" not in ln
         for ln in read_lines
     )
+    # the digest frame must come from the materialized cache: the
+    # unpersisted plan's post-explode size estimate broadcast one side
+    # of the self-join (blew the 1 GB driver cap at the 100× probe)
+    assert "InMemoryTableScan" in plan
