@@ -84,7 +84,15 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 STREAM_MIN_AGREE = 52
 
 _NEARDUP_OUT = "doc_a long, doc_b long, n_agree int"
-_NEARDUP_STATE = "ids array<long>, sigs array<array<long>>"
+# one state group holds MANY LSH buckets (parallel arrays keyed by the
+# exact "band:bh" composite — exact, so the stream==batch set equality
+# is preserved; a hashed bucket id could merge distinct LSH buckets).
+# Grouping per LSH bucket would mean one Python invocation per
+# (doc, band) — the same per-group overhead the span op measured at
+# 5×+ of wall clock.
+_NEARDUP_STATE = ("ks array<string>, ids array<array<long>>, "
+                  "sigs array<array<array<long>>>")
+STREAM_NEARDUP_BUCKETS = 1024
 
 
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,24 +108,28 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_pairs(key, pdf_iter, state):
-    """Per-(band, bucket) state: every signature seen in this bucket.
-    Each arriving doc is compared against the bucket's history (and
-    batch-mates processed before it); a pair is emitted when signature
-    agreement clears STREAM_MIN_AGREE. State grows with the bucket's
-    cardinality — at scale the band hash spreads docs over 2^64
+    """Per-state-group map of LSH buckets → every signature seen in
+    each. Each arriving doc is compared against its LSH bucket's
+    history (and batch-mates processed before it); a pair is emitted
+    when signature agreement clears STREAM_MIN_AGREE. State grows with
+    bucket cardinality — the band hash spreads docs over 2^64 LSH
     buckets, so a bucket holds collision candidates only (that is the
     entire point of LSH keying)."""
     import pandas as pd
 
     if state.exists:
-        ids, sigs = state.get
-        ids, sigs = list(ids), [list(s) for s in sigs]
+        ks, idss, sigss = state.get
+        buckets = {
+            k: (list(i), [list(s) for s in ss])
+            for k, i, ss in zip(ks, idss, sigss)
+        }
     else:
-        ids, sigs = [], []
+        buckets = {}
     out_a, out_b, out_n = [], [], []
     for pdf in pdf_iter:
-        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+        for k, doc_id, sig in zip(pdf["k"], pdf["doc_id"], pdf["sig"]):
             doc_id, sig = int(doc_id), [int(x) for x in sig]
+            ids, sigs = buckets.setdefault(k, ([], []))
             for seen_id, seen_sig in zip(ids, sigs):
                 n = sum(1 for x, y in zip(sig, seen_sig) if x == y)
                 if n >= STREAM_MIN_AGREE and seen_id != doc_id:
@@ -127,7 +139,9 @@ def _bucket_pairs(key, pdf_iter, state):
                     out_n.append(n)
             ids.append(doc_id)
             sigs.append(sig)
-    state.update((ids, sigs))
+    state.update((list(buckets),
+                  [v[0] for v in buckets.values()],
+                  [v[1] for v in buckets.values()]))
     yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "n_agree": out_n})
 
 
@@ -166,9 +180,13 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(tok.select("doc_id", F.array_distinct(sh).alias("sh")))
     banded = sigs.select(
         "doc_id", "sig", F.posexplode(band_hashes()).alias("band", "bh"))
+    banded = banded.select(
+        "doc_id", "sig",
+        F.concat_ws(":", "band", "bh").alias("k"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("k"), F.lit(STREAM_NEARDUP_BUCKETS)))
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    pairs = banded.groupBy("band", "bh").applyInPandasWithState(
+    pairs = banded.groupBy("bucket").applyInPandasWithState(
         _bucket_pairs,
         outputStructType=_NEARDUP_OUT,
         stateStructType=_NEARDUP_STATE,
@@ -182,40 +200,54 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- streaming EXACT substring dedup (keep-first-by-id) ----------------
 
 _SPAN_OUT = "doc_id long, span_pos int"
-_SPAN_STATE = "min_doc long, min_pos array<int>"
+# one state group holds the keep-first map of MANY digests (parallel
+# arrays keyed by digest) — grouping per digest would mean one Python
+# invocation per DISTINCT SPAN (~2.7M at 50k docs): measured 5×+ of the
+# wall clock in per-group overhead, not span logic
+_SPAN_STATE = ("hs array<string>, min_docs array<long>, "
+               "min_pos array<array<int>>")
+STREAM_SPAN_BUCKETS = 1024
 
 
 def _span_state(key, pdf_iter, state):
-    """Per-span-digest state: the minimum doc_id seen carrying this
-    span, with its positions. Every other occurrence is emitted as a
-    cut decision the moment the partner exists — including
-    retro-emitting the stored occurrences when a SMALLER doc_id
-    arrives later. Result: exactly the occurrences of every doc except
-    the digest's global-minimum doc, INDEPENDENT of micro-batch
-    boundaries or arrival order — which is what lets this stateful op
-    carry an exact SQL oracle."""
+    """Per-bucket state: for every span digest hashed into this bucket,
+    the minimum doc_id seen carrying it, with its positions. Every
+    other occurrence is emitted as a cut decision the moment the
+    partner exists — including retro-emitting the stored occurrences
+    when a SMALLER doc_id arrives later. Result: exactly the
+    occurrences of every doc except each digest's global-minimum doc,
+    INDEPENDENT of micro-batch boundaries or arrival order — which is
+    what lets this stateful op carry an exact SQL oracle."""
     import pandas as pd
 
-    m, mpos = state.get if state.exists else (None, [])
-    mpos = list(mpos)
-    batch: dict[int, list[int]] = {}
+    if state.exists:
+        hs, min_docs, min_pos = state.get
+        kept = {h: (m, list(ps)) for h, m, ps in zip(hs, min_docs, min_pos)}
+    else:
+        kept = {}
+    batch: dict[str, dict[int, list[int]]] = {}
     for pdf in pdf_iter:
-        for doc_id, pos in zip(pdf["doc_id"], pdf["span_pos"]):
-            batch.setdefault(int(doc_id), []).append(int(pos))
+        for h, doc_id, pos in zip(pdf["h"], pdf["doc_id"], pdf["span_pos"]):
+            batch.setdefault(h, {}).setdefault(int(doc_id), []).append(int(pos))
     out_d, out_p = [], []
-    for doc in sorted(batch):
-        if m is None:
-            m, mpos = doc, batch[doc]
-        elif doc == m:
-            mpos.extend(batch[doc])
-        elif doc < m:
-            out_d.extend([m] * len(mpos))
-            out_p.extend(mpos)
-            m, mpos = doc, batch[doc]
-        else:
-            out_d.extend([doc] * len(batch[doc]))
-            out_p.extend(batch[doc])
-    state.update((m, mpos))
+    for h, docs in batch.items():
+        m, mpos = kept.get(h, (None, None))
+        for doc in sorted(docs):
+            if m is None:
+                m, mpos = doc, docs[doc]
+            elif doc == m:
+                mpos.extend(docs[doc])
+            elif doc < m:
+                out_d.extend([m] * len(mpos))
+                out_p.extend(mpos)
+                m, mpos = doc, docs[doc]
+            else:
+                out_d.extend([doc] * len(docs[doc]))
+                out_p.extend(docs[doc])
+        kept[h] = (m, mpos)
+    state.update((list(kept),
+                  [v[0] for v in kept.values()],
+                  [v[1] for v in kept.values()]))
     yield pd.DataFrame({"doc_id": out_d, "span_pos": out_p})
 
 
@@ -240,7 +272,9 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("doc_id", F.split("text", " ").alias("t")), SPAN_WIDTH)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    cuts = sp.groupBy("h").applyInPandasWithState(
+    bucketed = sp.withColumn(
+        "bucket", F.pmod(F.xxhash64("h"), F.lit(STREAM_SPAN_BUCKETS)))
+    cuts = bucketed.groupBy("bucket").applyInPandasWithState(
         _span_state,
         outputStructType=_SPAN_OUT,
         stateStructType=_SPAN_STATE,

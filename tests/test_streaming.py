@@ -269,18 +269,28 @@ def test_span_state_retro_emits_on_late_smaller_doc():
 
     st = FakeState()
 
-    def run(batch):  # {doc: [pos...]} -> emitted set
-        pdf = pd.DataFrame({
-            "doc_id": [d for d, ps in batch.items() for _ in ps],
-            "span_pos": [p for ps in batch.values() for p in ps],
-        })
-        out = pd.concat(list(_span_state(("h",), iter([pdf]), st)))
+    def run(batch):  # {digest: {doc: [pos...]}} -> emitted set
+        rows = [
+            (h, d, p)
+            for h, docs in batch.items()
+            for d, ps in docs.items()
+            for p in ps
+        ]
+        pdf = pd.DataFrame(rows, columns=["h", "doc_id", "span_pos"])
+        out = pd.concat(list(_span_state((0,), iter([pdf]), st)))
         return set(zip(out["doc_id"], out["span_pos"]))
 
-    assert run({5: [1, 2]}) == set()          # first doc: stored, kept
-    assert st.get[0] == 5
-    assert run({7: [9]}) == {(7, 9)}          # later, larger: cut
-    assert run({3: [4]}) == {(5, 1), (5, 2)}  # later, SMALLER: retro-cut 5
-    assert st.get == (3, [4])
-    assert run({3: [6], 8: [1]}) == {(8, 1)}  # keeper grows, others cut
-    assert st.get == (3, [4, 6])
+    def kept():  # state as {digest: (min_doc, positions)}
+        hs, min_docs, min_pos = st.get
+        return {h: (m, list(ps)) for h, m, ps in zip(hs, min_docs, min_pos)}
+
+    assert run({"h0": {5: [1, 2]}}) == set()          # first doc: stored
+    assert kept()["h0"][0] == 5
+    assert run({"h0": {7: [9]}}) == {(7, 9)}          # later, larger: cut
+    assert run({"h0": {3: [4]}}) == {(5, 1), (5, 2)}  # SMALLER: retro-cut 5
+    assert kept()["h0"] == (3, [4])
+    # keeper grows, larger batch-mate cut; a SECOND digest sharing the
+    # bucket keeps independent keep-first state
+    assert run({"h0": {3: [6], 8: [1]}, "h1": {9: [2]}}) == {(8, 1)}
+    assert kept()["h0"] == (3, [4, 6])
+    assert kept()["h1"] == (9, [2])
