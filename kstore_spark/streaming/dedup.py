@@ -83,6 +83,31 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 # hence rows-only for the driver; the stream==batch mirror is exact)
 STREAM_MIN_AGREE = 52
 
+_ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+_STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _run_with_rocksdb_state(spark, frame, prefix, output_mode):
+    """Run a stateful query with the RocksDB state store (scoped — the
+    previous provider is restored afterwards). The dedup ops' state is
+    O(corpus) (every signature / span digest ever seen); the default
+    in-heap HDFSBackedStateStore holds it all in executor heap maps and
+    OOMs around 500k docs on an 8 GB JVM, while RocksDB keeps state
+    off-heap with disk spill — the production configuration for
+    large-state streaming (measured: the 100× probe OOMs in-heap,
+    finishes in 53 s on RocksDB)."""
+    prev = spark.conf.get(_STATE_STORE_KEY, None)
+    spark.conf.set(_STATE_STORE_KEY, _ROCKSDB)
+    try:
+        return _run_to_table(frame, prefix, output_mode=output_mode)
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_STORE_KEY)
+        else:
+            spark.conf.set(_STATE_STORE_KEY, prev)
+
+
 _NEARDUP_OUT = "doc_a long, doc_b long, n_agree int"
 # one state group holds MANY LSH buckets (parallel arrays keyed by the
 # exact "band:bh" composite — exact, so the stream==batch set equality
@@ -193,7 +218,7 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = _run_to_table(pairs, "stream_neardup", output_mode="append")
+    name = _run_with_rocksdb_state(spark, pairs, "stream_neardup", "append")
     return spark.table(name).select("doc_a", "doc_b", "n_agree").distinct()
 
 
@@ -281,7 +306,7 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = _run_to_table(cuts, "stream_spans", output_mode="append")
+    name = _run_with_rocksdb_state(spark, cuts, "stream_spans", "append")
     return spark.table(name).select("doc_id", "span_pos")
 
 
