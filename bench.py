@@ -163,10 +163,16 @@ def main():
     # load inflates identical workloads up to 3× run-to-run, and the
     # second run also absorbs one-time Python-worker spinup for the
     # Arrow/mapInArrow paths — min reflects the steady state a cluster
-    # would see.
+    # would see. clearCache() before EVERY timed run: several dedup ops
+    # return persisted frames (deliberately — callers reuse them), and
+    # Spark's CacheManager matches the second run's equivalent plan to
+    # the first run's cache, silently skipping the join/agg stages the
+    # benchmark exists to measure (confirmed: dedup_substring run 2
+    # drops to cache-read cost). Each timed run is cold-cache/warm-JVM.
     for name, fn in headline_queries().items():
         runs = []
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, SF_DIR).count()
             runs.append(time.time() - t0)

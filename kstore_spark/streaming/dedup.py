@@ -88,6 +88,9 @@ _ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
 _STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
+_STATE_STORE_LOCK = __import__("threading").Lock()
+
+
 def _run_with_rocksdb_state(spark, frame, prefix, output_mode):
     """Run a stateful query with the RocksDB state store (scoped — the
     previous provider is restored afterwards). The dedup ops' state is
@@ -96,16 +99,23 @@ def _run_with_rocksdb_state(spark, frame, prefix, output_mode):
     OOMs around 500k docs on an 8 GB JVM, while RocksDB keeps state
     off-heap with disk spill — the production configuration for
     large-state streaming (measured: the 100× probe OOMs in-heap,
-    finishes in 53 s on RocksDB)."""
-    prev = spark.conf.get(_STATE_STORE_KEY, None)
-    spark.conf.set(_STATE_STORE_KEY, _ROCKSDB)
-    try:
-        return _run_to_table(frame, prefix, output_mode=output_mode)
-    finally:
-        if prev is None:
-            spark.conf.unset(_STATE_STORE_KEY)
-        else:
-            spark.conf.set(_STATE_STORE_KEY, prev)
+    finishes in 53 s on RocksDB).
+
+    The provider conf is SESSION-GLOBAL and read at query start, so the
+    set/run/restore is serialized under a lock: a concurrent stateful
+    query started from another thread would otherwise pick up (or
+    revert) the override mid-start and make the provider choice
+    timing-dependent."""
+    with _STATE_STORE_LOCK:
+        prev = spark.conf.get(_STATE_STORE_KEY, None)
+        spark.conf.set(_STATE_STORE_KEY, _ROCKSDB)
+        try:
+            return _run_to_table(frame, prefix, output_mode=output_mode)
+        finally:
+            if prev is None:
+                spark.conf.unset(_STATE_STORE_KEY)
+            else:
+                spark.conf.set(_STATE_STORE_KEY, prev)
 
 
 _NEARDUP_OUT = "doc_a long, doc_b long, n_agree int"
@@ -281,10 +291,18 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents arrive, every 15-token span already carried by a
     lower-doc_id document is flagged for excision at (doc_id,
     span_pos). Span digests are computed row-locally in the stream (the
-    same sha2 sliding windows as batch dedup_substring_spans); state is
-    keyed by digest and holds one (min_doc, positions) entry per span
-    ever seen — the online ingest shape where each crawled page is
-    cut against the full crawl history without re-scanning it.
+    same sha2 sliding windows as batch dedup_substring_spans); state
+    holds one (min_doc, positions) entry per span ever seen, stored in
+    1024 bucketed groups — the online ingest shape where each crawled
+    page is cut against the full crawl history without re-scanning it.
+
+    Bucketing trade-off: per-group invocation overhead amortizes over
+    the bucket (the win that took the 10× backfill 77 → 3 s), but a
+    touched bucket's whole state (≈ state/1024) is deserialized and
+    rewritten per micro-batch — sized for ingest micro-batches of
+    hundreds-to-thousands of docs, not single-document triggers; tune
+    STREAM_SPAN_BUCKETS up for finer granularity at higher group
+    overhead.
 
     Unlike stream_neardup_pairs (estimator admission → rows-only),
     the emitted set here is EXACT and arrival-order independent (see

@@ -193,7 +193,15 @@ def test_dedup_substring_scan_pruned_no_python(spark):
         "lang" not in ln and "source" not in ln and "n_chars" not in ln
         for ln in read_lines
     )
-    # the digest frame must come from the materialized cache: the
+    # the digest frame must come from the MATERIALIZED cache: the
     # unpersisted plan's post-explode size estimate broadcast one side
-    # of the self-join (blew the 1 GB driver cap at the 100× probe)
+    # of the self-join (blew the 1 GB driver cap at the 100× probe).
+    # The plan shows cached scans, and — since the returned res is
+    # itself persisted, which alone would satisfy the plan assert —
+    # the sp persist+materialize discipline is pinned on the source
+    # (same idiom as test_temperature_sample's no-hint assert).
     assert "InMemoryTableScan" in plan
+    import inspect
+
+    src = inspect.getsource(dedup_substring)
+    assert ".persist()" in src and "sp.count()" in src
