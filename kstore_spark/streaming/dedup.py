@@ -149,7 +149,10 @@ def _bucket_pairs(key, pdf_iter, state):
     when signature agreement clears STREAM_MIN_AGREE. State grows with
     bucket cardinality — the band hash spreads docs over 2^64 LSH
     buckets, so a bucket holds collision candidates only (that is the
-    entire point of LSH keying)."""
+    entire point of LSH keying). Same bucketing trade-off as
+    _span_state: a touched state group rewrites ≈ state/1024 per
+    micro-batch — sized for ingest micro-batches, not single-document
+    triggers (tune STREAM_NEARDUP_BUCKETS)."""
     import pandas as pd
 
     if state.exists:
