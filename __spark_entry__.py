@@ -46,6 +46,12 @@ _PRIORITY = [
     "dedup_semantic_strong", "dedup_keep_best_lsh", "split_train_holdout_lsh",
     "dedup_substring", "dedup_substring_spans", "dedup_substring_strip",
     "cluster_balanced_sample", "stream_neardup_pairs", "stream_dedup_spans",
+    # late-r4 second wave: keyless binned range join, corpus-trained
+    # bigram-LM quality scoring, per-source quota cap, deterministic
+    # weighted sampling — never driver-checked, so they outrank
+    # re-checking entries that already have green r2 rows
+    "events_range_join", "text_lm_score", "source_quota_cap",
+    "sample_weighted",
     # code touched this round (deterministic-z fix → both temperature
     # queries; _simhash_band_pairs persist → simhash; _semantic_prune
     # refactor → dedup_semantic; pairs= plumbing → keep_best/split)
@@ -62,30 +68,33 @@ _PRIORITY = [
     "q10_returned_items", "q11_important_parts", "q12_shipmode_priority",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
     "q17_small_quantity", "q18_large_volume", "q19_discounted_revenue",
-    "q20_excess_suppliers", "q21_waiting_supplier", "q22_inactive_rich",
-    "median_price_by_segment", "anti_join_customers",
+    "q20_excess_suppliers",
     # -- 50-entry window ends here (entries below get NO r4 driver row
     # and lead the r5 rotation together with the unlisted tail:
     # text_*, multimodal_bytes/features, sample_stratified,
     # pack_token_budget, dedup_passages, corpus_mixture,
     # tfidf_top_terms, events_distinct_users, embedding_neardup(_lsh),
-    # sim_ann_ivf, and everything green in r3) --
+    # sim_ann_ivf, and everything green in r3; the four r2-green TPC-H/
+    # analytics entries displaced by the late-r4 second wave sit first) --
+    "q21_waiting_supplier", "q22_inactive_rich",
+    "median_price_by_segment", "anti_join_customers",
     "except_suppliers", "events_json_extract", "string_funcs",
     "top_tokens", "dedup_exact", "dedup_ngram_jaccard",
 ]
 
 
 def _all_queries() -> dict[str, Callable]:
-    from kstore_spark.plans import analytics, extended, kparity, tpch_wide
+    from kstore_spark.plans import analytics, extended, kparity, ranges, tpch_wide
 
     out: dict[str, Callable] = {}
     out.update(kparity.QUERIES)
     out.update(analytics.QUERIES)
     out.update(extended.QUERIES)
     out.update(tpch_wide.QUERIES)
+    out.update(ranges.QUERIES)
     try:
         from kstore_spark.functions import (
-            corpus, dedup, multimodal, sampling, similarity, sketches, text)
+            corpus, dedup, lm, multimodal, sampling, similarity, sketches, text)
 
         out.update(dedup.QUERIES)
         out.update(similarity.QUERIES)
@@ -94,6 +103,7 @@ def _all_queries() -> dict[str, Callable]:
         out.update(sampling.QUERIES)
         out.update(corpus.QUERIES)
         out.update(sketches.QUERIES)
+        out.update(lm.QUERIES)
     except ImportError:
         pass
     try:
@@ -120,16 +130,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kstore_spark.plans import analytics, extended, kparity, tpch_wide
+    from kstore_spark.plans import analytics, extended, kparity, ranges, tpch_wide
 
     merged: dict[str, str] = {}
     merged.update(kparity.ORACLES)
     merged.update(analytics.ORACLES)
     merged.update(extended.ORACLES)
     merged.update(tpch_wide.ORACLES)
+    merged.update(ranges.ORACLES)
     try:
         from kstore_spark.functions import (
-            corpus, dedup, multimodal, sampling, similarity, sketches, text)
+            corpus, dedup, lm, multimodal, sampling, similarity, sketches, text)
 
         merged.update(dedup.ORACLES)
         merged.update(similarity.ORACLES)
@@ -138,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         merged.update(sampling.ORACLES)
         merged.update(corpus.ORACLES)
         merged.update(sketches.ORACLES)
+        merged.update(lm.ORACLES)
     except ImportError:
         pass
     try:

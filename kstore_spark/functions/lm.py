@@ -1,0 +1,118 @@
+"""Corpus-trained n-gram language-model quality scoring.
+
+The CCNet/Gopher-style pipeline stage the rest of the text suite lacks:
+score each document by how well a statistical language model predicts
+it, then filter/bucket on the score. Real pipelines train a KenLM on a
+trusted corpus; no LM toolkit exists in this environment, so the model
+here is the classic self-supervised bigram MLE estimated FROM the
+corpus itself — the training pass is two grouped counts, which is the
+part that matters at 100 TB (the trusted-corpus variant only changes
+which frame the counts aggregate over).
+
+Arithmetic discipline: the usual per-token log-probabilities are
+replaced by conditional probabilities in exact integer ppm —
+p(w2|w1) ≈ (1e6 · C(w1,w2)) div C(w1·) — and a document's score is the
+integer mean over its bigrams. Monotone in the geometric/arithmetic
+LM-quality ordering the float pipeline produces, but bit-identical in
+every engine (the repo's float-free oracle discipline; ln() differs in
+final ulps across libm implementations, floor(log) can flip).
+
+Scale shape (all stages are plain DataFrame ops):
+- bigram formation is ROW-LOCAL (transform over the token array — no
+  posexplode+window over global token positions, which would shuffle
+  every token of the corpus by (doc, pos));
+- training = two groupBy counts over token keys — partial-aggregated
+  map-side, shuffle carries (word, count) pairs, never text;
+- scoring = one equi-join of the exploded bigrams against the
+  vocabulary-bounded rate table (AQE broadcasts it while it fits,
+  shuffle-joins beyond — no hard hint), then a per-doc partial agg.
+- the exploded bigram frame feeds three consumers (two counts + the
+  scoring join), so it is persisted once and freed after the (small)
+  per-doc result materializes — same discipline as dedup_minhash_lsh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+PPM = 1_000_000
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair, formed
+    row-locally inside the token array; docs with < 2 tokens drop out
+    (they have no bigrams to score)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pairs = F.expr(
+        "transform(slice(t, 1, size(t) - 1),"
+        " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+    )
+    return (
+        docs.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score_ppm): mean conditional bigram
+    probability of the document under the corpus-trained bigram MLE,
+    in exact integer ppm. High score = predictable, well-formed text;
+    boilerplate scores high, keyboard-mash / OCR noise scores low —
+    the filter threshold is applied downstream."""
+    bg = _doc_bigrams(spark, sf_dir).persist()
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    rates = bc.join(uc, "w1").select(
+        "w1", "w2", F.expr(f"({PPM} * bc) div uc").alias("p_ppm")
+    )
+    res = (
+        bg.join(rates, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").alias("s"),
+        )
+        .select(
+            "doc_id", "n_bigrams", F.expr("s div n_bigrams").alias("lm_score_ppm")
+        )
+        .persist()
+    )
+    res.count()  # materialize the per-doc result, then free the big
+    bg.unpersist()  # exploded bigram frame (3 consumers served)
+    return res
+
+
+TEXT_LM_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+bg AS (
+  SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+  FROM (SELECT doc_id, tok, UNNEST(range(1, len(tok))) AS i FROM t)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1, COUNT(*) AS uc FROM bg GROUP BY w1),
+sc AS (
+  SELECT bg.doc_id, ({PPM} * bc.bc) // uc.uc AS p_ppm
+  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
+FROM sc GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_lm_score": text_lm_score,
+}
+
+ORACLES = {
+    "text_lm_score": TEXT_LM_SCORE_SQL,
+}

@@ -249,18 +249,95 @@ def split_train_holdout_lsh(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
         spark, sf_dir, holdout_pct, pairs=dedup_minhash_lsh(spark, sf_dir))
 
 
+QUOTA_PER_SOURCE = 20  # per-domain document cap
+
+
+def source_quota_cap(spark, sf_dir, cap: int = QUOTA_PER_SOURCE):
+    """Per-domain quota capping — the web-scale curation stage that
+    stops one crawler-friendly domain from dominating the mixture: keep
+    at most ``cap`` documents per source, preferring the longest
+    (n_chars is the stand-in quality score; tie-break doc_id so the cut
+    is deterministic). One hash-partition shuffle on source + a
+    per-partition sort — the window state is one counter per source, so
+    a 100 TB corpus caps in a single pass. A source with billions of
+    docs is an ordinary skewed window key: rank-only windows stream
+    (no frame buffering), and the pre-cap frame can be pre-pruned with
+    an approximate per-source count filter when most sources are under
+    quota."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SOURCE_QUOTA_SQL = f"""
+SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= {QUOTA_PER_SOURCE}
+"""
+
+
+WEIGHTED_K = 100  # weighted sample size
+
+
+def sample_weighted(spark, sf_dir, k: int = WEIGHTED_K):
+    """Deterministic weighted sampling without replacement — the
+    integer analog of Efraimidis–Spirakis A-Res (priority = u^(1/w),
+    keep the top-k): each doc gets a Knuth-mix uniform from its id and
+    priority = (mix · 1e6) div weight, keep the k SMALLEST priorities
+    (weight = n_chars, so longer docs are proportionally likelier).
+    Replacing -ln(u)/w with u_scaled div w keeps the per-key ordering
+    monotone in (u, 1/w) while staying in exact BIGINT — reruns and
+    engines agree bit-for-bit, unlike rand()-based sampleBy. The top-k
+    is per-partition heaps + a k-row driver merge
+    (TakeOrderedAndProject) — no global sort at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "n_chars",
+            F.expr(f"(((doc_id * {_MIX}) & {_MASK}) * {PPM_W}) div n_chars")
+            .alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+
+
+PPM_W = 1_000_000
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, n_chars,
+       (((CAST(doc_id AS BIGINT) * {_MIX}) & {_MASK}) * {PPM_W}) // n_chars
+         AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "pack_token_budget": pack_token_budget,
     "shuffle_shards": shuffle_shards,
     "split_train_holdout": split_train_holdout,
     "split_train_holdout_lsh": split_train_holdout_lsh,
+    "source_quota_cap": source_quota_cap,
+    "sample_weighted": sample_weighted,
 }
 
 ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pack_token_budget": PACK_TOKEN_BUDGET_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
+    "source_quota_cap": SOURCE_QUOTA_SQL,
+    "sample_weighted": SAMPLE_WEIGHTED_SQL,
 }
 ORACLES["split_train_holdout"] = _split_sql()
 # the LSH-fed split inherits the exact oracle through the recall-1.0

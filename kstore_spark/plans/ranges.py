@@ -1,0 +1,130 @@
+"""Keyless range (interval-containment) join via bin bucketing.
+
+The reference has no join beyond single-key equijoins (SURVEY.md §2
+FETCH/joins; reference include/db_operators.h defines hash/sort/tree/
+loop over one int key) — a time-range join is part of this engine's
+extension surface, and it is the canonical case where a naive Spark
+plan collapses: a join whose ONLY predicate is an inequality compiles
+to BroadcastNestedLoopJoin / CartesianProduct — O(|points| ×
+|intervals|) pairs evaluated, a non-starter at 100 TB.
+
+The scale formulation is the binned range join (the same technique
+Databricks ships as its range-join optimization): pick a bin width W,
+map every point to bin floor(ts / W) and every interval to the bins it
+overlaps (span/W + 1 consecutive bins — exactly 2 when the interval
+length equals W). The bin id becomes an EQUI-join key, so the plan is
+an ordinary shuffled hash/sort-merge join whose candidate multiset is
+bounded by bin co-residency, and the exact predicate filters candidates
+after the join. Cost: each interval is duplicated (span/W + 1)×, each
+point 1× — a constant-factor map-side expansion instead of a cross
+product, and every downstream property (AQE, skew splitting, partial
+aggregation) applies unchanged.
+
+Bin-width choice at scale: W ≈ the typical interval length minimizes
+(duplication factor) × (per-bin candidate density); a heavily skewed
+hot bin (e.g. everything on one flash-sale hour) is an ordinary
+skewed-key equi-join, which AQE's skew-join splitting already handles —
+that is precisely why reducing the range join TO an equi-join is the
+right move, rather than hand-rolled interval partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+_US = 1_000_000
+RANGE_WINDOW_S = 3600  # attribution window = bin width (1 hour)
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_s: int,
+) -> DataFrame:
+    """Equi-join ``points`` to ``intervals`` on co-resident time bins.
+
+    Returns the candidate frame (all columns of both inputs) where the
+    point's bin falls inside the interval's covered bin range; the
+    caller applies its exact boundary predicate on top. Candidates are
+    a superset of true matches by construction (a point inside
+    [start, end] is always inside a covered bin), so exactness is
+    decided solely by the caller's filter.
+    """
+    w_us = bin_width_s * _US
+    pt = points.withColumn("_bin", F.floor(F.unix_micros(F.col(point_ts)) / w_us))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_ts)) / w_us),
+                F.floor(F.unix_micros(F.col(end_ts)) / w_us),
+            )
+        ),
+    )
+    return pt.join(iv, "_bin").drop("_bin")
+
+
+def events_range_join(spark: SparkSession, sf_dir: str,
+                      window_s: int = RANGE_WINDOW_S) -> DataFrame:
+    """Purchase ⇐ click attribution with NO join key: every purchase
+    aggregated over ALL clicks (any user) in the preceding hour —
+    n_clicks + the latest click id. The keyless inequality predicate is
+    what makes the naive plan a nested-loop cross product; the binned
+    rewrite keeps it an equi-join (asserted nested-loop-free in
+    tests/test_plans.py). Purchases with no click in window are kept
+    with n_clicks = 0 (left re-join on the interval side).
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr(f"INTERVAL {window_s} SECONDS")).alias("w_start"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    cands = binned_range_join(
+        clicks, purchases, "c_ts", "w_start", "p_ts", window_s
+    )
+    matched = (
+        cands.filter((F.col("c_ts") > F.col("w_start")) & (F.col("c_ts") <= F.col("p_ts")))
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.max("click_id").alias("last_click_id"),
+        )
+    )
+    return (
+        purchases.join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
+            "last_click_id",
+        )
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       COUNT(c.event_id) AS n_clicks,
+       MAX(c.event_id) AS last_click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.ts > p.ts - INTERVAL {RANGE_WINDOW_S} SECONDS AND c.ts <= p.ts
+GROUP BY p.event_id
+"""
+
+
+QUERIES = {
+    "events_range_join": events_range_join,
+}
+
+ORACLES = {
+    "events_range_join": EVENTS_RANGE_JOIN_SQL,
+}
