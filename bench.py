@@ -87,8 +87,8 @@ def perftest_query(spark, algorithm: str):
 
 
 def headline_queries():
-    from kstore_spark.functions import corpus, dedup, similarity, text
-    from kstore_spark.plans import analytics, extended, kparity, tpch_wide
+    from kstore_spark.functions import corpus, dedup, lm, similarity, text
+    from kstore_spark.plans import analytics, extended, kparity, ranges, tpch_wide
 
     return {
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -137,6 +137,16 @@ def headline_queries():
         # exact substring-span dedup (Lee et al. shape): digest-keyed
         # inverted-index join over per-row sha2 sliding windows
         "dedup_substring": dedup.dedup_substring,
+        # late-r4 second wave (keys above stay comparable): the keyless
+        # binned range join and the corpus-trained bigram-LM scorer —
+        # both aggregate-consumed so Catalyst can't prune the work
+        # (a bare count() would let the left-join / sum columns drop)
+        "events_range_join": lambda s, sf: ranges.events_range_join(s, sf).agg(
+            F.sum("n_clicks").alias("nc"), F.max("last_click_id").alias("lc"),
+        ),
+        "text_lm_score": lambda s, sf: lm.text_lm_score(s, sf).agg(
+            F.sum("lm_score_ppm").alias("sp"), F.sum("n_bigrams").alias("nb"),
+        ),
     }
 
 

@@ -76,16 +76,18 @@ def _rowset(cols, rows):
 _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         "events_gapfill", "events_gapfill_locf", "events_funnel",
         "events_user_overlap", "events_asof", "events_json_extract",
-        "events_distinct_users")
+        "events_distinct_users", "events_range_join")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
 def test_events_ops_differential(spark, tmp_path, seed):
     from kstore_spark.functions import sketches
-    from kstore_spark.plans import analytics, extended
+    from kstore_spark.plans import analytics, extended, ranges
 
-    queries = {**analytics.QUERIES, **extended.QUERIES, **sketches.QUERIES}
-    oracles = {**analytics.ORACLES, **extended.ORACLES, **sketches.ORACLES}
+    queries = {**analytics.QUERIES, **extended.QUERIES, **sketches.QUERIES,
+               **ranges.QUERIES}
+    oracles = {**analytics.ORACLES, **extended.ORACLES, **sketches.ORACLES,
+               **ranges.ORACLES}
 
     d = tmp_path / f"events{seed}"
     d.mkdir()

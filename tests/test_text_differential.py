@@ -112,18 +112,19 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
                "tfidf_top_terms", "sample_stratified", "pack_token_budget",
                "shuffle_shards", "split_train_holdout",
                "string_funcs", "top_tokens",
-               "multimodal_bytes", "multimodal_dedup_exact")
+               "multimodal_bytes", "multimodal_dedup_exact",
+               "text_lm_score", "source_quota_cap", "sample_weighted")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
 def test_corpus_ops_differential(spark, tmp_path, seed):
-    from kstore_spark.functions import corpus, dedup, multimodal, sampling
+    from kstore_spark.functions import corpus, dedup, lm, multimodal, sampling
     from kstore_spark.plans import extended
 
     queries = {**dedup.QUERIES, **corpus.QUERIES, **sampling.QUERIES,
-               **multimodal.QUERIES, **extended.QUERIES}
+               **multimodal.QUERIES, **extended.QUERIES, **lm.QUERIES}
     oracles = {**dedup.ORACLES, **corpus.ORACLES, **sampling.ORACLES,
-               **multimodal.ORACLES, **extended.ORACLES}
+               **multimodal.ORACLES, **extended.ORACLES, **lm.ORACLES}
 
     rng = random.Random(seed * 7)
     texts = _gen_corpus(seed)
