@@ -139,61 +139,82 @@ WHERE {_J_DEN} * i >= {_J_NUM} * (x.n + y.n - i)
 
 # -- near-dup cluster formation (connected components) -----------------
 
-def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _star_round(edges: DataFrame, larger_side: bool) -> DataFrame:
+    """One star-contraction round (Kiveris et al., 'Connected Components
+    in MapReduce and Beyond'): every node u computes m = min(Γ(u) ∪ {u})
+    and re-points its strictly-larger (large-star) or strictly-smaller
+    plus itself (small-star) neighbors at m. ``edges`` is the canonical
+    (u < v unnecessary — both directions are derived here) pair frame."""
+    nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    m = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m"))
+    if larger_side:
+        pointed = nbrs.filter(F.col("v") > F.col("u")).join(m, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b"))
+    else:
+        pointed = nbrs.filter(F.col("v") < F.col("u")).join(m, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")).union(
+            m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    return pointed.filter(F.col("a") != F.col("b")).distinct()
+
+
+def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     """Connected components over a (doc_a, doc_b) near-dup pair frame:
     (doc_id, cluster_id = min doc_id in the component). Pair output is
     not enough for canonical-doc selection — a-b and b-c pairs must
     collapse into ONE {a,b,c} cluster, which needs transitivity (the
     per-pair drop-doc_b heuristic over-keeps on such chains).
 
-    Iterative min-label propagation: every node starts labeled with
-    itself; each round, a node takes the min of its own and its
-    neighbors' labels. Converges in graph-diameter rounds (near-dup
-    clusters are shallow — single digits), each round two key-shuffles
-    (join + groupBy) over the EDGE set only, never the corpus. At
-    100 TB scale the edge set is the LSH/exact pair output — already
-    sparse; components with large diameter would want the large-star/
-    small-star contraction, which this loop structure accommodates.
-    """
+    Alternating large-star/small-star contraction (Kiveris et al.):
+    each round re-points edges at neighborhood minima, collapsing the
+    graph toward per-component star forests rooted at the component min.
+    Converges in O(log n) rounds regardless of component DIAMETER —
+    the earlier min-label propagation needed diameter rounds, so a
+    chain-shaped component longer than max_iter silently came back as
+    several clusters (a real failure mode for substring-dedup graphs,
+    where A∼B∼C chains are the norm; pinned by the 300-node-path test).
+    Per round: one groupBy(min) + one re-point join over the EDGE set
+    only — never the corpus; the edge multiset shrinks monotonically.
+    Non-convergence inside max_iter raises instead of returning wrong
+    labels. localCheckpoint per round truncates both compute AND the
+    logical plan (persist alone leaves the plan tree growing
+    multiplicatively across rounds — driver OOM once a downstream query
+    embeds it); a production cluster would use reliable checkpoint()."""
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"),
-                            F.col("doc_a").alias("dst")))
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))).distinct().localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src").agg(F.min("label").alias("nbr_min"))
-            .withColumnRenamed("src", "node")
-        )
-        # localCheckpoint per iteration is load-bearing: it truncates the
-        # lineage, keeping the logical plan CONSTANT-depth across rounds.
-        # persist() alone truncates compute but not the plan tree, which
-        # otherwise grows multiplicatively and OOMs the driver once a
-        # downstream query embeds it. (A production cluster would use
-        # reliable checkpoint() to shared storage for fault tolerance.)
-        new = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nbr_min", "label")).alias("new_label"),
-                "label",
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new.filter(F.col("new_label") < F.col("label")).count()
-        labels = new.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
+        contracted = _star_round(
+            _star_round(edges, larger_side=True), larger_side=False
+        ).localCheckpoint(eager=True)
+        # exact fixed-point test: the (large; small) round is idempotent
+        # exactly at the star-forest fixed point, so set equality (cheap
+        # count + anti-join over the sparse edge set) is the precise stop
+        if contracted.count() == edges.count() and \
+                contracted.exceptAll(edges).isEmpty():
+            edges = contracted
             break
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        edges = contracted
+    else:
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iter} star rounds — "
+            "refusing to return possibly-wrong cluster labels")
+    # star forest: every node's min(Γ ∪ self) IS its component min; keep
+    # original singleton-in-pairs nodes (self-pairs filtered above) too
+    nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    labels = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("label"))
+    return (
+        nodes.join(labels, nodes.node == labels.u, "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     )
 
 

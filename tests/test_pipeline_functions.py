@@ -520,6 +520,55 @@ def test_dedup_clusters_match_union_find(spark, exact_pairs):
     assert any(len(m) > 2 for m in expect.values()) or len(want) > 0
 
 
+def test_cluster_pairs_high_diameter_chain(spark):
+    """A 300-node path (diameter 299) must collapse to ONE cluster
+    rooted at 0 — the failure mode star contraction exists for: the
+    previous min-label propagation advanced one hop per round, so any
+    component deeper than max_iter silently split into several clusters
+    (substring-dedup A∼B∼C chains build exactly these). Star rounds
+    converge in O(log n); 300 nodes take a handful."""
+    from kstore_spark.functions.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    assert got == {i: 0 for i in range(300)}
+
+
+def test_cluster_pairs_random_graph_matches_union_find(spark):
+    """Star contraction vs driver-side union-find on a seeded random
+    graph with mixed component shapes (chains, stars, cliques,
+    singleton-free) — the differential for the new algorithm itself,
+    independent of the dedup pair generators."""
+    import random
+
+    from kstore_spark.functions.dedup import cluster_pairs
+
+    rng = random.Random(1234)
+    edges = {(rng.randrange(400), rng.randrange(400)) for _ in range(300)}
+    edges |= {(i, i + 1) for i in range(100, 160)}        # embedded chain
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    want = {n: min(m) for m in comps.values() for n in m}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    assert got == want
+
+
 def test_ann_ivf_kmeans_full_probe_is_exact(spark):
     """The k-means quantizer changes WHERE vectors sit, never WHAT the
     probe machinery returns at full probe — must equal brute force."""
