@@ -88,6 +88,40 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+N_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def text_lm_buckets(spark: SparkSession, sf_dir: str,
+                    n_buckets: int = N_BUCKETS) -> DataFrame:
+    """(doc_id, lang, bucket): CCNet's final step — per-language
+    perplexity terciles (bucket 1 = head/most-predictable under the
+    corpus LM, 3 = tail). NTILE over (lang ORDER BY score DESC, doc_id)
+    is deterministic and identical across engines; pipelines keep head+
+    middle or re-weight by bucket. One (lang) window pass over the
+    k-per-doc score frame — the corpus-sized work is text_lm_score's;
+    this adds a |docs|-row shuffle keyed by the language stratum."""
+    from pyspark.sql.window import Window
+
+    scored = text_lm_score(spark, sf_dir)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score_ppm").desc(), F.col("doc_id"))
+    return (
+        scored.join(langs, "doc_id")
+        .select("doc_id", "lang", F.ntile(n_buckets).over(w).alias("bucket"))
+    )
+
+
+TEXT_LM_BUCKETS_SQL_TEMPLATE = """
+WITH scored AS ({score_sql})
+SELECT s.doc_id, d.lang,
+       CAST(NTILE({n}) OVER (PARTITION BY d.lang
+                             ORDER BY s.lm_score_ppm DESC, s.doc_id)
+            AS INTEGER) AS bucket
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+"""
+
+
 TEXT_LM_SCORE_SQL = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tok FROM documents
@@ -111,8 +145,11 @@ FROM sc GROUP BY doc_id
 
 QUERIES = {
     "text_lm_score": text_lm_score,
+    "text_lm_buckets": text_lm_buckets,
 }
 
 ORACLES = {
     "text_lm_score": TEXT_LM_SCORE_SQL,
+    "text_lm_buckets": TEXT_LM_BUCKETS_SQL_TEMPLATE.format(
+        score_sql=TEXT_LM_SCORE_SQL, n=N_BUCKETS),
 }

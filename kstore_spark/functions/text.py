@@ -330,6 +330,60 @@ FROM documents d LEFT JOIN nr ON d.doc_id = nr.doc_id
 """
 
 
+HH_K = 1000  # report tokens with corpus share > 1/HH_K
+
+
+def text_heavy_hitters(spark, sf_dir, k: int = HH_K):
+    """(tok, cnt) for every token with corpus share strictly above 1/k —
+    the mergeable-summary answer to "what dominates the corpus" when the
+    vocabulary is too large to groupBy outright (URLs, hashes, OCR junk
+    make web-corpus vocabularies ~corpus-sized).
+
+    Two-pass sketch: (1) an Arrow-batched candidate pass emits, per
+    batch, only the tokens whose IN-BATCH share exceeds 1/k (< k rows
+    per batch whatever the batch's vocabulary — this is the Misra-Gries
+    guarantee shape); by pigeonhole any token with GLOBAL share > 1/k
+    exceeds 1/k in at least one batch, so the candidate union is a
+    superset of the true heavy hitters. (2) an exact recount restricted
+    to candidates (semi-join) + the global-share filter. Output is
+    therefore EXACT — candidates are a batching-dependent superset, but
+    the final filter is global — which is what lets a sketch op carry a
+    plain SQL oracle. The full-vocabulary shuffle never happens: the
+    only grouped key set is the candidate set (≤ k-ish tokens)."""
+    import pandas as pd
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok"))
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            vc = pdf["tok"].value_counts()
+            yield pd.DataFrame({"tok": vc[vc * k > n].index})
+
+    cands = toks.mapInPandas(gen, "tok string").distinct()
+    counts = (
+        toks.join(cands, "tok", "left_semi")
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(total)
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select("tok", "cnt")
+    )
+
+
+TEXT_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT tok, cnt FROM c, tot WHERE cnt * {HH_K} > n
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_tokens_regex": text_tokens_regex,
@@ -339,9 +393,11 @@ QUERIES = {
     "text_repetition": text_repetition,
     "pii_scrub": pii_scrub,
     "text_rarity": text_rarity,
+    "text_heavy_hitters": text_heavy_hitters,
 }
 
 ORACLES = {
+    "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_tokens_regex": TEXT_TOKENS_REGEX_SQL,

@@ -124,6 +124,43 @@ def test_lm_score_ranks_repetition_above_shuffle(spark, tmp_path):
     assert got[1] > got[2]
 
 
+def test_lm_buckets_are_balanced_per_lang(spark):
+    """NTILE property: per language, bucket sizes differ by at most 1
+    and bucket 1 holds the highest scores (head = most predictable)."""
+    from kstore_spark.functions.lm import N_BUCKETS, text_lm_buckets, text_lm_score
+
+    rows = text_lm_buckets(spark, SF_DIR).collect()
+    scores = {r["doc_id"]: r["lm_score_ppm"]
+              for r in text_lm_score(spark, SF_DIR).collect()}
+    per_lang: dict[str, dict[int, list]] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(
+            scores[r["doc_id"]])
+    for lang, buckets in per_lang.items():
+        sizes = [len(v) for _, v in sorted(buckets.items())]
+        assert max(sizes) - min(sizes) <= 1
+        assert set(buckets) <= set(range(1, N_BUCKETS + 1))
+        if len(buckets) == N_BUCKETS:
+            assert min(buckets[1]) >= max(buckets[N_BUCKETS])
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    """The candidate sketch must change NOTHING: output equals the full
+    groupBy + global-share filter computed naively."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.text import HH_K, text_heavy_hitters
+
+    toks = table(spark, SF_DIR, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    n = toks.count()
+    want = {(r["tok"], r["cnt"]) for r in
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * HH_K > n).collect()}
+    got = {(r["tok"], r["cnt"]) for r in text_heavy_hitters(spark, SF_DIR).collect()}
+    assert got == want and len(got) > 0
+
+
 # -- per-source quota cap ----------------------------------------------
 
 def test_source_quota_cap_bounds_and_keeps_longest(spark):

@@ -113,18 +113,21 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
                "shuffle_shards", "split_train_holdout",
                "string_funcs", "top_tokens",
                "multimodal_bytes", "multimodal_dedup_exact",
-               "text_lm_score", "source_quota_cap", "sample_weighted")
+               "text_lm_score", "text_lm_buckets", "source_quota_cap",
+               "sample_weighted", "text_heavy_hitters")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
 def test_corpus_ops_differential(spark, tmp_path, seed):
-    from kstore_spark.functions import corpus, dedup, lm, multimodal, sampling
+    from kstore_spark.functions import corpus, dedup, lm, multimodal, sampling, text
     from kstore_spark.plans import extended
 
     queries = {**dedup.QUERIES, **corpus.QUERIES, **sampling.QUERIES,
-               **multimodal.QUERIES, **extended.QUERIES, **lm.QUERIES}
+               **multimodal.QUERIES, **extended.QUERIES, **lm.QUERIES,
+               **text.QUERIES}
     oracles = {**dedup.ORACLES, **corpus.ORACLES, **sampling.ORACLES,
-               **multimodal.ORACLES, **extended.ORACLES, **lm.ORACLES}
+               **multimodal.ORACLES, **extended.ORACLES, **lm.ORACLES,
+               **text.ORACLES}
 
     rng = random.Random(seed * 7)
     texts = _gen_corpus(seed)
