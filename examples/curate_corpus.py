@@ -14,7 +14,10 @@ actually performs, start to finish:
                               held-out benchmark set (broadcast join)
       4. quality filter       drop repetitive docs (duplicate-3-gram
                               flag) and docs whose language can't be
-                              identified
+                              identified; cap each source at its
+                              domain quota (longest docs win); cut
+                              each language's worst perplexity tercile
+                              under the corpus-trained bigram LM
       5. boilerplate strip    passages recurring across >= 3 docs are
                               removed from every doc; docs stripped to
                               nothing die, and docs that differed only
@@ -57,8 +60,9 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     from kstore_spark.functions.corpus import dedup_passages
     from kstore_spark.functions.dedup import (
         cluster_pairs, decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
+    from kstore_spark.functions.lm import N_BUCKETS, text_lm_buckets
     from kstore_spark.functions.sampling import (
-        assign_split, pack_token_budget, sample_stratified)
+        assign_split, pack_token_budget, sample_stratified, source_quota_cap)
     from kstore_spark.functions.text import scrub_pii, text_langid, text_repetition
     from kstore_spark.tables import table
 
@@ -88,6 +92,22 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     unk = text_langid(spark, sf_dir).filter(F.col("pred_lang") == "unk").select("doc_id")
     keep = keep.join(rep, "doc_id", "left_anti").join(unk, "doc_id", "left_anti")
     counts["quality"] = keep.count()
+
+    # 4b. per-source quota: one crawler-friendly domain must not
+    #     dominate the mixture — keep at most the QUOTA_PER_SOURCE
+    #     longest docs per source
+    quota = source_quota_cap(spark, sf_dir).select("doc_id")
+    keep = keep.join(quota, "doc_id", "left_semi")
+    counts["source_quota"] = keep.count()
+
+    # 4c. LM-quality tail cut (CCNet): drop each language's lowest
+    #     perplexity-score tercile under the corpus-trained bigram LM
+    #     (docs too short to score — < 2 tokens — have no bucket and
+    #     drop with the tail)
+    head_mid = text_lm_buckets(spark, sf_dir).filter(
+        F.col("bucket") < N_BUCKETS).select("doc_id")
+    keep = keep.join(head_mid, "doc_id", "left_semi")
+    counts["lm_quality"] = keep.count()
 
     # 5. boilerplate strip: cross-doc recurring passages removed; docs
     #    stripped empty die; docs now textually identical (they differed

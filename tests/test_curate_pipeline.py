@@ -21,7 +21,8 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
 
     # each stage only removes documents (PII scrub redacts, never drops)
     order = ["input", "exact_dedup", "near_dedup", "decontaminated",
-             "quality", "boilerplate", "pii_scrubbed", "sampled", "written"]
+             "quality", "source_quota", "lm_quality", "boilerplate",
+             "pii_scrubbed", "sampled", "written"]
     vals = [counts[k] for k in order]
     assert vals == sorted(vals, reverse=True)
     assert counts["pii_scrubbed"] == counts["boilerplate"]
