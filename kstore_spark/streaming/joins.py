@@ -85,10 +85,89 @@ WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
 """
 
 
+RANGE_WINDOW_S = 3600  # batch twin's attribution window (plans/ranges.py)
+
+
+def stream_range_join(spark: SparkSession, sf_dir: str,
+                      window_s: int = RANGE_WINDOW_S) -> DataFrame:
+    """KEYLESS stream-stream interval join: every purchase matched to
+    every click (ANY user) in the preceding hour — the streaming twin of
+    plans/ranges.events_range_join.
+
+    The bin trick is what makes this expressible at all: Spark
+    partitions stream-stream join state by the join's EQUALITY keys, so
+    a purely-inequality condition has no key to co-partition on. Mapping
+    clicks to their time bin and exploding each purchase window onto its
+    two covered bins manufactures that equality key; the exact boundary
+    predicate rides on top, and because it bounds the two event times
+    against each other, the watermark can evict state (a click older
+    than watermark - window can never match a future purchase). State
+    per bin is one watermark-horizon's worth of events — skewed hot bins
+    are ordinary hot state keys. Append mode: each matched pair emits
+    exactly once, when both sides have arrived."""
+    from kstore_spark.plans.ranges import _US
+
+    w_us = window_s * _US
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+        .withColumn(
+            "bin",
+            F.explode(F.sequence(
+                F.floor((F.unix_micros("p_ts") - w_us) / w_us),
+                F.floor(F.unix_micros("p_ts") / w_us),
+            )),
+        )
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .withColumn("cbin", F.floor(F.unix_micros("c_ts") / (window_s * _US)))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("bin") == F.col("cbin"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    name = f"stream_rj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
+    return spark.table(name)
+
+
+STREAM_RANGE_JOIN_SQL = f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.ts > p.ts - INTERVAL {RANGE_WINDOW_S} SECONDS AND c.ts <= p.ts
+"""
+
+
 QUERIES = {
     "stream_interval_join": stream_interval_join,
+    "stream_range_join": stream_range_join,
 }
 
 ORACLES = {
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
+    "stream_range_join": STREAM_RANGE_JOIN_SQL,
 }

@@ -117,6 +117,35 @@ def test_stream_dedup_watermark_containment(spark):
         assert first[et] <= wm[et] <= raw[et]
 
 
+def test_stream_range_join_matches_batch(spark):
+    """Keyless binned stream-stream range join over the availableNow
+    backlog equals the batch inequality join pair-for-pair — the bin
+    key changes WHERE state lives, never WHAT matches."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.joins import RANGE_WINDOW_S, stream_range_join
+    from kstore_spark.tables import table
+
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in stream_range_join(spark, SF_DIR).collect()
+    )
+    ev = table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("p_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("ts").alias("c_ts"))
+    want = sorted(
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_stream_interval_join_matches_batch(spark):
     """Stream-stream interval join (purchase→signups within 7 days) over
     the availableNow backlog equals the batch interval join: every match
