@@ -95,16 +95,20 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
 
     # 4b. per-source quota: one crawler-friendly domain must not
     #     dominate the mixture — keep at most the QUOTA_PER_SOURCE
-    #     longest docs per source
-    quota = source_quota_cap(spark, sf_dir).select("doc_id")
+    #     longest SURVIVING docs per source (capping the raw corpus
+    #     instead would fill quotas with docs earlier stages deleted)
+    quota = source_quota_cap(
+        spark, sf_dir, docs=docs.join(keep, "doc_id", "left_semi")
+    ).select("doc_id")
     keep = keep.join(quota, "doc_id", "left_semi")
     counts["source_quota"] = keep.count()
 
     # 4c. LM-quality tail cut (CCNet): drop each language's lowest
-    #     perplexity-score tercile under the corpus-trained bigram LM
-    #     (docs too short to score — < 2 tokens — have no bucket and
-    #     drop with the tail)
-    head_mid = text_lm_buckets(spark, sf_dir).filter(
+    #     perplexity-score tercile among the SURVIVORS — the LM stays
+    #     corpus-trained (trusted-corpus analog), the tercile boundary
+    #     is computed over what still exists (docs too short to score —
+    #     < 2 tokens — have no bucket and drop with the tail)
+    head_mid = text_lm_buckets(spark, sf_dir, docs=keep).filter(
         F.col("bucket") < N_BUCKETS).select("doc_id")
     keep = keep.join(head_mid, "doc_id", "left_semi")
     counts["lm_quality"] = keep.count()

@@ -44,15 +44,24 @@ def _tokens(spark, sf_dir) -> DataFrame:
     return docs.select("doc_id", F.split("text", " ").alias("t"))
 
 
+def shingle_expr(tcol: str = "t"):
+    """DISTINCT word-3-gram array over a token-array column — the ONE
+    shingle definition every consumer (batch inverted index, MinHash
+    signatures, streaming near-dup state keying) must share
+    byte-for-byte: the stream==batch set-equality pins depend on it."""
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(tcol) - 3),
+        lambda i: F.concat_ws(
+            " ", F.col(tcol)[i], F.col(tcol)[i + 1], F.col(tcol)[i + 2]),
+    )
+    return F.array_distinct(sh)
+
+
 def _shingle_arrays(spark, sf_dir) -> DataFrame:
     """(doc_id, sh: array<string>) — DISTINCT word 3-grams per doc, kept
     array-native (one row per doc; per-doc ops never shuffle)."""
     tok = _tokens(spark, sf_dir).filter(F.size("t") >= 3)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("t") - 3),
-        lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
-    )
-    return tok.select("doc_id", F.array_distinct(sh).alias("sh"))
+    return tok.select("doc_id", shingle_expr("t").alias("sh"))
 
 
 def _verified_pairs(sh: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
@@ -190,9 +199,14 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     nodes = edges.select(F.col("a").alias("node")).union(
         edges.select(F.col("b").alias("node"))).distinct().localCheckpoint(eager=True)
     for _ in range(max_iter):
+        # the large-star output feeds 3-4 branches of the small-star
+        # round (both nbrs selects, the min groupBy, the re-point join);
+        # persist it or every branch recomputes the large-star shuffles
+        large = _star_round(edges, larger_side=True).persist()
         contracted = _star_round(
-            _star_round(edges, larger_side=True), larger_side=False
+            large, larger_side=False
         ).localCheckpoint(eager=True)
+        large.unpersist()  # outer round materialized by the checkpoint
         # exact fixed-point test: the (large; small) round is idempotent
         # exactly at the star-forest fixed point, so set equality (cheap
         # count + anti-join over the sparse edge set) is the precise stop
@@ -469,8 +483,9 @@ def _simhash_band_pairs(sims: DataFrame, bands: int, hamming_max: int) -> DataFr
             F.shiftright("sim", width * i).bitwiseAND(F.lit(mask)) for i in range(bands)
         ])).alias("band", "chunk"),
     ).persist()  # consumed by BOTH sides of the self-join: without the
-    # persist the signature stage (explode + 64-bit-agg groupBy — the
-    # expensive part) recomputes per branch, same 2× lsh_candidates saves
+    # persist the signature pipeline (corpus scan + shingling + the
+    # row-local 64-bit majority votes) recomputes per branch — same 2×
+    # saving as lsh_candidates, even now that the stage is shuffle-free
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "chunk")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band", "chunk")
     pairs = (

@@ -92,17 +92,25 @@ N_BUCKETS = 3  # CCNet's head / middle / tail
 
 
 def text_lm_buckets(spark: SparkSession, sf_dir: str,
-                    n_buckets: int = N_BUCKETS) -> DataFrame:
+                    n_buckets: int = N_BUCKETS, docs=None) -> DataFrame:
     """(doc_id, lang, bucket): CCNet's final step — per-language
     perplexity terciles (bucket 1 = head/most-predictable under the
     corpus LM, 3 = tail). NTILE over (lang ORDER BY score DESC, doc_id)
     is deterministic and identical across engines; pipelines keep head+
     middle or re-weight by bucket. One (lang) window pass over the
     k-per-doc score frame — the corpus-sized work is text_lm_score's;
-    this adds a |docs|-row shuffle keyed by the language stratum."""
+    this adds a |docs|-row shuffle keyed by the language stratum.
+
+    ``docs`` (a doc_id-bearing frame) restricts WHICH documents are
+    bucketed: the LM stays corpus-trained (the trusted-corpus analog),
+    but the terciles are computed over the restricted set, so a
+    pipeline's tail cut removes a third of its SURVIVORS per language
+    rather than a third of a set that includes already-deleted docs."""
     from pyspark.sql.window import Window
 
     scored = text_lm_score(spark, sf_dir)
+    if docs is not None:
+        scored = scored.join(docs.select("doc_id"), "doc_id", "left_semi")
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     w = Window.partitionBy("lang").orderBy(
         F.col("lm_score_ppm").desc(), F.col("doc_id"))

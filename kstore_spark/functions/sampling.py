@@ -252,7 +252,8 @@ def split_train_holdout_lsh(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT):
 QUOTA_PER_SOURCE = 20  # per-domain document cap
 
 
-def source_quota_cap(spark, sf_dir, cap: int = QUOTA_PER_SOURCE):
+def source_quota_cap(spark, sf_dir, cap: int = QUOTA_PER_SOURCE,
+                     docs=None):
     """Per-domain quota capping — the web-scale curation stage that
     stops one crawler-friendly domain from dominating the mixture: keep
     at most ``cap`` documents per source, preferring the longest
@@ -263,8 +264,12 @@ def source_quota_cap(spark, sf_dir, cap: int = QUOTA_PER_SOURCE):
     docs is an ordinary skewed window key: rank-only windows stream
     (no frame buffering), and the pre-cap frame can be pre-pruned with
     an approximate per-source count filter when most sources are under
-    quota."""
-    docs = table(spark, sf_dir, "documents")
+    quota. ``docs`` overrides the source frame (must carry doc_id,
+    source, n_chars) — pipeline callers cap their SURVIVOR set so each
+    source's quota is filled from documents that still exist (see
+    examples/curate_corpus.py), not from pre-filter casualties."""
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id"))
     return (
@@ -300,7 +305,12 @@ def sample_weighted(spark, sf_dir, k: int = WEIGHTED_K):
     (TakeOrderedAndProject) — no global sort at any scale."""
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select(
+        # zero-weight docs are excluded outright: w=0 means "never
+        # sample", and div-by-zero yields NULL with OPPOSITE null-sort
+        # placement in Spark (first) vs DuckDB (last) — the filter keeps
+        # the semantics right and the oracle engine-agnostic
+        docs.filter(F.col("n_chars") > 0)
+        .select(
             "doc_id", "n_chars",
             F.expr(f"(((doc_id * {_MIX}) & {_MASK}) * {PPM_W}) div n_chars")
             .alias("priority"),
@@ -317,6 +327,7 @@ SELECT doc_id, n_chars,
        (((CAST(doc_id AS BIGINT) * {_MIX}) & {_MASK}) * {PPM_W}) // n_chars
          AS priority
 FROM documents
+WHERE n_chars > 0
 ORDER BY priority, doc_id
 LIMIT {WEIGHTED_K}
 """

@@ -477,8 +477,8 @@ SELECT vec_id, cell FROM sized WHERE rn <= CAST(CEIL(SQRT(n)) AS BIGINT)
 def _semantic_prune(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     """SemDeDup's cluster-then-prune shape over an arbitrary (vec_a,
     vec_b) near-dup pair frame: connected components via
-    dedup.cluster_pairs (min-label propagation over the sparse edge set
-    — the corpus-scale frame is never shuffled), min vec_id kept as the
+    dedup.cluster_pairs (star contraction over the sparse edge set —
+    the corpus-scale frame is never shuffled), min vec_id kept as the
     component representative."""
     from kstore_spark.functions.dedup import cluster_pairs
 

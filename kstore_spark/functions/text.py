@@ -352,8 +352,11 @@ def text_heavy_hitters(spark, sf_dir, k: int = HH_K):
     only grouped key set is the candidate set (≤ k-ish tokens)."""
     import pandas as pd
 
+    # three consumers (candidate pass, recount, total) — one cached
+    # tokenize+explode instead of three corpus scans, freed once the
+    # (tiny) heavy-hitter result materializes
     toks = table(spark, sf_dir, "documents").select(
-        F.explode(F.split("text", " ")).alias("tok"))
+        F.explode(F.split("text", " ")).alias("tok")).persist()
 
     def gen(batches):
         for pdf in batches:
@@ -367,11 +370,15 @@ def text_heavy_hitters(spark, sf_dir, k: int = HH_K):
         .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = toks.agg(F.count(F.lit(1)).alias("n"))
-    return (
+    res = (
         counts.crossJoin(total)
         .filter(F.col("cnt") * k > F.col("n"))
         .select("tok", "cnt")
+        .persist()
     )
+    res.count()
+    toks.unpersist()
+    return res
 
 
 TEXT_HEAVY_HITTERS_SQL = f"""

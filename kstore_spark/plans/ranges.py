@@ -56,6 +56,12 @@ def binned_range_join(
     [start, end] is always inside a covered bin), so exactness is
     decided solely by the caller's filter.
     """
+    for side, frame in (("points", points), ("intervals", intervals)):
+        if "_bin" in frame.columns:
+            raise ValueError(
+                f"binned_range_join: {side} frame already has a '_bin' "
+                "column — it would be silently overwritten and dropped; "
+                "rename it first")
     w_us = bin_width_s * _US
     pt = points.withColumn("_bin", F.floor(F.unix_micros(F.col(point_ts)) / w_us))
     iv = intervals.withColumn(
@@ -81,11 +87,14 @@ def events_range_join(spark: SparkSession, sf_dir: str,
     with n_clicks = 0 (left re-join on the interval side).
     """
     ev = table(spark, sf_dir, "events")
+    # the purchases projection feeds both the binned join and the final
+    # zero-match re-join — persist the (small) 3-column frame so the
+    # second consumer reads the cache instead of re-scanning events
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
         (F.col("ts") - F.expr(f"INTERVAL {window_s} SECONDS")).alias("w_start"),
-    )
+    ).persist()
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
     )

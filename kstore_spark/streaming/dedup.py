@@ -204,18 +204,16 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-equal to the batch band-collision + agreement computation in
     tests. Approximate by construction (estimator admission) → rows-only
     driver check."""
-    from kstore_spark.functions.dedup import band_hashes, minhash_signatures
+    from kstore_spark.functions.dedup import (
+        band_hashes, minhash_signatures, shingle_expr)
 
     stream = _doc_stream(spark, sf_dir)
     tok = stream.select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 3)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("t") - 3),
-        lambda i: F.concat_ws(
-            " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
-    )
-    sigs = minhash_signatures(tok.select("doc_id", F.array_distinct(sh).alias("sh")))
+    # the SAME shingle expression as batch _shingle_arrays — the
+    # stream==batch set-equality pin depends on byte-identical shingling
+    sigs = minhash_signatures(tok.select("doc_id", shingle_expr("t").alias("sh")))
     banded = sigs.select(
         "doc_id", "sig", F.posexplode(band_hashes()).alias("band", "bh"))
     banded = banded.select(

@@ -22,11 +22,10 @@ result equals the batch interval join, which is the DuckDB oracle.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kstore_spark.streaming.dedup import _run_to_table
 from kstore_spark.streaming.windows import _events_stream
 
 
@@ -59,21 +58,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("s_ts") <= F.col("p_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
     ).select("purchase_id", "user_id", "signup_id")
-    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 300s — refusing to "
-            "return a silently-partial result"
-        )
-    return spark.table(name)
+    return spark.table(_run_to_table(joined, "stream_ij", output_mode="append"))
 
 
 STREAM_INTERVAL_JOIN_SQL = """
@@ -137,21 +122,7 @@ def stream_range_join(spark: SparkSession, sf_dir: str,
         & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id")
-    name = f"stream_rj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 300s — refusing to "
-            "return a silently-partial result"
-        )
-    return spark.table(name)
+    return spark.table(_run_to_table(joined, "stream_rj", output_mode="append"))
 
 
 STREAM_RANGE_JOIN_SQL = f"""
