@@ -322,12 +322,60 @@ FROM scored WHERE rank <= {TFIDF_K}
 """
 
 
+CHUNK_WIDTH = 64   # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # overlap = width - stride
+
+
+def chunk_documents(spark, sf_dir, width: int = CHUNK_WIDTH,
+                    stride: int = CHUNK_STRIDE):
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text) — sliding-window
+    document chunking, the retrieval/embedding prep stage (RAG indexing,
+    chunk-level embedding tables): windows of ``width`` tokens every
+    ``stride`` tokens (overlap = width - stride keeps boundary context),
+    final window truncated at the document end. Entirely ROW-LOCAL —
+    starts = sequence(0, n-1, stride), chunks sliced out of the token
+    array in place — so chunking streams at scan speed at any corpus
+    size; the chunk id is (doc_id, chunk_idx), deterministic for
+    downstream embedding joins."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t"))
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+    chunks = docs.select(
+        "doc_id", "t", F.posexplode(starts).alias("chunk_idx", "s"))
+    piece = F.slice("t", F.col("s") + 1, width)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+starts AS (
+  SELECT doc_id, tok,
+         UNNEST(range(0, len(tok), {CHUNK_STRIDE})) AS s,
+         UNNEST(range(0, CAST(ceil(len(tok) / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(tok[s + 1 : s + {CHUNK_WIDTH}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(tok[s + 1 : s + {CHUNK_WIDTH}], ' ') AS chunk_text
+FROM starts
+"""
+
+
 QUERIES = {
     "dedup_passages": dedup_passages,
     "corpus_mixture": corpus_mixture,
     "corpus_temperature_weights": corpus_temperature_weights,
     "corpus_temperature_sample": corpus_temperature_sample,
     "tfidf_top_terms": tfidf_top_terms,
+    "chunk_documents": chunk_documents,
 }
 
 ORACLES = {
@@ -336,4 +384,5 @@ ORACLES = {
     "corpus_temperature_weights": CORPUS_TEMPERATURE_SQL,
     "corpus_temperature_sample": CORPUS_TEMPERATURE_SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
 }

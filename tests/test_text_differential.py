@@ -114,7 +114,7 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
                "string_funcs", "top_tokens",
                "multimodal_bytes", "multimodal_dedup_exact",
                "text_lm_score", "text_lm_buckets", "source_quota_cap",
-               "sample_weighted", "text_heavy_hitters")
+               "sample_weighted", "text_heavy_hitters", "chunk_documents")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
