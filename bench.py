@@ -141,6 +141,9 @@ def headline_queries():
         # binned range join and the corpus-trained bigram-LM scorer —
         # both aggregate-consumed so Catalyst can't prune the work
         # (a bare count() would let the left-join / sum columns drop)
+        # exact prefix-filtering tier: same output as dedup_ngram_jaccard
+        # (theorem-exact), sub-quadratic candidates via df-ordered prefixes
+        "dedup_ngram_prefix": dedup.dedup_ngram_prefix,
         "events_range_join": lambda s, sf: ranges.events_range_join(s, sf).agg(
             F.sum("n_clicks").alias("nc"), F.max("last_click_id").alias("lc"),
         ),

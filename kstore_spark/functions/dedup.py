@@ -1,11 +1,14 @@
 """Deduplication operators for large-scale text corpora.
 
-Four strategies over the ``documents`` table, each designed for the
+Five strategies over the ``documents`` table, each designed for the
 100 TB regime (shuffle on fixed-size keys, inverted-index joins instead
 of cross products, integer threshold arithmetic):
 
 - exact:         hash-groupBy on a content digest (never shuffles text)
 - ngram_jaccard: exact word-3-gram Jaccard via inverted-index self-join
+- ngram_prefix:  the same EXACT output via df-ordered prefix filtering
+                 (Bayardo et al. All-Pairs) — sub-quadratic candidates,
+                 equality guaranteed by the prefix-filtering lemma
 - minhash_lsh:   MinHash signatures + banded LSH candidate generation,
                  candidates verified with exact Jaccard
 - simhash:       64-bit SimHash + pigeonhole band join for hamming ≤ 3
@@ -376,26 +379,16 @@ def lsh_candidates(
     )
 
 
-def dedup_minhash_lsh(spark, sf_dir):
-    """LSH candidates verified with exact Jaccard — the scale path: LSH
-    prunes the pair space from O(n²) to near-linear, verification touches
-    only candidates. Because verification is EXACT Jaccard, output ⊆ the
-    exact baseline by construction, and the seeded bands attain recall
-    1.0 on the testdata (set equality pinned at sf0.001, sf0.01 AND
-    sf0.1 by the test_minhash_lsh_recall* gates) — so the exact n-gram SQL is
-    its exact oracle, same justification as embedding_neardup_lsh."""
-    sh_arr = _shingle_arrays(spark, sf_dir).persist()
-    tmp: list = []
-    cands = lsh_candidates(minhash_signatures(sh_arr), persisted=tmp).persist()
-    cands.count()  # materialize so the explode below is candidate-only
-    for frame in tmp:  # band frame served its self-join; free it now
-        frame.unpersist()
-    # verification touches ONLY candidate docs: semi-join first, then
-    # explode just those docs' shingles — the full inverted-index pair
-    # expansion (what LSH exists to avoid) never materializes
-    # candidate-derived frames (in_cands, cands, size tables) grow with
-    # the corpus — leave join strategy to AQE (broadcast while they fit,
-    # shuffle join beyond) instead of hard hints that cliff at scale
+def _verify_candidates(sh_arr: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification restricted to a MATERIALIZED candidate
+    pair frame: semi-join to candidate docs first, explode only those
+    docs' shingles — the full inverted-index pair expansion (what
+    candidate generation exists to avoid) never materializes. Candidate-
+    derived frames (in_cands, size tables) grow with the corpus — join
+    strategy stays with AQE (broadcast while they fit, shuffle join
+    beyond) instead of hard hints that cliff at scale. Returns the
+    persisted, materialized pair output; the exploded candidate shingles
+    are freed before returning."""
     in_cands = cands.select(F.col("doc_a").alias("doc_id")).union(
         cands.select("doc_b")
     ).distinct()
@@ -419,11 +412,90 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select("doc_a", "doc_b")
         .persist()
     )
-    res.count()  # materialize the (small) pair output, then free the big
-    # intermediates — the banded explode, shingle arrays and exploded
-    # candidate shingles dwarf the result and must not stay cached for
-    # the rest of the session
-    for frame in (sh, cands, sh_arr):
+    res.count()  # materialize the (small) pair output, then free the
+    # exploded candidate shingles (they dwarf the result and must not
+    # stay cached for the rest of the session)
+    sh.unpersist()
+    return res
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidates verified with exact Jaccard — the scale path: LSH
+    prunes the pair space from O(n²) to near-linear, verification touches
+    only candidates. Because verification is EXACT Jaccard, output ⊆ the
+    exact baseline by construction, and the seeded bands attain recall
+    1.0 on the testdata (set equality pinned at sf0.001, sf0.01 AND
+    sf0.1 by the test_minhash_lsh_recall* gates) — so the exact n-gram SQL is
+    its exact oracle, same justification as embedding_neardup_lsh."""
+    sh_arr = _shingle_arrays(spark, sf_dir).persist()
+    tmp: list = []
+    cands = lsh_candidates(minhash_signatures(sh_arr), persisted=tmp).persist()
+    cands.count()  # materialize so the verify explode is candidate-only
+    for frame in tmp:  # band frame served its self-join; free it now
+        frame.unpersist()
+    res = _verify_candidates(sh_arr, cands)
+    for frame in (cands, sh_arr):
+        frame.unpersist()
+    return res
+
+
+# Prefix filtering (Bayardo et al. WWW'07 "Scaling Up All Pairs
+# Similarity Search" / the SSJoin-PPJoin family): under ANY fixed global
+# total order on shingles, two sets with J ≥ t must share at least one
+# element within their first |X| - ceil(t·|X|) + 1 elements (if all
+# shared elements sat outside either prefix, the overlap could not reach
+# the i ≥ t·|X| that J ≥ t forces). Indexing only prefixes makes the
+# EXACT join sub-quadratic — unlike MinHash-LSH there is no recall
+# argument to make: output equality is a theorem, not a measurement.
+
+def dedup_ngram_prefix(spark, sf_dir):
+    """Exact n-gram Jaccard pairs via prefix filtering — the exact
+    tier's answer to the inverted index's quadratic pair expansion:
+    under the canonical ASCENDING-document-frequency order, only each
+    doc's first n - ceil(t·n) + 1 shingles enter the index self-join.
+    Rarest-first ordering is load-bearing, not an optimization detail: a
+    prototype with a hash order was 5× SLOWER than the inverted index at
+    10× — any corpus-common shingle landing in prefixes recreates the
+    quadratic hot key the technique exists to avoid; df order pushes
+    common shingles out of every prefix, so prefix-index keys are
+    near-unique by construction. The length filter (5·min(n) ≥ 4·max(n),
+    integer) prunes size-incompatible candidates before verification.
+    Cost: one df groupBy + one rank window, both token/doc-key shuffles.
+    Candidates are exact-Jaccard verified (shared _verify_candidates),
+    so the output is IDENTICAL to dedup_ngram_jaccard — a theorem
+    (prefix-filtering lemma), not a recall measurement — same SQL
+    oracle; set equality additionally pinned in tests + fuzzers."""
+    sh_arr = _shingle_arrays(spark, sf_dir).persist()
+    sh = sh_arr.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc rank in (df asc, s) order; keep only the prefix rows:
+    # k <= n - ceil(t*n) + 1 (all-integer)
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    plen = F.col("n") - F.expr(
+        f"({_J_NUM} * n + {_J_DEN} - 1) div {_J_DEN}").cast("int") + 1
+    pref = (
+        sh.join(df, "s")
+        .withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= plen)
+        .select("doc_id", "n", "s")
+        .persist()
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = pref.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t forces t*max(na,nb) <= min(na,nb)
+        .filter(_J_DEN * F.least("na", "nb") >= _J_NUM * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    cands.count()  # materialize so the verify explode is candidate-only
+    pref.unpersist()
+    res = _verify_candidates(sh_arr, cands)
+    for frame in (cands, sh_arr):
         frame.unpersist()
     return res
 
@@ -813,6 +885,7 @@ def dedup_keep_best_lsh(spark, sf_dir, max_iter: int = 20):
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_prefix": dedup_ngram_prefix,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_keep_best_lsh": dedup_keep_best_lsh,
@@ -828,6 +901,9 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    # prefix filtering is EXACT (prefix-filtering lemma, not a recall
+    # measurement) — it provably carries the same SQL oracle
+    "dedup_ngram_prefix": DEDUP_NGRAM_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,

@@ -520,6 +520,18 @@ def test_dedup_clusters_match_union_find(spark, exact_pairs):
     assert any(len(m) > 2 for m in expect.values()) or len(want) > 0
 
 
+def test_ngram_prefix_equals_inverted_index(spark, exact_pairs):
+    """Prefix filtering is EXACT by the prefix-filtering lemma — its
+    pair set must equal the full inverted-index computation, not merely
+    approximate it (this is what lets it share the SQL oracle without a
+    recall argument)."""
+    from kstore_spark.functions.dedup import dedup_ngram_prefix
+
+    got = {(r["doc_a"], r["doc_b"])
+           for r in dedup_ngram_prefix(spark, SF_DIR).collect()}
+    assert got == set(exact_pairs)
+
+
 def test_cluster_pairs_high_diameter_chain(spark):
     """A 300-node path (diameter 299) must collapse to ONE cluster
     rooted at 0 — the failure mode star contraction exists for: the

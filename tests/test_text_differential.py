@@ -104,7 +104,8 @@ def test_text_ops_differential(spark, tmp_path, seed):
 # likely to diverge on corpora the fixed testdata never shows
 # (multimodal_features_checksum is deliberately absent: its oracle
 # documents an ASCII-only equivalence and this corpus plants unicode)
-_CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
+_CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
+               "dedup_clusters", "dedup_keep_best",
                "dedup_substring", "dedup_substring_spans",
                "dedup_substring_strip",
                "decontaminate_ngram", "dedup_passages", "corpus_mixture",
