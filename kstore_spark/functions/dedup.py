@@ -238,9 +238,12 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
 def dedup_clusters(spark, sf_dir, max_iter: int = 20):
     """Components over the exact n-gram-Jaccard pairs — exact +
     deterministic end to end → DuckDB recursive-CTE oracle,
-    hash-matched. (The curation pipeline clusters its MinHash-LSH pairs
-    through the same ``cluster_pairs`` core.)"""
-    return cluster_pairs(dedup_ngram_jaccard(spark, sf_dir), max_iter)
+    hash-matched. The pair engine is the prefix-filtered one: its output
+    is lemma-identical to the inverted index, 2× faster at sf0.1/10×,
+    and still standing at 100× where the inverted index OOMs (PERF.md).
+    (The curation pipeline clusters its MinHash-LSH pairs through the
+    same ``cluster_pairs`` core.)"""
+    return cluster_pairs(dedup_ngram_prefix(spark, sf_dir), max_iter)
 
 
 def dedup_keep_best(spark, sf_dir, max_iter: int = 20,
@@ -254,10 +257,12 @@ def dedup_keep_best(spark, sf_dir, max_iter: int = 20,
     100 TB that window runs on the sparse pair-graph node set, never
     the corpus)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    # default = exact pair graph (SQL-oracle-reproducible); at corpus
-    # scale inject the MinHash-LSH pair output (same schema)
+    # default = exact pair graph via the prefix-filtered engine
+    # (lemma-identical to the inverted index, so still SQL-oracle-
+    # reproducible); at corpus scale inject the MinHash-LSH pair
+    # output (same schema)
     if pairs is None:
-        pairs = dedup_ngram_jaccard(spark, sf_dir)
+        pairs = dedup_ngram_prefix(spark, sf_dir)
     clusters = cluster_pairs(pairs, max_iter)
     clustered = docs.join(clusters, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(

@@ -191,15 +191,16 @@ def split_train_holdout(spark, sf_dir, holdout_pct: int = HOLDOUT_PCT,
     hash-checkable. At 100 TB the cluster frame is the (sparse) LSH
     pair-graph output; the join adds one key-shuffle of (doc_id,
     cluster_id) pairs, never the corpus text."""
-    from kstore_spark.functions.dedup import cluster_pairs, dedup_ngram_jaccard
+    from kstore_spark.functions.dedup import cluster_pairs, dedup_ngram_prefix
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    # default pair graph = exact n-gram Jaccard (what the SQL oracle
+    # default pair graph = exact n-gram Jaccard via the prefix-filtered
+    # engine (lemma-identical to the inverted index the SQL oracle
     # reproduces); at corpus scale pass the MinHash-LSH pair output
     # instead (same schema) — examples/curate_corpus.py does exactly
     # that via assign_split on its LSH clusters
     if pairs is None:
-        pairs = dedup_ngram_jaccard(spark, sf_dir)
+        pairs = dedup_ngram_prefix(spark, sf_dir)
     clusters = cluster_pairs(pairs)
     with_rep = (
         docs.join(clusters, "doc_id", "left")
