@@ -132,8 +132,15 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     ).select("doc_id", F.col("clean").alias("text"), "n_emails", "n_ips", "n_phones")
     counts["pii_scrubbed"] = scrubbed.count()
 
-    # 7. stratified sample (per true language label, deterministic)
-    sampled = sample_stratified(spark, sf_dir, k=sample_every).select("doc_id")
+    # 7. stratified sample (per true language label, deterministic) —
+    #    computed over the SURVIVORS so the exact 1-in-k holds per
+    #    surviving stratum (sampling the raw corpus and intersecting
+    #    would make the kept fraction depend on how earlier filters
+    #    correlate with per-language rank)
+    sampled = sample_stratified(
+        spark, sf_dir, k=sample_every,
+        docs=docs.select("doc_id", "lang").join(keep, "doc_id", "left_semi"),
+    ).select("doc_id")
     keep = keep.join(sampled, "doc_id", "left_semi")
     counts["sampled"] = keep.count()
 

@@ -471,8 +471,11 @@ def dedup_ngram_prefix(spark, sf_dir):
     (prefix-filtering lemma), not a recall measurement — same SQL
     oracle; set equality additionally pinned in tests + fuzzers."""
     sh_arr = _shingle_arrays(spark, sf_dir).persist()
+    # the exploded frame feeds the df groupBy AND the prefix-rank join —
+    # persist it or the corpus explode runs once per branch (the same
+    # '3 scans → 1' discipline as dedup_ngram_jaccard)
     sh = sh_arr.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")).persist()
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # per-doc rank in (df asc, s) order; keep only the prefix rows:
     # k <= n - ceil(t*n) + 1 (all-integer)
@@ -499,6 +502,7 @@ def dedup_ngram_prefix(spark, sf_dir):
     )
     cands.count()  # materialize so the verify explode is candidate-only
     pref.unpersist()
+    sh.unpersist()
     res = _verify_candidates(sh_arr, cands)
     for frame in (cands, sh_arr):
         frame.unpersist()

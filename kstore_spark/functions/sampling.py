@@ -47,8 +47,13 @@ PACK_BUDGET = 2048  # tokens per training batch
 PACK_SHARDS = 8     # independent packing streams
 
 
-def sample_stratified(spark, sf_dir, k: int = SAMPLE_EVERY):
-    docs = table(spark, sf_dir, "documents")
+def sample_stratified(spark, sf_dir, k: int = SAMPLE_EVERY, docs=None):
+    """``docs`` overrides the source frame (must carry doc_id + lang) —
+    pipeline callers sample their SURVIVOR set so the 1-in-k holds per
+    surviving stratum, not per pre-filter rank (see
+    examples/curate_corpus.py)."""
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))

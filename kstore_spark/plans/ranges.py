@@ -109,14 +109,19 @@ def events_range_join(spark: SparkSession, sf_dir: str,
             F.max("click_id").alias("last_click_id"),
         )
     )
-    return (
+    res = (
         purchases.join(matched, "purchase_id", "left")
         .select(
             "purchase_id",
             F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
             "last_click_id",
         )
+        .persist()
     )
+    res.count()  # materialize the per-purchase result, then release the
+    # purchases cache (a lazy return would pin it for the session)
+    purchases.unpersist()
+    return res
 
 
 EVENTS_RANGE_JOIN_SQL = f"""
