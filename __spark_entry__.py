@@ -53,6 +53,7 @@ _PRIORITY = [
     "events_range_join", "text_lm_score", "text_lm_buckets",
     "source_quota_cap", "sample_weighted", "text_heavy_hitters",
     "stream_range_join", "chunk_documents", "dedup_ngram_prefix",
+    "events_retention",
     # code touched this round (deterministic-z fix → both temperature
     # queries; _simhash_band_pairs persist → simhash; _semantic_prune
     # refactor → dedup_semantic; pairs= plumbing → keep_best/split)
@@ -67,7 +68,7 @@ _PRIORITY = [
     "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
     "q10_returned_items", "q11_important_parts", "q12_shipmode_priority",
-    "q14_promo_revenue", "q15_top_supplier",
+    "q14_promo_revenue",
     # -- 50-entry window ends here (entries below get NO r4 driver row
     # and lead the r5 rotation together with the unlisted tail:
     # text_*, multimodal_bytes/features, sample_stratified,
@@ -75,7 +76,7 @@ _PRIORITY = [
     # tfidf_top_terms, events_distinct_users, embedding_neardup(_lsh),
     # sim_ann_ivf, and everything green in r3; the seven r2-green TPC-H/
     # analytics entries displaced by the late-r4 second wave sit first) --
-    "q16_supplier_count", "q17_small_quantity",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
     "q18_large_volume", "q19_discounted_revenue", "q20_excess_suppliers",
     "q21_waiting_supplier", "q22_inactive_rich",
     "median_price_by_segment", "anti_join_customers",

@@ -474,6 +474,35 @@ SELECT 3, 'purchase_after_view', COUNT(*) FROM s3
 """
 
 
+def events_retention(spark, sf_dir):
+    """Cohort retention — the product-analytics staple the suite lacked:
+    users are cohorted by the DATE of their first event; for every
+    (cohort_date, day_n) cell, how many of that cohort's users were
+    active day_n days later. Two grouped aggregations over (user, date)
+    keys — the distinct activity frame is the only corpus-sized shuffle,
+    and it carries 12-byte rows; the cohort join is user-keyed. Counts
+    are exact ints, dates are exact — hash-stable across engines."""
+    ev = table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select("cohort", F.datediff("d", "cohort").alias("day_n"), "user_id")
+        .groupBy("cohort", "day_n")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, d FROM ev)
+SELECT f.cohort, CAST(datediff('day', f.cohort, a.d) AS INTEGER) AS day_n,
+       COUNT(*) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY f.cohort, day_n
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -490,6 +519,7 @@ QUERIES = {
     "events_gapfill": events_gapfill,
     "events_gapfill_locf": events_gapfill_locf,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
 }
 
 ORACLES = {
@@ -507,5 +537,5 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
     "events_gapfill_locf": EVENTS_GAPFILL_LOCF_SQL,
-    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,    "events_retention": EVENTS_RETENTION_SQL,
 }
