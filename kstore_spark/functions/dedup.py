@@ -193,8 +193,14 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     logical plan (persist alone leaves the plan tree growing
     multiplicatively across rounds — driver OOM once a downstream query
     embeds it); a production cluster would use reliable checkpoint()."""
+    # canonicalize orientation to (a = greatest, b = least) up front:
+    # the star rounds emit (larger, smaller) edges, so a (doc_a < doc_b)
+    # input would fail the set-equality fixed-point test on an
+    # already-converged star forest and pay one spurious extra round
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -59,19 +59,18 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_bigrams, lm_score_ppm): mean conditional bigram
-    probability of the document under the corpus-trained bigram MLE,
-    in exact integer ppm. High score = predictable, well-formed text;
-    boilerplate scores high, keyboard-mash / OCR noise scores low —
-    the filter threshold is applied downstream."""
-    bg = _doc_bigrams(spark, sf_dir).persist()
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
-    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+def _lm_score(bg: DataFrame, train: DataFrame) -> DataFrame:
+    """Score ``bg``'s documents under the bigram MLE trained on
+    ``train`` (both (doc_id, w1, w2) frames). Inner join against the
+    rate table: only bigrams the model has seen contribute, and a doc
+    with no in-vocabulary bigram drops out — identical semantics for
+    the self-supervised (train == bg) and trusted-corpus variants."""
+    bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    uc = train.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
     rates = bc.join(uc, "w1").select(
         "w1", "w2", F.expr(f"({PPM} * bc) div uc").alias("p_ppm")
     )
-    res = (
+    return (
         bg.join(rates, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -81,10 +80,45 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "n_bigrams", F.expr("s div n_bigrams").alias("lm_score_ppm")
         )
-        .persist()
     )
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score_ppm): mean conditional bigram
+    probability of the document under the corpus-trained bigram MLE,
+    in exact integer ppm. High score = predictable, well-formed text;
+    boilerplate scores high, keyboard-mash / OCR noise scores low —
+    the filter threshold is applied downstream.
+
+    NOTE the RETURNED frame stays persisted (the big exploded-bigram
+    intermediate is freed here, but the small per-doc result is kept
+    cached so callers can fan out over it); consumers that are done
+    with it should ``unpersist()`` it — text_lm_buckets does."""
+    bg = _doc_bigrams(spark, sf_dir).persist()
+    res = _lm_score(bg, bg).persist()
     res.count()  # materialize the per-doc result, then free the big
     bg.unpersist()  # exploded bigram frame (3 consumers served)
+    return res
+
+
+# CCNet proper trains its LM on a TRUSTED corpus (Wikipedia), not on
+# the corpus being scored; here the trusted set is the held-out
+# doc_id < N slice of documents. Only the counts frame differs.
+TRUSTED_MAX_DOC = 100
+
+
+def text_lm_score_trusted(spark: SparkSession, sf_dir: str,
+                          trusted_max_doc: int = TRUSTED_MAX_DOC) -> DataFrame:
+    """text_lm_score with the bigram MLE trained ONLY on the trusted
+    held-out slice (doc_id < trusted_max_doc) and scoring applied to the
+    WHOLE corpus — the CCNet shape. Bigrams outside the trusted model's
+    vocabulary drop out of the inner rate join, so noisy documents are
+    scored on their trusted-covered mass (and all-noise docs drop out
+    entirely). Same ppm oracle, counts restricted identically."""
+    bg = _doc_bigrams(spark, sf_dir).persist()
+    res = _lm_score(bg, bg.filter(F.col("doc_id") < trusted_max_doc)).persist()
+    res.count()
+    bg.unpersist()
     return res
 
 
@@ -109,15 +143,20 @@ def text_lm_buckets(spark: SparkSession, sf_dir: str,
     from pyspark.sql.window import Window
 
     scored = text_lm_score(spark, sf_dir)
+    bucketed = scored
     if docs is not None:
-        scored = scored.join(docs.select("doc_id"), "doc_id", "left_semi")
+        bucketed = scored.join(docs.select("doc_id"), "doc_id", "left_semi")
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     w = Window.partitionBy("lang").orderBy(
         F.col("lm_score_ppm").desc(), F.col("doc_id"))
-    return (
-        scored.join(langs, "doc_id")
+    res = (
+        bucketed.join(langs, "doc_id")
         .select("doc_id", "lang", F.ntile(n_buckets).over(w).alias("bucket"))
+        .persist()
     )
+    res.count()  # materialize, then release text_lm_score's cached
+    scored.unpersist()  # per-doc score frame (see its docstring note)
+    return res
 
 
 TEXT_LM_BUCKETS_SQL_TEMPLATE = """
@@ -130,7 +169,7 @@ FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 """
 
 
-TEXT_LM_SCORE_SQL = f"""
+_LM_SCORE_SQL_TEMPLATE = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tok FROM documents
 ),
@@ -138,8 +177,9 @@ bg AS (
   SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
   FROM (SELECT doc_id, tok, UNNEST(range(1, len(tok))) AS i FROM t)
 ),
-bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY w1, w2),
-uc AS (SELECT w1, COUNT(*) AS uc FROM bg GROUP BY w1),
+tbg AS (SELECT * FROM bg {train_where}),
+bc AS (SELECT w1, w2, COUNT(*) AS bc FROM tbg GROUP BY w1, w2),
+uc AS (SELECT w1, COUNT(*) AS uc FROM tbg GROUP BY w1),
 sc AS (
   SELECT bg.doc_id, ({PPM} * bc.bc) // uc.uc AS p_ppm
   FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
@@ -148,16 +188,22 @@ SELECT doc_id,
        COUNT(*) AS n_bigrams,
        CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
 FROM sc GROUP BY doc_id
-"""
+""".replace("{PPM}", str(PPM))
+
+TEXT_LM_SCORE_SQL = _LM_SCORE_SQL_TEMPLATE.format(train_where="")
+TEXT_LM_SCORE_TRUSTED_SQL = _LM_SCORE_SQL_TEMPLATE.format(
+    train_where=f"WHERE doc_id < {TRUSTED_MAX_DOC}")
 
 
 QUERIES = {
     "text_lm_score": text_lm_score,
+    "text_lm_score_trusted": text_lm_score_trusted,
     "text_lm_buckets": text_lm_buckets,
 }
 
 ORACLES = {
     "text_lm_score": TEXT_LM_SCORE_SQL,
+    "text_lm_score_trusted": TEXT_LM_SCORE_TRUSTED_SQL,
     "text_lm_buckets": TEXT_LM_BUCKETS_SQL_TEMPLATE.format(
         score_sql=TEXT_LM_SCORE_SQL, n=N_BUCKETS),
 }

@@ -537,5 +537,6 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
     "events_gapfill_locf": EVENTS_GAPFILL_LOCF_SQL,
-    "events_funnel": EVENTS_FUNNEL_SQL,    "events_retention": EVENTS_RETENTION_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
 }

@@ -39,6 +39,26 @@ _US = 1_000_000
 RANGE_WINDOW_S = 3600  # attribution window = bin width (1 hour)
 
 
+def micros_bin(micros_sql: str, w_us: int):
+    """Bin id = floor(micros / w_us) computed in pure integer arithmetic.
+
+    ``pmod`` yields the non-negative remainder, so ``micros - pmod`` is
+    the greatest multiple of ``w_us`` <= micros and the DIV is exact —
+    floor semantics hold for negative (pre-epoch) timestamps too, with
+    no double-precision round-trip (the repo's float-free discipline;
+    double floor(x/w) is only safe while micros fits in 53 bits).
+    ``micros_sql`` is a SQL expression producing integer microseconds.
+    Shared by the batch and streaming range joins.
+    """
+    return F.expr(
+        f"((({micros_sql}) - pmod(({micros_sql}), {w_us:d})) DIV {w_us:d})")
+
+
+def time_bin(ts_name: str, w_us: int):
+    """Floor-division bin id of a timestamp column (by name)."""
+    return micros_bin(f"unix_micros({ts_name})", w_us)
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -62,16 +82,18 @@ def binned_range_join(
                 f"binned_range_join: {side} frame already has a '_bin' "
                 "column — it would be silently overwritten and dropped; "
                 "rename it first")
+    shared = sorted(set(points.columns) & set(intervals.columns))
+    if shared:
+        raise ValueError(
+            "binned_range_join: points and intervals share column(s) "
+            f"{shared} — the equi-join would emit ambiguous duplicates "
+            "that break the caller's exact-predicate filter; rename or "
+            "drop them on one side first")
     w_us = bin_width_s * _US
-    pt = points.withColumn("_bin", F.floor(F.unix_micros(F.col(point_ts)) / w_us))
+    pt = points.withColumn("_bin", time_bin(point_ts, w_us))
     iv = intervals.withColumn(
         "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_ts)) / w_us),
-                F.floor(F.unix_micros(F.col(end_ts)) / w_us),
-            )
-        ),
+        F.explode(F.sequence(time_bin(start_ts, w_us), time_bin(end_ts, w_us))),
     )
     return pt.join(iv, "_bin").drop("_bin")
 

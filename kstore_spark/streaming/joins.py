@@ -90,7 +90,7 @@ def stream_range_join(spark: SparkSession, sf_dir: str,
     per bin is one watermark-horizon's worth of events — skewed hot bins
     are ordinary hot state keys. Append mode: each matched pair emits
     exactly once, when both sides have arrived."""
-    from kstore_spark.plans.ranges import _US
+    from kstore_spark.plans.ranges import _US, micros_bin, time_bin
 
     w_us = window_s * _US
     purchases = (
@@ -104,8 +104,8 @@ def stream_range_join(spark: SparkSession, sf_dir: str,
         .withColumn(
             "bin",
             F.explode(F.sequence(
-                F.floor((F.unix_micros("p_ts") - w_us) / w_us),
-                F.floor(F.unix_micros("p_ts") / w_us),
+                micros_bin(f"unix_micros(p_ts) - {w_us:d}", w_us),
+                time_bin("p_ts", w_us),
             )),
         )
     )
@@ -114,7 +114,7 @@ def stream_range_join(spark: SparkSession, sf_dir: str,
         .filter(F.col("event_type") == "click")
         .select(F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "1 hour")
-        .withColumn("cbin", F.floor(F.unix_micros("c_ts") / (window_s * _US)))
+        .withColumn("cbin", time_bin("c_ts", w_us))
     )
     joined = purchases.join(
         clicks,
