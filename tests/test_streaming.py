@@ -205,40 +205,36 @@ def test_stream_hourly_approx_users_error_bound(spark):
 
 
 def test_stream_neardup_matches_batch_lsh(spark):
-    """The stateful streaming near-dup emits EXACTLY the batch
-    band-collision ∧ signature-agreement set, independent of micro-batch
-    boundaries: a pair appears when both docs share a band bucket
-    (partner in state or batch-mate), and agreement is computed from the
-    same full signatures. Also sanity: admitted pairs at ≥52/64 must be
-    a subset of the exact-Jaccard J ≥ 0.8 pairs' candidate superset —
-    i.e. each streamed pair band-collides in batch too."""
-    from pyspark.sql import functions as F
-
+    """r5 exactified op: (1) the stateful candidate stage emits EXACTLY
+    the batch band-collision set, independent of micro-batch boundaries
+    (a pair appears when both docs share a band bucket, whether the
+    partner is in state or a batch-mate); (2) after the shared
+    exact-Jaccard verify, the public op is pair-for-pair equal to
+    dedup_minhash_lsh — no estimator deviation left to bound."""
     from kstore_spark.functions.dedup import (
-        _shingle_arrays, band_hashes, lsh_candidates, minhash_signatures)
+        _shingle_arrays, dedup_minhash_lsh, lsh_candidates,
+        minhash_signatures)
     from kstore_spark.streaming.dedup import (
-        STREAM_MIN_AGREE, stream_neardup_pairs)
+        _stream_candidates, stream_neardup_pairs)
 
-    got = {
-        (r["doc_a"], r["doc_b"]): r["n_agree"]
-        for r in stream_neardup_pairs(spark, SF_DIR).collect()
+    got_cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in _stream_candidates(spark, SF_DIR).collect()
     }
+    expected_cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(
+            minhash_signatures(_shingle_arrays(spark, SF_DIR))).collect()
+    }
+    assert got_cands == expected_cands
+    assert expected_cands  # the planted near-dups must band-collide
 
-    sig = minhash_signatures(_shingle_arrays(spark, SF_DIR))
-    cands = lsh_candidates(sig)
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b))
-    expected = {
-        (r["doc_a"], r["doc_b"]): r["n_agree"]
-        for r in cands.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", agree.alias("n_agree"))
-        .filter(F.col("n_agree") >= STREAM_MIN_AGREE)
-        .collect()
-    }
-    assert got == expected
-    assert expected  # the planted near-dups must actually stream out
+    got = {(r["doc_a"], r["doc_b"])
+           for r in stream_neardup_pairs(spark, SF_DIR).collect()}
+    batch = {(r["doc_a"], r["doc_b"])
+             for r in dedup_minhash_lsh(spark, SF_DIR).collect()}
+    assert got == batch
+    assert batch  # the planted near-dups must verify
 
 
 def test_stream_dedup_spans_matches_keep_first_batch(spark):
