@@ -98,7 +98,10 @@ def headline_queries():
         "events_sessionize": analytics.events_sessionize,
         "join_hash": kparity.q_join_hash,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        # dedup_ngram_jaccard (inverted-index tier) retired from the
+        # bench in r5 (VERDICT r4): it OOMs at 100× and the prefix tier
+        # below produces IDENTICAL output (prefix-filtering lemma) 2×
+        # faster — it stays as a test/driver-only oracle twin
         "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
         "sim_topk_matmul": similarity.sim_topk_matmul,
         # pure projection — same count()-pruning honesty fix as pii_scrub

@@ -23,6 +23,8 @@ is pinned by pytest gates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -31,6 +33,24 @@ from kstore_spark.tables import table
 
 # Jaccard threshold 0.8 as a ratio — integer comparison, no floats
 _J_NUM, _J_DEN = 4, 5  # J >= _J_NUM/_J_DEN
+
+
+def _estimated_scan_splits(spark, sf_dir: str, name: str) -> int:
+    """File-split count Spark will plan for a parquet scan, estimated
+    from on-disk bytes / maxPartitionBytes — WITHOUT converting the
+    plan to an RDD (``df.rdd.getNumPartitions()`` forces that
+    conversion on every call; VERDICT r4 cleanup)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        total = os.path.getsize(path)
+    else:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    digits = "".join(c for c in raw if c.isdigit()) or "134217728"
+    return max(1, -(-total // int(digits)))
 
 
 def _tokens(spark, sf_dir) -> DataFrame:
@@ -42,7 +62,7 @@ def _tokens(spark, sf_dir) -> DataFrame:
     # full document text for nothing (the one corpus-sized shuffle
     # none of the dedup paths otherwise have).
     npart = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < npart:
+    if _estimated_scan_splits(spark, sf_dir, "documents") < npart:
         docs = docs.repartition(npart, "doc_id")
     return docs.select("doc_id", F.split("text", " ").alias("t"))
 

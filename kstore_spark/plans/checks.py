@@ -1,0 +1,204 @@
+"""Driver-visible equivalence checks for the approximate operators.
+
+The engine's approximate operators (SimHash bands, IVF probes, media
+LSH, HLL++/KLL sketches, streaming HLL) have no SQL oracle by design —
+sketch internals and Spark-side hash families are engine-specific, so
+a DuckDB twin cannot reproduce their values. Their correctness instead
+rests on EQUIVALENCE GATES against exact twins (full-probe == brute
+force, banded == brute-force hamming, estimate within the configured
+error bound), which until round 5 lived only in pytest — driver
+evidence stopped at a rows-only count.
+
+This module surfaces every one of those gates as ONE oracled driver
+entry (the driver window is 50 slots; one consolidated frame buys
+driver-visible evidence for all eight gates at the cost of one slot).
+Each gate contributes a (check_name, n_diff) row where n_diff counts
+violations — symmetric-difference rows for exact-equivalence gates,
+out-of-bound groups for sketch-error gates — and the DuckDB oracle is
+the constant all-zeros table. This is the same acceptance shape as the
+reference's test harness (reference test.sh:24-43 falls back to a
+sorted diff and accepts iff it is empty).
+
+All comparison work runs as DataFrame plans (joins/excepts/aggs over
+the two sides); nothing corpus-sized is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+
+def _count_as(name: str, violations: DataFrame) -> DataFrame:
+    """1-row (check_name, n_diff) frame counting ``violations`` rows."""
+    return violations.agg(F.count(F.lit(1)).alias("n_diff")).select(
+        F.lit(name).alias("check_name"), "n_diff")
+
+
+def _symdiff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset symmetric difference of two same-schema frames."""
+    b = b.select(a.columns)
+    return a.exceptAll(b).union(b.exceptAll(a))
+
+
+def _simhash_brute(sims: DataFrame, radius: int) -> DataFrame:
+    """Brute-force hamming <= radius self-join over (doc_id, sim) — the
+    exact twin of the banded ops. Quadratic by construction: this is a
+    test-scale oracle (the banded ops exist so it never runs at scale)."""
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= radius)
+        .select("doc_a", "doc_b")
+    )
+
+
+def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check_name, n_diff) — one row per approximate-op equivalence
+    gate, all of which must be zero:
+
+    - dedup_simhash / dedup_simhash_wide: banded output == brute-force
+      hamming <= 7 / <= 3 pairs (pigeonhole recall is a theorem at
+      radius <= bands-1; verification is exact popcount, so equality —
+      not containment — is required).
+    - sim_ann_ivf / sim_ann_ivf_kmeans: probing ALL cells == exact
+      brute-force top-k (the IVF machinery adds no approximation
+      beyond cell pruning).
+    - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
+      the same media embeddings (precision is exact by the cosine
+      verify; recall is the probabilistic part, pinned on planted
+      payloads in pytest).
+    - events_approx_distinct: HLL++ per-type estimate within
+      max(1, 10%) of the exact distinct count, exact row counts equal.
+    - events_approx_quantiles: each reported quantile's true rank
+      within the percentile_approx guarantee (1/accuracy + one value).
+    - stream_hourly_approx_users: the streaming HLL++ per-window
+      estimate within max(2, 10%) of the exact batch distinct, with
+      identical group keys.
+    """
+    from kstore_spark.functions.dedup import (
+        HAMMING_MAX, WIDE_HAMMING_MAX, dedup_simhash, dedup_simhash_wide,
+        simhash)
+    from kstore_spark.functions.multimodal import (
+        MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS, binary_payloads,
+        media_embeddings)
+    from kstore_spark.functions.similarity import (
+        N_CELLS, _cosine, neardup_lsh_pairs, sim_ann_ivf, sim_ann_ivf_kmeans,
+        sim_topk_bruteforce)
+    from kstore_spark.functions.sketches import (
+        PCTL_ACCURACY, events_approx_distinct, events_approx_quantiles,
+        events_distinct_users)
+    from kstore_spark.streaming.windows import stream_hourly_approx_users
+
+    parts = []
+    to_free = []
+
+    # -- simhash band gates (the banded frames return persisted; free
+    # them once the consolidated result materializes) ------------------
+    sims = simhash(spark, sf_dir).persist()
+    to_free.append(sims)
+    for name, fn, radius in (
+        ("dedup_simhash", dedup_simhash, HAMMING_MAX),
+        ("dedup_simhash_wide", dedup_simhash_wide, WIDE_HAMMING_MAX),
+    ):
+        got = fn(spark, sf_dir)
+        to_free.append(got)
+        parts.append(_count_as(name, _symdiff(got, _simhash_brute(sims, radius))))
+
+    # -- IVF full-probe == brute force ---------------------------------
+    truth = sim_topk_bruteforce(spark, sf_dir).persist()
+    to_free.append(truth)
+    for name, fn in (("sim_ann_ivf", sim_ann_ivf),
+                     ("sim_ann_ivf_kmeans", sim_ann_ivf_kmeans)):
+        parts.append(_count_as(
+            name, _symdiff(fn(spark, sf_dir, n_probe=N_CELLS), truth)))
+
+    # -- multimodal near-dup precision containment ---------------------
+    emb = media_embeddings(binary_payloads(spark, sf_dir)).persist()
+    to_free.append(emb)
+    lsh = neardup_lsh_pairs(emb, MEDIA_NEARDUP_COS,
+                            bands=MEDIA_BANDS, rows=MEDIA_ROWS)
+    to_free.append(lsh)
+    ma = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    mb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    media_brute = (
+        ma.join(mb, F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine(F.col("va"), F.col("vb")) > MEDIA_NEARDUP_COS)
+        .select("vec_a", "vec_b")
+    )
+    parts.append(_count_as("multimodal_neardup", lsh.exceptAll(media_brute)))
+
+    # -- sketch error bounds -------------------------------------------
+    exact_d = events_distinct_users(spark, sf_dir).select(
+        "event_type", "n_users", F.col("n_events").alias("ne_x"))
+    approx_d = events_approx_distinct(spark, sf_dir).select(
+        "event_type", "n_users_approx", F.col("n_events").alias("ne_a"))
+    dist_viol = exact_d.join(approx_d, "event_type", "full").filter(
+        F.col("n_users").isNull() | F.col("n_users_approx").isNull()
+        | (F.col("ne_x") != F.col("ne_a"))
+        | (10 * F.abs(F.col("n_users_approx") - F.col("n_users"))
+           > F.greatest(F.lit(10), F.col("n_users")))
+    )
+    parts.append(_count_as("events_approx_distinct", dist_viol))
+
+    q = events_approx_quantiles(spark, sf_dir)
+    melted = q.select(
+        "event_type", "n_events",
+        F.expr("stack(3, 50, p50, 90, p90, 99, p99) AS (pq, qv)"))
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    n_le = (
+        melted.join(ev, "event_type")
+        .groupBy("event_type", "pq", "qv", "n_events")
+        .agg(F.sum(F.when(F.col("value") <= F.col("qv"), 1)
+                   .otherwise(0)).alias("n_le"))
+    )
+    pct_viol = n_le.filter(
+        F.abs(F.col("n_le") / F.col("n_events") - F.col("pq") / F.lit(100.0))
+        > F.lit(1.0 / PCTL_ACCURACY) + F.lit(1.0) / F.col("n_events"))
+    parts.append(_count_as("events_approx_quantiles", pct_viol))
+
+    # -- streaming HLL vs exact batch distinct -------------------------
+    got_h = stream_hourly_approx_users(spark, sf_dir)
+    exact_h = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    hll_viol = got_h.join(exact_h, ["hour", "event_type"], "full").filter(
+        F.col("n").isNull() | F.col("n_users_approx").isNull()
+        | (10 * F.abs(F.col("n_users_approx") - F.col("n"))
+           > F.greatest(F.lit(20), F.col("n")))
+    )
+    parts.append(_count_as("stream_hourly_approx_users", hll_viol))
+
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.union(p)
+    res = res.persist()
+    res.count()  # materialize the 8-row result, then free every helper
+    for frame in to_free:  # cache (signatures, truth ranks, embeddings)
+        frame.unpersist()
+    return res
+
+
+CHECK_NAMES = (
+    "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
+    "sim_ann_ivf_kmeans", "multimodal_neardup", "events_approx_distinct",
+    "events_approx_quantiles", "stream_hourly_approx_users",
+)
+
+APPROX_CHECKS_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{n}', CAST(0 AS BIGINT))" for n in CHECK_NAMES
+) + ") t(check_name, n_diff)"
+
+
+QUERIES = {
+    "approx_equivalence_checks": approx_equivalence_checks,
+}
+
+ORACLES = {
+    "approx_equivalence_checks": APPROX_CHECKS_SQL,
+}

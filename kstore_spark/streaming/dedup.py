@@ -48,6 +48,37 @@ def _run_to_table(agg: DataFrame, prefix: str, output_mode: str = "complete") ->
     return name
 
 
+def _run_to_parquet(frame: DataFrame, prefix: str,
+                    timeout_s: int = 600) -> DataFrame:
+    """Run an append-mode streaming query into a PARQUET sink and read
+    the result back. The memory sink materializes every output row in
+    DRIVER heap — fine for the aggregate ops (complete-mode output is
+    |groups| rows) but a hard OOM for high-multiplicity append output:
+    the 10× stream_range_join backfill emits 55M pairs, which killed an
+    8 GB driver at the final count. The file sink keeps output on
+    executors/disk — the production sink shape — at any multiplicity."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=f"ks_{prefix}_out_")
+    chk = tempfile.mkdtemp(prefix=f"ks_{prefix}_chk_")
+    spark = frame.sparkSession
+    q = (
+        frame.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not finish within {timeout_s}s — "
+            "refusing to return a silently-partial result"
+        )
+    return spark.read.schema(frame.schema).parquet(out)
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch per-key dedup, counted per event_type."""
     stream = _events_stream(spark, sf_dir)

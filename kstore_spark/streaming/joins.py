@@ -73,8 +73,12 @@ WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
 RANGE_WINDOW_S = 3600  # batch twin's attribution window (plans/ranges.py)
 
 
+STREAM_RJ_BACKFILL_CHUNKS = 8
+
+
 def stream_range_join(spark: SparkSession, sf_dir: str,
-                      window_s: int = RANGE_WINDOW_S) -> DataFrame:
+                      window_s: int = RANGE_WINDOW_S,
+                      backfill_chunks: int = STREAM_RJ_BACKFILL_CHUNKS) -> DataFrame:
     """KEYLESS stream-stream interval join: every purchase matched to
     every click (ANY user) in the preceding hour — the streaming twin of
     plans/ranges.events_range_join.
@@ -89,12 +93,24 @@ def stream_range_join(spark: SparkSession, sf_dir: str,
     than watermark - window can never match a future purchase). State
     per bin is one watermark-horizon's worth of events — skewed hot bins
     are ordinary hot state keys. Append mode: each matched pair emits
-    exactly once, when both sides have arrived."""
+    exactly once, when both sides have arrived.
+
+    r5 backfill guard (VERDICT r4): watermark-driven state eviction only
+    happens BETWEEN micro-batches, so a whole-corpus backfill arriving
+    as one availableNow batch kept every event in state at once — the
+    r4 probe never finished a 10× backfill in 25 min (vs 1.8 s for the
+    batch twin). Both sides now replay through ts-range-chunked staging
+    (``backfill_chunks`` micro-batches, maxFilesPerTrigger=1), so the
+    watermark advances per chunk and state holds ~one chunk + horizon.
+    Output-identical (range chunks can't make a row late); large
+    backfills remain the batch twin's job — this guard makes the
+    streaming op survive one, not excel at it."""
     from kstore_spark.plans.ranges import _US, micros_bin, time_bin
+    from kstore_spark.streaming.windows import _events_stream_chunked
 
     w_us = window_s * _US
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream_chunked(spark, sf_dir, backfill_chunks)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -110,7 +126,7 @@ def stream_range_join(spark: SparkSession, sf_dir: str,
         )
     )
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream_chunked(spark, sf_dir, backfill_chunks)
         .filter(F.col("event_type") == "click")
         .select(F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "1 hour")
@@ -122,7 +138,12 @@ def stream_range_join(spark: SparkSession, sf_dir: str,
         & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id")
-    return spark.table(_run_to_table(joined, "stream_rj", output_mode="append"))
+    # parquet sink, not memory: pair multiplicity is quadratic in event
+    # density per window — the memory sink put all 55M 10×-backfill
+    # pairs in driver heap and OOM'd (see _run_to_parquet)
+    from kstore_spark.streaming.dedup import _run_to_parquet
+
+    return _run_to_parquet(joined, "stream_rj")
 
 
 STREAM_RANGE_JOIN_SQL = f"""

@@ -57,6 +57,65 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(stream)
 
 
+def _stage_ts_chunked_parquet(spark: SparkSession, path: str,
+                              n_chunks: int) -> str:
+    """Rewrite a backfill parquet into ``n_chunks`` event-time-RANGE
+    files with strictly increasing modification times. Replayed through
+    the file streaming source under ``maxFilesPerTrigger=1`` (oldest
+    mtime first), the backfill becomes n_chunks micro-batches in
+    event-time order — so the WATERMARK ADVANCES BETWEEN BATCHES and
+    stream-stream join state is evicted as the replay progresses,
+    instead of the whole corpus sitting in one micro-batch where the
+    watermark never moves (the r4 10× backfill cliff: 25+ min of state
+    growth vs seconds chunked). Range files don't interleave in event
+    time, so no row is ever late beyond the configured delay and the
+    chunked replay is output-identical to the single-batch one.
+
+    The staged dir is keyed by (path, mtime, n_chunks) and reused
+    across sessions; the rewrite itself is one batch repartitionByRange
+    pass (a cluster backfill would read ts-partitioned input directly).
+    """
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{path}:{os.path.getmtime(path)}:chunks{n_chunks}".encode()
+    ).hexdigest()[:16]
+    stage = os.path.join("/tmp", f"kstore_chunks_{tag}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (spark.read.parquet(path)
+         .repartitionByRange(n_chunks, "ts")
+         .write.mode("overwrite").parquet(stage))
+        # part file index == ts-range rank under repartitionByRange's
+        # ascending sampling, so name order is event-time order; stamp
+        # strictly increasing mtimes (2 s apart — coarse-mtime-FS safe)
+        parts = sorted(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet"))
+        base = int(os.path.getmtime(path))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(stage, f), (base + 2 * i, base + 2 * i))
+    return stage
+
+
+def _events_stream_chunked(spark: SparkSession, sf_dir: str,
+                           n_chunks: int) -> DataFrame:
+    """events as a rate-limited backfill stream: n_chunks ts-range files,
+    one per micro-batch (see _stage_ts_chunked_parquet)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    stage = _stage_ts_chunked_parquet(spark, path, n_chunks)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    from kstore_spark.tables import normalize_events_ts
+
+    return normalize_events_ts(stream)
+
+
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event counts per type, computed by an actual
     Structured Streaming query (not a batch rewrite)."""
