@@ -917,6 +917,40 @@ def dedup_keep_best_lsh(spark, sf_dir, max_iter: int = 20):
         spark, sf_dir, max_iter, pairs=dedup_minhash_lsh(spark, sf_dir))
 
 
+def dedup_cross_source(spark, sf_dir, pairs: DataFrame | None = None):
+    """Near-dup pairs that STRADDLE sources — syndication / mirror
+    detection, the curation question "which sources re-publish each
+    other's documents" that per-corpus dedup counts hide. Output is the
+    exact n-gram-Jaccard pairs (prefix tier by default; pass ``pairs=``
+    to feed the MinHash-LSH graph at scale) restricted to pairs whose
+    docs carry different ``source`` tags, annotated with both tags.
+
+    Scale shape: the pair frame is the sparse prefix-join output (near-
+    linear, never the corpus cross product); the source annotation is
+    two equi-joins against the 2-column (doc_id, source) projection —
+    AQE broadcasts it while it fits, shuffle-joins beyond. Text never
+    joins; only ids and source tags move."""
+    if pairs is None:
+        pairs = dedup_ngram_prefix(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b")
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = f"""
+WITH p AS ({DEDUP_NGRAM_SQL})
+SELECT p.doc_a, p.doc_b, a.source AS source_a, b.source AS source_b
+FROM p JOIN documents a ON a.doc_id = p.doc_a
+       JOIN documents b ON b.doc_id = p.doc_b
+WHERE a.source <> b.source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -930,6 +964,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_strip": dedup_substring_strip,
+    "dedup_cross_source": dedup_cross_source,
     "decontaminate_ngram": decontaminate_ngram,
 }
 
@@ -944,6 +979,7 @@ ORACLES = {
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
     "dedup_substring_strip": DEDUP_SUBSTRING_STRIP_SQL,
+    "dedup_cross_source": DEDUP_CROSS_SOURCE_SQL,
     "decontaminate_ngram": DECON_SQL,
     # exact-Jaccard verification makes LSH output ⊆ exact pairs; the
     # seeded bands attain recall 1.0 at sf0.001 and sf0.01 (set-equality

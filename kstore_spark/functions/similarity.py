@@ -615,9 +615,65 @@ FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
 """
 
 
+def knn_label_vote(spark, sf_dir, k: int = TOP_K):
+    """k-NN label classification over the embedding space: each query
+    vector (vec_id < N_QUERIES) gets the MAJORITY label of its top-k
+    exact cosine neighbors (ties → smallest label) plus the vote count
+    — the label-quality / eval-contamination audit a labeled embedding
+    table supports. Output (query_id, label, n_votes).
+
+    Scale shape: neighbors come from sim_topk_matmul (blocked BLAS —
+    the primary exact top-k path, flat to 200k vectors per PERF.md);
+    the vote is a |queries|×k groupBy + one window over |queries| rows.
+    The label join touches the 2-column (vec_id, label) projection
+    only — AQE broadcasts it while it fits."""
+    nbrs = sim_topk_matmul(spark, sf_dir, k)
+    labels = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nbrs.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "label", "n_votes")
+    )
+
+
+KNN_LABEL_VOTE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, e.label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, v) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM q, e WHERE e.vec_id <> q.query_id
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes
+  FROM scored WHERE rank <= {TOP_K}
+  GROUP BY query_id, label
+)
+SELECT query_id, label, n_votes
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label ASC) AS rn
+      FROM votes)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_matmul": sim_topk_matmul,
+    "knn_label_vote": knn_label_vote,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -633,6 +689,8 @@ ORACLES = {
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output
     "sim_topk_matmul": SIM_TOPK_SQL,
+    # the vote aggregates the same exact top-k ranks → integer counts
+    "knn_label_vote": KNN_LABEL_VOTE_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # embedding_neardup_lsh verifies candidates with EXACT cosine, so its
     # output ⊆ brute force; at sf0.01 the seeded bands attain 100% recall

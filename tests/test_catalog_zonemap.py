@@ -127,3 +127,43 @@ def test_group_segments_pruned_on_select(spark, tmp_path):
     # a select with no matching segment is provably empty, zero files
     out2 = e.run_script("s2=select(ga,999999)\nf2=fetch(ga,s2)\nc=count(f2)\nprint(c)")
     assert out2.strip() == "0"
+
+
+def test_pruned_files_flat_in_segment_count(spark, tmp_path):
+    """The PERF.md scale-curve invariant (round 5): a zone-mapped range
+    read lists ONE segment's files however many disjoint segments the
+    column has — listing cost is what grows at 100 TB, and pruning
+    must remove it, not just the row-group scan. Compaction is disabled
+    to model large immutable segments (the compaction-bounds-churn
+    invariant is pinned separately below)."""
+    cat = Catalog(spark, str(tmp_path / "db"))
+    cat._COMPACT_MIN = 10**9
+    cat.create("c", "sorted")
+    counts = {}
+    for n_target in (4, 16, 48):
+        while len(cat.meta("c")["segments"]) < n_target:
+            i = len(cat.meta("c")["segments"])
+            cat.append_segment("c", _seg_df(spark, i * 1000, i * 1000 + 100, i * 100),
+                               rows=100)
+        pruned = cat.read("c", lo=5, hi=7)  # inside segment 0 only
+        counts[n_target] = len(pruned.inputFiles())
+        assert len(cat.read("c").inputFiles()) >= n_target  # full listing grows
+        assert [r[VAL] for r in pruned.filter(F.col(VAL).between(5, 7)).collect()] \
+            == [5, 6, 7]
+    # flat: same file count at 4, 16, and 48 segments
+    assert len(set(counts.values())) == 1, counts
+
+
+def test_compaction_bounds_live_segment_count(spark, tmp_path):
+    """Size-tiered compaction folds small segments 8-at-a-time, so many
+    tiny appends settle at a bounded live segment count (the probe
+    measured 512 appends → ~16 live) — results unchanged."""
+    cat = Catalog(spark, str(tmp_path / "db"))
+    cat.create("c", "unsorted")
+    for i in range(24):
+        cat.append_segment("c", _seg_df(spark, i * 1000, i * 1000 + 50, i * 50),
+                           rows=50)
+    live = len(cat.meta("c")["segments"])
+    assert live <= 10, live  # 24 appends, >=2 folds of 8
+    got = sorted(r[VAL] for r in cat.read("c").collect())
+    assert got == sorted(v for i in range(24) for v in range(i * 1000, i * 1000 + 50))

@@ -1,0 +1,69 @@
+"""DuckDB differentials + property pins for the round-5 additions
+(dedup_cross_source, knn_label_vote, text_lm_score_trusted) at
+sf0.001 — the same side-by-side the driver runs at sf0.01."""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _diff(df, con, sql):
+    rows = sorted(tuple(r) for r in df.collect())
+    orc = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert rows == orc, (rows[:5], orc[:5])
+    return rows
+
+
+def test_cross_source_matches_oracle(spark, con):
+    from kstore_spark.functions.dedup import (
+        DEDUP_CROSS_SOURCE_SQL, dedup_cross_source, dedup_ngram_prefix)
+
+    rows = _diff(dedup_cross_source(spark, SF_DIR), con, DEDUP_CROSS_SOURCE_SQL)
+    # property pins: sources differ on every pair; pairs ⊆ the exact
+    # near-dup pair graph
+    assert all(sa != sb for _, _, sa, sb in rows)
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_prefix(spark, SF_DIR).collect()}
+    assert {(a, b) for a, b, _, _ in rows} <= exact
+
+
+def test_knn_label_vote_matches_oracle(spark, con):
+    from kstore_spark.functions.similarity import (
+        KNN_LABEL_VOTE_SQL, N_QUERIES, TOP_K, knn_label_vote,
+        sim_topk_bruteforce)
+    from kstore_spark.tables import table
+
+    rows = _diff(knn_label_vote(spark, SF_DIR), con, KNN_LABEL_VOTE_SQL)
+    assert len(rows) == N_QUERIES and all(1 <= n <= TOP_K for _, _, n in rows)
+    # property pin: recount the majority from the exact top-k neighbors
+    labels = {r["vec_id"]: r["label"]
+              for r in table(spark, SF_DIR, "embeddings")
+              .select("vec_id", "label").collect()}
+    votes = {}
+    for r in sim_topk_bruteforce(spark, SF_DIR).collect():
+        votes.setdefault(r["query_id"], []).append(labels[r["neighbor_id"]])
+    expected = {
+        q: min(((-ls.count(x), x) for x in set(ls)))[1]
+        for q, ls in votes.items()
+    }
+    assert {q: lb for q, lb, _ in rows} == expected
+
+
+def test_lm_trusted_matches_oracle(spark, con):
+    from kstore_spark.functions.lm import (
+        TEXT_LM_SCORE_TRUSTED_SQL, text_lm_score_trusted)
+
+    rows = _diff(text_lm_score_trusted(spark, SF_DIR), con,
+                 TEXT_LM_SCORE_TRUSTED_SQL)
+    assert rows  # trusted slice must cover some scoring mass
