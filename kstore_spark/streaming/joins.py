@@ -26,14 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kstore_spark.streaming.dedup import _run_to_table
-from kstore_spark.streaming.windows import _events_stream
 
 
-def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_interval_join(spark: SparkSession, sf_dir: str,
+                         backfill_chunks: int = 8) -> DataFrame:
     """Purchases attributed to all same-user signups in the prior 7 days,
-    computed by an actual stream-stream join (not a batch rewrite)."""
+    computed by an actual stream-stream join (not a batch rewrite).
+    Backfills replay through ts-range-chunked staging (same r5 guard as
+    stream_range_join): in a single availableNow batch the watermark
+    never advances, so signup state for the whole corpus accumulates
+    with zero eviction; chunked, state is bounded by the 7-day horizon
+    over the replay. Output-identical (range chunks cannot be late)."""
+    from kstore_spark.streaming.windows import _events_stream_chunked
+
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream_chunked(spark, sf_dir, backfill_chunks)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -43,7 +50,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", "1 hour")
     )
     signups = (
-        _events_stream(spark, sf_dir)
+        _events_stream_chunked(spark, sf_dir, backfill_chunks)
         .filter(F.col("event_type") == "signup")
         .select(
             F.col("event_id").alias("signup_id"),
