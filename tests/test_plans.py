@@ -205,3 +205,26 @@ def test_dedup_substring_scan_pruned_no_python(spark):
 
     src = inspect.getsource(dedup_substring)
     assert ".persist()" in src and "sp.count()" in src
+
+
+def test_knn_vote_broadcasts_labels_no_nlj(spark):
+    """knn_label_vote: the 2-column label projection joins broadcast
+    (never a corpus shuffle), and nothing degenerates to a nested
+    loop; the heavy lifting stays inside the matmul top-k path."""
+    from kstore_spark.functions.similarity import knn_label_vote
+
+    plan = _plan(knn_label_vote(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cross_source_reads_cached_pairs(spark):
+    """dedup_cross_source consumes the materialized prefix-tier pair
+    frame from cache (InMemoryTableScan) — the pair engine must not
+    re-run per consumer — and annotates via hash joins, never a
+    nested loop."""
+    from kstore_spark.functions.dedup import dedup_cross_source
+
+    plan = _plan(dedup_cross_source(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
