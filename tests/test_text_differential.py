@@ -115,7 +115,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "string_funcs", "top_tokens",
                "multimodal_bytes", "multimodal_dedup_exact",
                "text_lm_score", "text_lm_buckets", "source_quota_cap",
-               "sample_weighted", "text_heavy_hitters", "chunk_documents")
+               "sample_weighted", "text_heavy_hitters", "chunk_documents",
+               # round-5 additions: cross-source pair audit (random s0/s1
+               # tags exercise the straddle filter), trusted-slice LM
+               "dedup_cross_source", "text_lm_score_trusted")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
@@ -176,7 +179,10 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
             "vec_id": pa.array(range(n), pa.int64()),
             "embedding": pa.FixedSizeListArray.from_arrays(
                 pa.array(V.ravel()), dim).cast(pa.list_(pa.float32())),
-            "label": pa.array([0] * n, pa.int32()),
+            # random labels exercise knn_label_vote's majority +
+            # tie-break; the other ops never read the column
+            "label": pa.array([int(x) % 4 for x in rng.integers(0, 4, n)],
+                              pa.int32()),
         }),
         str(d / "embeddings.parquet"),
     )
@@ -186,7 +192,7 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         f"read_parquet('{d}/embeddings.parquet')"
     )
     for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup",
-               "cluster_balanced_sample"):
+               "cluster_balanced_sample", "knn_label_vote"):
         df = similarity.QUERIES[op](spark, str(d))
         got = _rowset(df.columns, [tuple(r) for r in df.collect()])
         res = con.execute(similarity.ORACLES[op])
