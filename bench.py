@@ -153,6 +153,12 @@ def headline_queries():
         "text_lm_score": lambda s, sf: lm.text_lm_score(s, sf).agg(
             F.sum("lm_score_ppm").alias("sp"), F.sum("n_bigrams").alias("nb"),
         ),
+        # round-5 additions (keys above stay comparable round-over-round)
+        "dedup_cross_source": dedup.dedup_cross_source,
+        "knn_label_vote": similarity.knn_label_vote,
+        "text_lm_score_trusted": lambda s, sf: lm.text_lm_score_trusted(s, sf).agg(
+            F.sum("lm_score_ppm").alias("sp"), F.sum("n_bigrams").alias("nb"),
+        ),
     }
 
 
