@@ -48,9 +48,13 @@ def _estimated_scan_splits(spark, sf_dir: str, name: str) -> int:
             os.path.getsize(os.path.join(root, f))
             for root, _, files in os.walk(path)
             for f in files if f.endswith(".parquet"))
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    raw = str(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728")).strip().lower()
+    # Spark size strings: bare bytes, or k/m/g(b) suffixes ("128m")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
+        raw.rstrip("b")[-1:], 1)
     digits = "".join(c for c in raw if c.isdigit()) or "134217728"
-    return max(1, -(-total // int(digits)))
+    return max(1, -(-total // (int(digits) * mult)))
 
 
 def _tokens(spark, sf_dir) -> DataFrame:
