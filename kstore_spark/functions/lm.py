@@ -133,7 +133,9 @@ def text_lm_buckets(spark: SparkSession, sf_dir: str,
     is deterministic and identical across engines; pipelines keep head+
     middle or re-weight by bucket. One (lang) window pass over the
     k-per-doc score frame — the corpus-sized work is text_lm_score's;
-    this adds a |docs|-row shuffle keyed by the language stratum.
+    this adds a |docs|-row shuffle keyed by the language stratum. The
+    returned |docs|-row frame stays cached (the corpus-sized score
+    intermediate is released here); unpersist it when done.
 
     ``docs`` (a doc_id-bearing frame) restricts WHICH documents are
     bucketed: the LM stays corpus-trained (the trusted-corpus analog),

@@ -400,6 +400,64 @@ def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE):
     )
 
 
+def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
+    """Materialize the IVF layout sim_ann_ivf's docstring promises: the
+    embedding table written ``partitionBy("cell")`` (nearest-centroid
+    assignment), keyed by (source mtime, n_cells) and reused across
+    sessions. At 100 TB this layout is the difference between "probe =
+    scan everything then filter" and "probe = read n_probe/n_cells of
+    the files" — partition pruning happens at LISTING time, before any
+    IO. One batch write; a production pipeline runs it at ingest."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:c{n_cells}".encode()).hexdigest()[:16]
+    store = os.path.join("/tmp", f"kstore_ivf_{tag}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        emb = _emb(spark, sf_dir)
+        cents = _centroids(emb)
+        (emb.withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
+         .write.mode("overwrite").partitionBy("cell").parquet(store))
+        open(os.path.join(store, "_SUCCESS"), "a").close()
+    return store
+
+
+def sim_ann_ivf_stored(spark, sf_dir, n_probe: int = N_PROBE):
+    """sim_ann_ivf against the cell-PARTITIONED store (ivf_store_dir):
+    the probe join keys on the partition column, and because the probe
+    side is broadcast, Spark inserts a DYNAMIC PARTITION PRUNING filter
+    on the store scan — only the probed cells' files are read (plan-
+    pinned in tests). Output is identical to sim_ann_ivf at equal
+    n_probe (same centroids, same assignment — pinned)."""
+    store = ivf_store_dir(spark, sf_dir)
+    data = spark.read.parquet(store)  # (vec_id, v, cell=partition col)
+    cents = _centroids(_emb(spark, sf_dir))
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+    )
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(
+            F.transform(_nearest_cells(F.col("qv"), cents, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    cands = data.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # -- cluster-balanced (diversity) sampling -----------------------------
 
 _MIX, _MIX_MOD = 2654435761, 2**32  # Knuth multiplicative hash (2^32/φ)

@@ -228,3 +228,23 @@ def test_cross_source_reads_cached_pairs(spark):
     plan = _plan(dedup_cross_source(spark, SF_DIR))
     assert "InMemoryTableScan" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ivf_stored_uses_dynamic_partition_pruning(spark):
+    """The IVF scale path made concrete: against the cell-partitioned
+    store, the broadcast probe join must plan a dynamic partition
+    pruning filter on the scan (only probed cells' files read), and the
+    output must equal the inline assignment at equal n_probe — and
+    brute force at full probe."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf, sim_ann_ivf_stored, sim_topk_bruteforce)
+
+    df = sim_ann_ivf_stored(spark, SF_DIR)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert {tuple(r) for r in df.collect()} == \
+        {tuple(r) for r in sim_ann_ivf(spark, SF_DIR).collect()}
+    full = {tuple(r) for r in
+            sim_ann_ivf_stored(spark, SF_DIR, n_probe=N_CELLS).collect()}
+    truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    assert full == truth

@@ -201,3 +201,23 @@ def test_sample_weighted_is_deterministic_bottom_k(spark):
     got2 = [(r["doc_id"], r["priority"]) for r in sample_weighted(spark, SF_DIR).collect()]
     assert got1 == got2
     assert sorted(got1, key=lambda t: (t[1], t[0])) == want
+
+
+def test_micros_bin_is_floor_division_including_negatives(spark):
+    """The ADVICE-r4 fix: bin ids must equal mathematical floor(micros/w)
+    in pure integer arithmetic — pre-epoch (negative) timestamps round
+    toward -inf, never toward zero, and no double precision is involved."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kstore_spark.plans.ranges import micros_bin
+
+    rng = random.Random(99)
+    w = 3600 * 1_000_000
+    vals = ([rng.randint(-2**62, 2**62) for _ in range(200)]
+            + [0, -1, 1, w, -w, w - 1, -w + 1, 2**62, -2**62])
+    df = spark.createDataFrame([(v,) for v in vals], "m long")
+    got = [r["b"] for r in
+           df.select(micros_bin("m", w).alias("b")).collect()]
+    assert got == [v // w for v in vals]  # Python // is floor division
