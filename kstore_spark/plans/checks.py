@@ -64,9 +64,10 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       hamming <= 7 / <= 3 pairs (pigeonhole recall is a theorem at
       radius <= bands-1; verification is exact popcount, so equality —
       not containment — is required).
-    - sim_ann_ivf / sim_ann_ivf_kmeans: probing ALL cells == exact
-      brute-force top-k (the IVF machinery adds no approximation
-      beyond cell pruning).
+    - sim_ann_ivf / sim_ann_ivf_kmeans / sim_ann_ivf_stored: probing
+      ALL cells == exact brute-force top-k (the IVF machinery — incl.
+      the cell-partitioned store + dynamic partition pruning — adds no
+      approximation beyond cell pruning).
     - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
       the same media embeddings (precision is exact by the cosine
       verify; recall is the probabilistic part, pinned on planted
@@ -87,7 +88,7 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_embeddings)
     from kstore_spark.functions.similarity import (
         N_CELLS, _cosine, neardup_lsh_pairs, sim_ann_ivf, sim_ann_ivf_kmeans,
-        sim_topk_bruteforce)
+        sim_ann_ivf_stored, sim_topk_bruteforce)
     from kstore_spark.functions.sketches import (
         PCTL_ACCURACY, events_approx_distinct, events_approx_quantiles,
         events_distinct_users)
@@ -112,7 +113,8 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = sim_topk_bruteforce(spark, sf_dir).persist()
     to_free.append(truth)
     for name, fn in (("sim_ann_ivf", sim_ann_ivf),
-                     ("sim_ann_ivf_kmeans", sim_ann_ivf_kmeans)):
+                     ("sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
+                     ("sim_ann_ivf_stored", sim_ann_ivf_stored)):
         parts.append(_count_as(
             name, _symdiff(fn(spark, sf_dir, n_probe=N_CELLS), truth)))
 
@@ -186,8 +188,9 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
-    "sim_ann_ivf_kmeans", "multimodal_neardup", "events_approx_distinct",
-    "events_approx_quantiles", "stream_hourly_approx_users",
+    "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "multimodal_neardup",
+    "events_approx_distinct", "events_approx_quantiles",
+    "stream_hourly_approx_users",
 )
 
 APPROX_CHECKS_SQL = "SELECT * FROM (VALUES " + ", ".join(
