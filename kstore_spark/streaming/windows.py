@@ -81,7 +81,13 @@ def _stage_ts_chunked_parquet(spark: SparkSession, path: str,
         f"{path}:{os.path.getmtime(path)}:chunks{n_chunks}".encode()
     ).hexdigest()[:16]
     stage = os.path.join("/tmp", f"kstore_chunks_{tag}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    # reuse gate is OUR sentinel, written only after the mtimes are
+    # stamped — Spark's _SUCCESS lands at job commit, and a crash
+    # between commit and the utime loop would otherwise leave a
+    # reusable-looking dir whose unordered mtimes replay chunks out of
+    # event-time order (advanced watermark ⇒ silently dropped rows)
+    ready = os.path.join(stage, "_CHUNKS_READY")
+    if not os.path.exists(ready):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         (spark.read.parquet(path)
          .repartitionByRange(n_chunks, "ts")
@@ -95,6 +101,7 @@ def _stage_ts_chunked_parquet(spark: SparkSession, path: str,
         base = int(os.path.getmtime(path))
         for i, f in enumerate(parts):
             os.utime(os.path.join(stage, f), (base + 2 * i, base + 2 * i))
+        open(ready, "a").close()
     return stage
 
 
