@@ -156,6 +156,9 @@ def headline_queries():
         # round-5 additions (keys above stay comparable round-over-round)
         "dedup_cross_source": dedup.dedup_cross_source,
         "knn_label_vote": similarity.knn_label_vote,
+        # first run pays the one-time partitioned-store write; min-of-2
+        # reports the steady-state dynamic-partition-pruned probe
+        "sim_ann_ivf_stored": similarity.sim_ann_ivf_stored,
         "text_lm_score_trusted": lambda s, sf: lm.text_lm_score_trusted(s, sf).agg(
             F.sum("lm_score_ppm").alias("sp"), F.sum("n_bigrams").alias("nb"),
         ),
