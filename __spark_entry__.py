@@ -62,12 +62,12 @@ _PRIORITY = [
     "agg_min", "agg_max", "agg_sum", "agg_avg_trunc", "agg_count",
     "mutation_insert", "mutation_delete", "mutation_update",
     "math_add", "math_div",
-    # -- 50-entry window ends here; r6 leads with the two late-r5 ops
-    # (both oracle-verified green in a local sf0.01 run and pinned in
+    # -- 50-entry window ends here; r6 leads with the three late-r5 ops
+    # (all oracle-verified green in local sf0.01 runs and pinned in
     # pytest, but without a driver row yet), then join_hash, tuple_zip,
     # then the r3-green tail (everything green r3 and not re-rowed
     # since), then the r4-green block --
-    "dedup_cross_source", "knn_label_vote",
+    "dedup_cross_source", "knn_label_vote", "dedup_minhash_incremental",
     "join_hash", "tuple_zip",
 ]
 

@@ -67,3 +67,23 @@ def test_lm_trusted_matches_oracle(spark, con):
     rows = _diff(text_lm_score_trusted(spark, SF_DIR), con,
                  TEXT_LM_SCORE_TRUSTED_SQL)
     assert rows  # trusted slice must cover some scoring mass
+
+
+def test_incremental_dedup_matches_restricted_full(spark, con):
+    """Incremental dedup (persisted index for doc_id < N, in-flight
+    bands for the increment) == the full-corpus exact pairs restricted
+    to increment-touching, at a sf0.001-sized split point."""
+    from kstore_spark.functions.dedup import (
+        DEDUP_NGRAM_SQL, dedup_minhash_incremental)
+
+    new_min = 25
+    rows = sorted(
+        tuple(r)
+        for r in dedup_minhash_incremental(spark, SF_DIR, new_min).collect())
+    exp = sorted(con.execute(
+        f"WITH p AS ({DEDUP_NGRAM_SQL}) "
+        f"SELECT doc_a, doc_b FROM p WHERE doc_b >= {new_min}").fetchall())
+    assert rows == exp
+    assert rows  # the split must cut through some planted pairs
+    # and every pair touches the increment
+    assert all(b >= new_min for _, b in rows)
