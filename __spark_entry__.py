@@ -68,6 +68,7 @@ _PRIORITY = [
     # then the r3-green tail (everything green r3 and not re-rowed
     # since), then the r4-green block --
     "dedup_cross_source", "knn_label_vote", "dedup_minhash_incremental",
+    "dedup_substring_incremental",
     "join_hash", "tuple_zip",
 ]
 

@@ -921,7 +921,13 @@ def dedup_keep_best_lsh(spark, sf_dir, max_iter: int = 20):
         spark, sf_dir, max_iter, pairs=dedup_minhash_lsh(spark, sf_dir))
 
 
-# -- incremental near-dup (persisted LSH index + increment join) -------
+# -- incremental dedup (persisted indexes + increment joins) -----------
+# The production ingestion shape shared by both incremental ops below:
+# a daily crawl must be deduped against the full crawl HISTORY without
+# re-reading it — the history lives as a persisted index artifact, the
+# increment joins against it, and only increment-touching output is
+# produced. (The streaming twins solve the same problem statefully;
+# these are the batch formulation for scheduled ingest jobs.)
 
 INCR_NEW_MIN = 400  # doc_id >= this plays the "new crawl increment"
 
@@ -1021,6 +1027,68 @@ SELECT doc_a, doc_b FROM p WHERE doc_b >= {INCR_NEW_MIN}
 """
 
 
+def span_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN,
+                   width: int = None) -> str:
+    """Persist the DISTINCT span-digest set of the existing corpus
+    (doc_id < max_doc) — the substring-dedup analog of lsh_index_dir.
+    Existence is all the increment needs (every history doc_id is
+    smaller than every new one, so any history carrier makes a new
+    occurrence a cut under keep-first), so the artifact is a single
+    32-byte-digest column: tiny relative to the text it summarizes,
+    and a production pipeline appends each increment's new digests."""
+    import hashlib
+
+    width = SPAN_WIDTH if width is None else width
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:w{width}:d{max_doc}".encode()
+    ).hexdigest()[:16]
+    store = os.path.join("/tmp", f"kstore_spanidx_{tag}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        sp = _span_positions(
+            _tokens(spark, sf_dir).filter(F.col("doc_id") < max_doc), width)
+        sp.select("h").distinct().write.mode("overwrite").parquet(store)
+    return store
+
+
+def dedup_substring_incremental(spark, sf_dir, new_min: int = INCR_NEW_MIN,
+                                width: int = None) -> DataFrame:
+    """Incremental EXACT substring dedup: (doc_id, span_pos) cut
+    decisions for the increment (doc_id >= ``new_min``) under the
+    keep-first rule, computed without re-digesting the history — new
+    occurrences are cut if their digest exists in the persisted history
+    index (semi-join; any history carrier is older) or if a smaller NEW
+    doc carries it (increment-local min). Because every history id is
+    below every increment id, this equals the full-corpus keep-first
+    output (stream_dedup_spans' SQL) restricted to the increment —
+    which is the oracle. The batch face of stream_dedup_spans' state:
+    scheduled ingest jobs join an index artifact instead of holding
+    RocksDB state."""
+    width = SPAN_WIDTH if width is None else width
+    sp = _span_positions(
+        _tokens(spark, sf_dir).filter(F.col("doc_id") >= new_min), width
+    ).persist()  # feeds the history semi-join AND the increment-min join
+    idx = spark.read.parquet(span_index_dir(spark, sf_dir, new_min, width))
+    hist_hit = sp.join(idx, "h", "left_semi").select("doc_id", "span_pos")
+    mins = sp.groupBy("h").agg(F.min("doc_id").alias("m"))
+    new_hit = (
+        sp.join(mins, "h")
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id", "span_pos")
+    )
+    res = hist_hit.union(new_hit).distinct().persist()
+    res.count()  # materialize the (small) cut set, then free the
+    sp.unpersist()  # increment's span frame
+    return res
+
+
+def _dedup_substring_incremental_sql() -> str:
+    from kstore_spark.streaming.dedup import _stream_dedup_spans_sql
+
+    return (f"SELECT * FROM ({_stream_dedup_spans_sql()})"
+            f" WHERE doc_id >= {INCR_NEW_MIN}")
+
+
 def dedup_cross_source(spark, sf_dir, pairs: DataFrame | None = None):
     """Near-dup pairs that STRADDLE sources — syndication / mirror
     detection, the curation question "which sources re-publish each
@@ -1070,6 +1138,7 @@ QUERIES = {
     "dedup_substring_strip": dedup_substring_strip,
     "dedup_cross_source": dedup_cross_source,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    "dedup_substring_incremental": dedup_substring_incremental,
     "decontaminate_ngram": decontaminate_ngram,
 }
 
@@ -1088,6 +1157,9 @@ ORACLES = {
     # incremental = full exact pairs restricted to increment-touching
     # (recall-1.0 bands + shared exact verify, same basis as minhash_lsh)
     "dedup_minhash_incremental": _dedup_incremental_sql(),
+    # exact by construction (digest equality, keep-first over ordered
+    # ids) — the full keep-first SQL restricted to the increment
+    "dedup_substring_incremental": _dedup_substring_incremental_sql(),
     "decontaminate_ngram": DECON_SQL,
     # exact-Jaccard verification makes LSH output ⊆ exact pairs; the
     # seeded bands attain recall 1.0 at sf0.001 and sf0.01 (set-equality

@@ -87,3 +87,22 @@ def test_incremental_dedup_matches_restricted_full(spark, con):
     assert rows  # the split must cut through some planted pairs
     # and every pair touches the increment
     assert all(b >= new_min for _, b in rows)
+
+
+def test_incremental_substring_matches_restricted_full(spark, con):
+    """Incremental exact substring dedup (persisted digest index for
+    doc_id < N) == the full keep-first span cuts restricted to the
+    increment, at a sf0.001-sized split point."""
+    from kstore_spark.functions.dedup import dedup_substring_incremental
+    from kstore_spark.streaming.dedup import _stream_dedup_spans_sql
+
+    new_min = 25
+    rows = sorted(
+        tuple(r)
+        for r in dedup_substring_incremental(spark, SF_DIR, new_min).collect())
+    exp = sorted(con.execute(
+        f"SELECT * FROM ({_stream_dedup_spans_sql()})"
+        f" WHERE doc_id >= {new_min}").fetchall())
+    assert rows == exp
+    assert rows  # the split must cut through some duplicated spans
+    assert all(d >= new_min for d, _ in rows)
