@@ -62,7 +62,7 @@ _PRIORITY = [
     "agg_min", "agg_max", "agg_sum", "agg_avg_trunc", "agg_count",
     "mutation_insert", "mutation_delete", "mutation_update",
     "math_add", "math_div",
-    # -- 50-entry window ends here; r6 leads with the three late-r5 ops
+    # -- 50-entry window ends here; r6 leads with the four late-r5 ops
     # (all oracle-verified green in local sf0.01 runs and pinned in
     # pytest, but without a driver row yet), then join_hash, tuple_zip,
     # then the r3-green tail (everything green r3 and not re-rowed
