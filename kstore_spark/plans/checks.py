@@ -11,7 +11,8 @@ evidence stopped at a rows-only count.
 
 This module surfaces every one of those gates as ONE oracled driver
 entry (the driver window is 50 slots; one consolidated frame buys
-driver-visible evidence for all eight gates at the cost of one slot).
+driver-visible evidence for every gate in CHECK_NAMES — one row per
+gate — at the cost of one slot).
 Each gate contributes a (check_name, n_diff) row where n_diff counts
 violations — symmetric-difference rows for exact-equivalence gates,
 out-of-bound groups for sketch-error gates — and the DuckDB oracle is
@@ -29,6 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kstore_spark.tables import table
+
+
+# Largest documents-table size the quadratic exact twins may run at
+# (sf0.1 = 5k docs is the measured ~8-min ceiling; see the guard below).
+_MAX_CHECK_DOCS = 5_000
 
 
 def _count_as(name: str, violations: DataFrame) -> DataFrame:
@@ -94,6 +100,20 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_distinct_users)
     from kstore_spark.streaming.windows import stream_hourly_approx_users
 
+    # Guard: the exact twins are deliberately quadratic (brute hamming /
+    # brute cosine self-joins) — a test-scale oracle, not a scale path.
+    # sf0.01 (500 docs) is the intended operating point; sf0.1 already
+    # costs ~8 min (PERF.md). Refuse anything bigger so nobody points
+    # this at a production SF_DIR by accident.
+    import os
+    n_docs = table(spark, sf_dir, "documents").count()
+    if n_docs > _MAX_CHECK_DOCS and not os.environ.get(
+            "KSTORE_ALLOW_LARGE_CHECKS"):
+        raise ValueError(
+            f"approx_equivalence_checks runs O(n^2) exact twins; "
+            f"{sf_dir} has {n_docs} documents (> {_MAX_CHECK_DOCS}). "
+            "Set KSTORE_ALLOW_LARGE_CHECKS=1 to force.")
+
     parts = []
     to_free = []
 
@@ -151,15 +171,25 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events",
         F.expr("stack(3, 50, p50, 90, p90, 99, p99) AS (pq, qv)"))
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    n_le = (
+    # With ties the returned value qv occupies the whole rank interval
+    # [n_lt+1, n_le]; a correct approx quantile only needs that interval
+    # to INTERSECT [p/100 - eps, p/100 + eps] — testing n_le alone flags
+    # correct results whose value has multiplicity > the eps tolerance
+    # near the target rank (r5 ADVICE).  Violation iff the interval lies
+    # entirely below (n_le/N < p - eps) or entirely above (n_lt/N > p+eps).
+    ranks = (
         melted.join(ev, "event_type")
         .groupBy("event_type", "pq", "qv", "n_events")
         .agg(F.sum(F.when(F.col("value") <= F.col("qv"), 1)
-                   .otherwise(0)).alias("n_le"))
+                   .otherwise(0)).alias("n_le"),
+             F.sum(F.when(F.col("value") < F.col("qv"), 1)
+                   .otherwise(0)).alias("n_lt"))
     )
-    pct_viol = n_le.filter(
-        F.abs(F.col("n_le") / F.col("n_events") - F.col("pq") / F.lit(100.0))
-        > F.lit(1.0 / PCTL_ACCURACY) + F.lit(1.0) / F.col("n_events"))
+    eps = F.lit(1.0 / PCTL_ACCURACY) + F.lit(1.0) / F.col("n_events")
+    target = F.col("pq") / F.lit(100.0)
+    pct_viol = ranks.filter(
+        (F.col("n_le") / F.col("n_events") < target - eps)
+        | (F.col("n_lt") / F.col("n_events") > target + eps))
     parts.append(_count_as("events_approx_quantiles", pct_viol))
 
     # -- streaming HLL vs exact batch distinct -------------------------
@@ -180,7 +210,7 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         res = res.union(p)
     res = res.persist()
-    res.count()  # materialize the 8-row result, then free every helper
+    res.count()  # materialize the one-row-per-gate result, then free helpers
     for frame in to_free:  # cache (signatures, truth ranks, embeddings)
         frame.unpersist()
     return res

@@ -56,7 +56,13 @@ def _run_to_parquet(frame: DataFrame, prefix: str,
     |groups| rows) but a hard OOM for high-multiplicity append output:
     the 10× stream_range_join backfill emits 55M pairs, which killed an
     8 GB driver at the final count. The file sink keeps output on
-    executors/disk — the production sink shape — at any multiplicity."""
+    executors/disk — the production sink shape — at any multiplicity.
+
+    The sink and checkpoint dirs are one-shot (fresh per call): the
+    result is persisted (executor memory/disk) and materialized, then
+    both dirs are deleted so repeated bench iterations don't accumulate
+    unbounded parquet output in /tmp (r5 ADVICE)."""
+    import shutil
     import tempfile
 
     out = tempfile.mkdtemp(prefix=f"ks_{prefix}_out_")
@@ -76,7 +82,11 @@ def _run_to_parquet(frame: DataFrame, prefix: str,
             f"streaming query did not finish within {timeout_s}s — "
             "refusing to return a silently-partial result"
         )
-    return spark.read.schema(frame.schema).parquet(out)
+    result = spark.read.schema(frame.schema).parquet(out).persist()
+    result.count()  # materialize off the files before deleting them
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    return result
 
 
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
