@@ -938,21 +938,24 @@ def lsh_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN) -> str:
     band — the artifact incremental ingestion joins each new crawl
     against. At 100 TB this is the difference between re-banding the
     whole corpus per increment and reading only the band partitions the
-    increment's own hashes touch. Keyed by (source mtime, max_doc),
-    reused across sessions; production pipelines append to it at
-    ingest."""
-    import hashlib
+    increment's own hashes touch. Registered in the durable
+    ArtifactStore keyed by the source's content-derived version +
+    max_doc, reused across sessions (r6: registry-driven reuse — a
+    kill mid-build leaves an unregistered orphan no second engine will
+    reuse); production pipelines append to it at ingest."""
+    from kstore_spark.catalog import ArtifactStore
 
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}:d{max_doc}".encode()).hexdigest()[:16]
-    store = os.path.join("/tmp", f"kstore_lshidx_{tag}")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    store = ArtifactStore()
+    version = ArtifactStore.source_version(src, f"d{max_doc}")
+
+    def build(out_dir: str) -> None:
         sig = minhash_signatures(
             _shingle_arrays(spark, sf_dir).filter(F.col("doc_id") < max_doc))
         (sig.select("doc_id", F.posexplode(band_hashes()).alias("band", "bh"))
-         .write.mode("overwrite").partitionBy("band").parquet(store))
-    return store
+         .write.mode("overwrite").partitionBy("band").parquet(out_dir))
+
+    return store.get_or_build(f"lsh:{src}:d{max_doc}", version, build)
 
 
 def dedup_minhash_incremental(spark, sf_dir,
@@ -1035,20 +1038,22 @@ def span_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN,
     smaller than every new one, so any history carrier makes a new
     occurrence a cut under keep-first), so the artifact is a single
     32-byte-digest column: tiny relative to the text it summarizes,
-    and a production pipeline appends each increment's new digests."""
-    import hashlib
+    and a production pipeline appends each increment's new digests.
+    Registered in the durable ArtifactStore (content-derived version,
+    registry-driven reuse — r6, see lsh_index_dir)."""
+    from kstore_spark.catalog import ArtifactStore
 
     width = SPAN_WIDTH if width is None else width
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}:w{width}:d{max_doc}".encode()
-    ).hexdigest()[:16]
-    store = os.path.join("/tmp", f"kstore_spanidx_{tag}")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    store = ArtifactStore()
+    version = ArtifactStore.source_version(src, f"w{width}:d{max_doc}")
+
+    def build(out_dir: str) -> None:
         sp = _span_positions(
             _tokens(spark, sf_dir).filter(F.col("doc_id") < max_doc), width)
-        sp.select("h").distinct().write.mode("overwrite").parquet(store)
-    return store
+        sp.select("h").distinct().write.mode("overwrite").parquet(out_dir)
+
+    return store.get_or_build(f"span:{src}:w{width}:d{max_doc}", version, build)
 
 
 def dedup_substring_incremental(spark, sf_dir, new_min: int = INCR_NEW_MIN,

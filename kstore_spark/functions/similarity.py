@@ -275,39 +275,87 @@ N_CELLS = 16   # coarse-quantizer cells (√N-ish at corpus scale)
 N_PROBE = 4    # cells searched per query
 
 
-def _centroids(emb: DataFrame):
-    """Deterministic coarse quantizer: the first N_CELLS vectors by id act
+def _centroids(emb: DataFrame, k: int = N_CELLS):
+    """Deterministic coarse quantizer: the first `k` vectors by id act
     as centroids (a production system would k-means; determinism matters
-    more here and the IVF machinery is identical)."""
+    more here and the IVF machinery is identical). The collect is
+    bounded k×dim driver state — at the 100 TB operating point
+    (√N ≈ 10⁴-10⁵ cells × 64 dims) that is tens of MB, which the
+    driver holds fine; what must NOT hold it is the Catalyst plan
+    (see _nearest_cells)."""
     return [
         (r["vec_id"], r["v"])
-        for r in emb.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
 
 
 def _nearest_cells(vcol, cents, n: int):
-    """Array of the `n` cell ids with highest cosine to vcol, computed as
-    a JVM sort over a literal-array of (sim, cell) structs. The cosine
-    fold is applied via transform over ONE (cv, cell) literal array, so
-    codegen compiles the fold once instead of once per centroid — same
-    doubles, same tie-break, ~25% off the scale-invariant compile
-    constant the ROADMAP flagged (2.3 → 1.8 s on the balanced-sample
-    bench shape)."""
-    cents_arr = F.array(*[
-        F.struct(
-            F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            F.lit(cid).alias("cell"),
-        )
-        for cid, cv in cents
-    ])
-    scored = F.transform(cents_arr, lambda c: F.struct(
-        _cosine(vcol, c["cv"]).alias("s"), c["cell"].alias("cell")))
-    return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    """Array of the `n` (s, cell) structs with highest cosine to vcol,
+    ties broken toward the higher cell id — same ordering contract as
+    the pre-r6 JVM expression form.
+
+    r6 rewrite (VERDICT r5 item 2): the centroid matrix travels to
+    executors as a Spark BROADCAST ndarray consumed by one BLAS matmul
+    per Arrow batch — NOT as plan literals. The previous form compiled
+    an N_CELLS×dim literal struct array into the Catalyst expression
+    tree: fine at 16 cells, but at a realistic coarse-quantizer size
+    (√N ≈ 10⁴-10⁵ cells) that is a multi-hundred-MB plan that dies in
+    compile/broadcast long before the data does. Measured at 4096
+    cells the literal plan takes minutes to even compile while this
+    path is matmul-bound (tools/probe_ivf_cells.py, PERF.md).
+
+    Oracle safety: assignment margins (top-1 vs top-2 cell gap) are
+    pinned > 1e-6 in tests at both small SFs, eight orders above the
+    ~1e-15 summation-order noise between the BLAS matmul and the
+    sequential cosine fold — so argmax/rank output is identical and
+    the exact DuckDB oracles built on assignment
+    (cluster_balanced_sample) are unaffected."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    spark = SparkSession.getActiveSession()
+    cells = np.asarray([cid for cid, _ in cents], dtype="int64")
+    C = np.stack([np.asarray(cv, dtype="float64") for _, cv in cents])
+    # descending cell id: stable argsort then breaks sim ties toward the
+    # HIGHER cell id (the (s DESC, cell DESC) contract the oracle mirrors)
+    order = np.argsort(cells)[::-1]
+    cells_desc = cells[order]
+    Cn = C[order] / np.linalg.norm(C[order], axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cells_desc, Cn))
+    take = min(n, len(cells))
+
+    def _nn(col):
+        cdesc, cn = bc.value
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(col.to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ cn.T                                   # batch × cells
+        if take == 1:
+            j = np.argmax(S, axis=1)                    # first max = high id
+            return pd.Series([
+                [{"s": float(S[i, ji]), "cell": int(cdesc[ji])}]
+                for i, ji in enumerate(j)
+            ])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :take]
+        return pd.Series([
+            [{"s": float(S[i, j]), "cell": int(cdesc[j])} for j in idx[i]]
+            for i in range(len(X))
+        ])
+
+    _nn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    udf = pandas_udf(ArrayType(StructType([
+        StructField("s", DoubleType()), StructField("cell", LongType())])))(_nn)
+    return udf(vcol)
 
 
 def kmeans_centroids(emb: DataFrame, k: int = N_CELLS, iters: int = 4):
     """Distributed Lloyd's k-means over the embedding frame: assignment
-    is the same JVM nearest-cell expression IVF uses; the update step is
+    is the same broadcast-matmul nearest-cell kernel IVF uses; the update step is
     one groupBy with 64 per-dimension averages; only the k×dim centroid
     matrix ever reaches the driver (bounded state, like cluster_pairs'
     label frame). Iteration count is fixed → deterministic plan shape;
@@ -365,16 +413,18 @@ def sim_ann_ivf_kmeans(spark, sf_dir, n_probe: int = N_PROBE,
     )
 
 
-def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE):
+def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE,
+                n_cells: int = N_CELLS):
     """IVF top-k: every vector is assigned to its nearest centroid cell;
     each query scans only its N_PROBE closest cells. At 100 TB the table
     is partitioned by cell, so a probe is a partition-pruned scan — the
     cross product never materializes. Probing all cells degenerates to
     exact brute force (pinned in tests); output schema matches
     sim_topk_bruteforce. Approximate by construction → rows-only driver
-    check + recall gate in tests."""
+    check + recall gate in tests. `n_cells` is a measured knob
+    (tools/probe_ivf_cells.py benches assignment at ≥4k cells)."""
     emb = _emb(spark, sf_dir)
-    cents = _centroids(emb)
+    cents = _centroids(emb, n_cells)
     assigned = emb.withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
@@ -403,37 +453,43 @@ def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE):
 def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
     """Materialize the IVF layout sim_ann_ivf's docstring promises: the
     embedding table written ``partitionBy("cell")`` (nearest-centroid
-    assignment), keyed by (source mtime, n_cells) and reused across
-    sessions. At 100 TB this layout is the difference between "probe =
-    scan everything then filter" and "probe = read n_probe/n_cells of
-    the files" — partition pruning happens at LISTING time, before any
-    IO. One batch write; a production pipeline runs it at ingest."""
-    import hashlib
+    assignment), registered in the durable ArtifactStore keyed by the
+    source's content-derived version + n_cells and reused across
+    sessions (r6: registry-driven reuse replaces the /tmp+mtime
+    sentinel — a kill mid-build leaves an unregistered orphan no second
+    engine will reuse; catalog.ArtifactStore). At 100 TB this layout is
+    the difference between "probe = scan everything then filter" and
+    "probe = read n_probe/n_cells of the files" — partition pruning
+    happens at LISTING time, before any IO. One batch write; a
+    production pipeline runs it at ingest."""
     import os
 
+    from kstore_spark.catalog import ArtifactStore
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}:c{n_cells}".encode()).hexdigest()[:16]
-    store = os.path.join("/tmp", f"kstore_ivf_{tag}")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    store = ArtifactStore()
+    version = ArtifactStore.source_version(src, f"c{n_cells}")
+
+    def build(out_dir: str) -> None:
         emb = _emb(spark, sf_dir)
-        cents = _centroids(emb)
+        cents = _centroids(emb, n_cells)
         (emb.withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
-         .write.mode("overwrite").partitionBy("cell").parquet(store))
-        open(os.path.join(store, "_SUCCESS"), "a").close()
-    return store
+         .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+
+    return store.get_or_build(f"ivf:{src}:c{n_cells}", version, build)
 
 
-def sim_ann_ivf_stored(spark, sf_dir, n_probe: int = N_PROBE):
+def sim_ann_ivf_stored(spark, sf_dir, n_probe: int = N_PROBE,
+                       n_cells: int = N_CELLS):
     """sim_ann_ivf against the cell-PARTITIONED store (ivf_store_dir):
     the probe join keys on the partition column, and because the probe
     side is broadcast, Spark inserts a DYNAMIC PARTITION PRUNING filter
     on the store scan — only the probed cells' files are read (plan-
     pinned in tests). Output is identical to sim_ann_ivf at equal
     n_probe (same centroids, same assignment — pinned)."""
-    store = ivf_store_dir(spark, sf_dir)
+    store = ivf_store_dir(spark, sf_dir, n_cells)
     data = spark.read.parquet(store)  # (vec_id, v, cell=partition col)
-    cents = _centroids(_emb(spark, sf_dir))
+    cents = _centroids(_emb(spark, sf_dir), n_cells)
     q = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
     )
@@ -473,14 +529,14 @@ def cluster_balanced_sample(spark, sf_dir):
     vec_id — deterministic, engine-agnostic, no RNG (same idiom as
     shuffle_shards).
 
-    Scale shape: assignment is the same JVM nearest-cell expression IVF
-    uses (centroids are a k×dim literal — no join, no shuffle of
-    vectors); the only shuffle keys are (cell) for the count/rank
-    windows. Exact oracle: the cosine fold is sequenced identically to
-    DuckDB's list_cosine_similarity (bit-equal doubles — the same
-    equivalence sim_topk_bruteforce's oracle rests on), the argmax
-    tie-break (higher cell id on equal sim) is mirrored, and everything
-    after assignment is integer arithmetic. ceil(sqrt(n)) is exact for
+    Scale shape: assignment is the same broadcast-matmul nearest-cell
+    kernel IVF uses (centroids ride a Spark broadcast — no join, no
+    shuffle of vectors); the only shuffle keys are (cell) for the
+    count/rank windows. Exact oracle: assignment margins are pinned
+    far above the matmul-vs-fold summation noise (top1-top2 gap >
+    1e-6 vs ~1e-15 — the same rank-margin basis as sim_topk_matmul's
+    oracle), the argmax tie-break (higher cell id on equal sim) is
+    mirrored, and everything after assignment is integer arithmetic. ceil(sqrt(n)) is exact for
     any conceivable n (doubles are exact to 2^53; sqrt of a perfect
     square is exact under IEEE)."""
     emb = _emb(spark, sf_dir)
