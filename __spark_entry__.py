@@ -23,53 +23,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 queries() entries against the DuckDB
 # oracle (observed in round 1: entries 51+ got no CORRECTNESS row).
-# Round-5 rotation (VERDICT r4 items 1/2/6): the window is exactly the
+# Round-6 rotation (VERDICT r5 items 1/7): the window is exactly the
 # entries whose evidence is newest-needed —
-#   (a) never-checked / changed-this-round entries: the consolidated
-#       approx-equivalence check (driver-visible exact-twin gates for
-#       all 8 rows-only ops, one slot), the trusted-corpus LM variant,
-#       and stream_neardup_pairs (r5-exactified: first row under the
-#       exact n-gram oracle);
-#   (b) ALL 33 oracled entries whose newest green row is r2 (sim_ann_ivf
-#       is the 34th r2 entry but is rows-only — its exact-twin evidence
-#       now arrives via the checks row);
-#   (c) the 14 §2 parity-core entries last rowed r3 (select/fetch/agg/
-#       math/mutations — VERDICT r4 item 6).
-# That sums to exactly 50. Displaced below the window: join_hash and
-# tuple_zip (their logical twins join_sort/tree/loop and the golden
-# ports pin them; both are r3-green) and the rest of the r3/r4-green
-# tail — all lead the r6 rotation (r3-green entries will then be 3
-# rounds stale and MUST row in r6; r4-green follows in r7).
+#   (a) the four late-r5 ops that have NEVER had a driver row
+#       (oracle-verified green in local sf0.01 runs + pytest);
+#   (b) entries whose CODE changed this round: the consolidated
+#       equivalence checks (quantile tie-interval gate + the
+#       broadcast-ndarray IVF kernel), cluster_balanced_sample (same
+#       assignment kernel), and the two incremental ops in (a)
+#       (ArtifactStore-registered indexes);
+#   (c) ALL 27 oracled entries whose newest green row is r3 (3 rounds
+#       stale — join_hash/tuple_zip lead as promised in the r5 note);
+#   (d) the 5 remaining §2 parity-core entries last rowed r4
+#       (math_sub/math_mul + the three other join keywords — VERDICT
+#       r5 item 7: §2 keys never >1 round stale);
+#   (e) 12 oldest r4-green entries, headline/changed-adjacent first.
+# That sums to exactly 50. Displaced below: the remaining 29 r4-green
+# entries (2 rounds stale at end of r6) — they lead the r7 rotation,
+# alongside optional per-op splits of the equivalence-checks row.
 _PRIORITY = [
-    # (a) new / changed this round
-    "approx_equivalence_checks", "text_lm_score_trusted",
-    "stream_neardup_pairs",
-    # (b) r2-stale oracled entries, TPC-H first
-    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
-    "q18_large_volume", "q19_discounted_revenue", "q20_excess_suppliers",
-    "q21_waiting_supplier", "q22_inactive_rich",
-    "median_price_by_segment", "anti_join_customers", "except_suppliers",
-    "events_json_extract", "string_funcs", "top_tokens",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_passages",
-    "decontaminate_ngram", "embedding_neardup", "embedding_neardup_lsh",
-    "events_distinct_users", "corpus_mixture", "multimodal_bytes",
-    "multimodal_features_checksum", "pack_token_budget",
-    "sample_stratified", "text_fingerprint", "text_langid",
-    "text_quality", "text_repetition", "text_tokens",
-    "text_tokens_regex", "tfidf_top_terms",
-    # (c) §2 parity core, last rowed r3
-    "select_all", "select_value", "select_range", "fetch",
-    "agg_min", "agg_max", "agg_sum", "agg_avg_trunc", "agg_count",
-    "mutation_insert", "mutation_delete", "mutation_update",
-    "math_add", "math_div",
-    # -- 50-entry window ends here; r6 leads with the four late-r5 ops
-    # (all oracle-verified green in local sf0.01 runs and pinned in
-    # pytest, but without a driver row yet), then join_hash, tuple_zip,
-    # then the r3-green tail (everything green r3 and not re-rowed
-    # since), then the r4-green block --
+    # (a) never driver-rowed
     "dedup_cross_source", "knn_label_vote", "dedup_minhash_incremental",
     "dedup_substring_incremental",
+    # (b) code changed in r6
+    "approx_equivalence_checks", "cluster_balanced_sample",
+    # (c) r3-green entries, 3 rounds stale
     "join_hash", "tuple_zip",
+    "q1_pricing_summary", "q4_order_priority", "q6_forecast_revenue",
+    "q13_customer_distribution", "top_customers", "distinct_segments",
+    "set_ops_customers", "window_top_orders", "argmin_supplier_per_nation",
+    "price_histogram", "orders_by_month",
+    "events_by_type", "events_hourly", "events_sessionize",
+    "events_gapfill", "events_funnel", "events_asof",
+    "dedup_clusters", "sim_topk_bruteforce", "sim_topk_matmul",
+    "pii_scrub", "shuffle_shards",
+    "stream_hourly_counts", "stream_dedup_counts", "stream_interval_join",
+    # (d) §2 parity core, last rowed r4
+    "math_sub", "math_mul", "join_sort", "join_tree", "join_loop",
+    # (e) oldest r4-green, headline-first
+    "q3_shipping_priority", "dedup_semantic", "dedup_semantic_strong",
+    "dedup_minhash_lsh", "dedup_substring", "dedup_ngram_prefix",
+    "dedup_keep_best_lsh", "stream_range_join", "stream_dedup_spans",
+    "events_range_join", "split_train_holdout_lsh", "chunk_documents",
+    # -- 50-entry window ends here; r7 leads with the remaining
+    # r4-green tail (q2/q5/q7-q12/q14, rollup/pivot/semi_join,
+    # events_user_overlap/gapfill_locf/retention, text_rarity,
+    # heavy_hitters, multimodal_dedup_exact, split_train_holdout,
+    # source_quota_cap, sample_weighted, corpus_temperature_*,
+    # text_lm_score/_buckets, keep_best, substring_spans/_strip) --
 ]
 
 
