@@ -623,7 +623,10 @@ def dedup_semantic(spark, sf_dir, threshold: float = NEAR_DUP_COS):
     for hyperplane LSH (per-bit collision p≈0.66 ⇒ weak band
     selectivity ⇒ near-quadratic candidate growth) — this entry is kept
     as the stress case; `dedup_semantic_strong` below is the benched
-    headline at the production operating point (cos ≥ 0.9)."""
+    headline at the production operating point (cos ≥ 0.9). r6: the
+    bench key for this stress tier was retired (VERDICT r5 item 4,
+    same treatment as dedup_ngram_jaccard) — it remains a driver /
+    pytest oracle entry only."""
     pairs = embedding_neardup_lsh(spark, sf_dir, threshold)
     return _semantic_prune(_emb(spark, sf_dir).select("vec_id"), pairs)
 
