@@ -450,7 +450,8 @@ def sim_ann_ivf(spark, sf_dir, n_probe: int = N_PROBE,
     )
 
 
-def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
+def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
+                  max_vec: int | None = None) -> str:
     """Materialize the IVF layout sim_ann_ivf's docstring promises: the
     embedding table written ``partitionBy("cell")`` (nearest-centroid
     assignment), registered in the durable ArtifactStore keyed by the
@@ -461,22 +462,28 @@ def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
     the difference between "probe = scan everything then filter" and
     "probe = read n_probe/n_cells of the files" — partition pruning
     happens at LISTING time, before any IO. One batch write; a
-    production pipeline runs it at ingest."""
+    production pipeline runs it at ingest. With ``max_vec`` the store
+    covers only vec_id < max_vec — the HISTORY store
+    sim_ann_ivf_incremental probes (the first-n_cells centroid ids are
+    inside any history, so centroids are history-deterministic)."""
     import os
 
     from kstore_spark.catalog import ArtifactStore
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
-    version = ArtifactStore.source_version(src, f"c{n_cells}")
+    params = f"c{n_cells}" + (f":d{max_vec}" if max_vec is not None else "")
+    version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
         emb = _emb(spark, sf_dir)
+        if max_vec is not None:
+            emb = emb.filter(F.col("vec_id") < max_vec)
         cents = _centroids(emb, n_cells)
         (emb.withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
          .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
 
-    return store.get_or_build(f"ivf:{src}:c{n_cells}", version, build)
+    return store.get_or_build(f"ivf:{src}:{params}", version, build)
 
 
 def sim_ann_ivf_stored(spark, sf_dir, n_probe: int = N_PROBE,
@@ -501,6 +508,68 @@ def sim_ann_ivf_stored(spark, sf_dir, n_probe: int = N_PROBE,
     )
     cands = data.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+IVF_INCR_MIN = 400  # vec_id >= this plays the "new embeddings increment"
+                    # (same convention as dedup.INCR_NEW_MIN: the sf0.01
+                    # driver table has ids 0..499 -> a 20% increment)
+
+
+def sim_ann_ivf_incremental(spark, sf_dir, n_probe: int = N_PROBE,
+                            n_cells: int = N_CELLS,
+                            new_min: int = IVF_INCR_MIN):
+    """IVF top-k where only the INCREMENT (vec_id >= ``new_min``) is
+    assigned at query time; the history rides its persisted
+    cell-partitioned store (ivf_store_dir(max_vec=new_min)) — the
+    production daily-ingest shape that completes the incremental
+    family (dedup_minhash_incremental, dedup_substring_incremental →
+    this): new embeddings arrive, yesterday's corpus is NOT
+    re-assigned, re-read, or re-written.
+
+    Candidates come from TWO branches unioned AFTER the probe join —
+    history store ⋈ broadcast probes (dynamic partition pruning on the
+    store scan, same plan as sim_ann_ivf_stored; a union before the
+    join would defeat DPP) and increment-assigned frame ⋈ probes (the
+    increment filter pushes to the scan, so only new vectors are read
+    and assigned). Centroids are the first-n_cells ids — inside any
+    history, so assignment is corpus-independent per row and the
+    output EQUALS sim_ann_ivf over the full corpus at equal n_probe
+    (exact, not probabilistic: gate row in
+    plans/checks.approx_equivalence_checks + pytest pin)."""
+    store = ivf_store_dir(spark, sf_dir, n_cells, max_vec=new_min)
+    hist = spark.read.parquet(store)  # (vec_id, v, cell=partition col)
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb, n_cells)
+    inc = emb.filter(F.col("vec_id") >= new_min).withColumn(
+        "cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+    )
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(
+            F.transform(_nearest_cells(F.col("qv"), cents, n_probe),
+                        lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    cands = (
+        hist.join(F.broadcast(probes), "cell")
+        .select("query_id", "qv", "vec_id", "v")
+        .unionByName(
+            inc.join(F.broadcast(probes), "cell")
+            .select("query_id", "qv", "vec_id", "v"))
+        .filter(F.col("vec_id") != F.col("query_id"))
     )
     scored = cands.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
@@ -795,6 +864,7 @@ QUERIES = {
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_kmeans": sim_ann_ivf_kmeans,
+    "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
     "cluster_balanced_sample": cluster_balanced_sample,

@@ -70,10 +70,11 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       hamming <= 7 / <= 3 pairs (pigeonhole recall is a theorem at
       radius <= bands-1; verification is exact popcount, so equality —
       not containment — is required).
-    - sim_ann_ivf / sim_ann_ivf_kmeans / sim_ann_ivf_stored: probing
-      ALL cells == exact brute-force top-k (the IVF machinery — incl.
-      the cell-partitioned store + dynamic partition pruning — adds no
-      approximation beyond cell pruning).
+    - sim_ann_ivf / sim_ann_ivf_kmeans / sim_ann_ivf_stored /
+      sim_ann_ivf_incremental: probing ALL cells == exact brute-force
+      top-k (the IVF machinery — incl. the cell-partitioned store +
+      dynamic partition pruning, and the history-store + increment
+      union — adds no approximation beyond cell pruning).
     - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
       the same media embeddings (precision is exact by the cosine
       verify; recall is the probabilistic part, pinned on planted
@@ -93,8 +94,9 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS, binary_payloads,
         media_embeddings)
     from kstore_spark.functions.similarity import (
-        N_CELLS, _cosine, neardup_lsh_pairs, sim_ann_ivf, sim_ann_ivf_kmeans,
-        sim_ann_ivf_stored, sim_topk_bruteforce)
+        N_CELLS, _cosine, neardup_lsh_pairs, sim_ann_ivf,
+        sim_ann_ivf_incremental, sim_ann_ivf_kmeans, sim_ann_ivf_stored,
+        sim_topk_bruteforce)
     from kstore_spark.functions.sketches import (
         PCTL_ACCURACY, events_approx_distinct, events_approx_quantiles,
         events_distinct_users)
@@ -134,7 +136,8 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     to_free.append(truth)
     for name, fn in (("sim_ann_ivf", sim_ann_ivf),
                      ("sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
-                     ("sim_ann_ivf_stored", sim_ann_ivf_stored)):
+                     ("sim_ann_ivf_stored", sim_ann_ivf_stored),
+                     ("sim_ann_ivf_incremental", sim_ann_ivf_incremental)):
         parts.append(_count_as(
             name, _symdiff(fn(spark, sf_dir, n_probe=N_CELLS), truth)))
 
@@ -218,7 +221,8 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
-    "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "multimodal_neardup",
+    "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
+    "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",
 )

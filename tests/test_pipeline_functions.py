@@ -201,6 +201,26 @@ def test_ann_ivf_full_probe_is_exact(spark):
     assert full == truth
 
 
+def test_ann_ivf_incremental_equals_full(spark):
+    """The incremental path (persisted history store + query-time
+    assignment of only the increment) must equal the full-corpus IVF at
+    the SAME n_probe — assignment is per-row and centroids are the
+    first-n_cells ids (inside any history), so the union of store scan
+    + increment frame is exactly the full assigned corpus. At full
+    probe it must therefore also equal brute force."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf, sim_ann_ivf_incremental, sim_topk_bruteforce)
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        full = {tuple(r) for r in sim_ann_ivf(spark, sf).collect()}
+        incr = {tuple(r) for r in sim_ann_ivf_incremental(spark, sf).collect()}
+        assert incr == full
+    truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    incr_full = {tuple(r) for r in
+                 sim_ann_ivf_incremental(spark, SF_DIR, n_probe=N_CELLS).collect()}
+    assert incr_full == truth
+
+
 def test_ann_ivf_partial_probe_recall(spark):
     """nprobe=4/16 on structureless random embeddings (LSH/IVF worst
     case): recall is data-dependent but must beat the 25% a random cell
