@@ -62,91 +62,59 @@ def _simhash_brute(sims: DataFrame, radius: int) -> DataFrame:
     )
 
 
-def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(check_name, n_diff) — one row per approximate-op equivalence
-    gate, all of which must be zero:
+# -- per-gate builders --------------------------------------------------
+# Each builder: (spark, sf_dir, ctx) -> violations DataFrame. ``ctx`` is
+# a shared lazy cache: the consolidated entry computes the expensive
+# helper frames (simhash signatures, brute-force top-k truth, media
+# embeddings) ONCE across gates; a per-gate driver entry builds only
+# what its own gate needs. Persisted helpers are tracked in
+# ctx["_free"] and released after the result materializes.
 
-    - dedup_simhash / dedup_simhash_wide: banded output == brute-force
-      hamming <= 7 / <= 3 pairs (pigeonhole recall is a theorem at
-      radius <= bands-1; verification is exact popcount, so equality —
-      not containment — is required).
-    - sim_ann_ivf / sim_ann_ivf_kmeans / sim_ann_ivf_stored /
-      sim_ann_ivf_incremental: probing ALL cells == exact brute-force
-      top-k (the IVF machinery — incl. the cell-partitioned store +
-      dynamic partition pruning, and the history-store + increment
-      union — adds no approximation beyond cell pruning).
-    - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
-      the same media embeddings (precision is exact by the cosine
-      verify; recall is the probabilistic part, pinned on planted
-      payloads in pytest).
-    - events_approx_distinct: HLL++ per-type estimate within
-      max(1, 10%) of the exact distinct count, exact row counts equal.
-    - events_approx_quantiles: each reported quantile's true rank
-      within the percentile_approx guarantee (1/accuracy + one value).
-    - stream_hourly_approx_users: the streaming HLL++ per-window
-      estimate within max(2, 10%) of the exact batch distinct, with
-      identical group keys.
-    """
+
+def _shared(ctx, key, build):
+    if key not in ctx:
+        frame = build().persist()
+        ctx[key] = frame
+        ctx["_free"].append(frame)
+    return ctx[key]
+
+
+def _gate_simhash(spark, sf_dir, ctx, wide: bool = False):
     from kstore_spark.functions.dedup import (
         HAMMING_MAX, WIDE_HAMMING_MAX, dedup_simhash, dedup_simhash_wide,
         simhash)
+
+    sims = _shared(ctx, "sims", lambda: simhash(spark, sf_dir))
+    fn, radius = ((dedup_simhash_wide, WIDE_HAMMING_MAX) if wide
+                  else (dedup_simhash, HAMMING_MAX))
+    got = fn(spark, sf_dir)  # returns persisted
+    ctx["_free"].append(got)
+    return _symdiff(got, _simhash_brute(sims, radius))
+
+
+def _gate_ivf(spark, sf_dir, ctx, variant: str):
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf, sim_ann_ivf_incremental, sim_ann_ivf_kmeans,
+        sim_ann_ivf_stored, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    fn = {"base": sim_ann_ivf, "kmeans": sim_ann_ivf_kmeans,
+          "stored": sim_ann_ivf_stored,
+          "incremental": sim_ann_ivf_incremental}[variant]
+    return _symdiff(fn(spark, sf_dir, n_probe=N_CELLS), truth)
+
+
+def _gate_multimodal(spark, sf_dir, ctx):
     from kstore_spark.functions.multimodal import (
         MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS, binary_payloads,
         media_embeddings)
-    from kstore_spark.functions.similarity import (
-        N_CELLS, _cosine, neardup_lsh_pairs, sim_ann_ivf,
-        sim_ann_ivf_incremental, sim_ann_ivf_kmeans, sim_ann_ivf_stored,
-        sim_topk_bruteforce)
-    from kstore_spark.functions.sketches import (
-        PCTL_ACCURACY, events_approx_distinct, events_approx_quantiles,
-        events_distinct_users)
-    from kstore_spark.streaming.windows import stream_hourly_approx_users
+    from kstore_spark.functions.similarity import _cosine, neardup_lsh_pairs
 
-    # Guard: the exact twins are deliberately quadratic (brute hamming /
-    # brute cosine self-joins) — a test-scale oracle, not a scale path.
-    # sf0.01 (500 docs) is the intended operating point; sf0.1 already
-    # costs ~8 min (PERF.md). Refuse anything bigger so nobody points
-    # this at a production SF_DIR by accident.
-    import os
-    n_docs = table(spark, sf_dir, "documents").count()
-    if n_docs > _MAX_CHECK_DOCS and not os.environ.get(
-            "KSTORE_ALLOW_LARGE_CHECKS"):
-        raise ValueError(
-            f"approx_equivalence_checks runs O(n^2) exact twins; "
-            f"{sf_dir} has {n_docs} documents (> {_MAX_CHECK_DOCS}). "
-            "Set KSTORE_ALLOW_LARGE_CHECKS=1 to force.")
-
-    parts = []
-    to_free = []
-
-    # -- simhash band gates (the banded frames return persisted; free
-    # them once the consolidated result materializes) ------------------
-    sims = simhash(spark, sf_dir).persist()
-    to_free.append(sims)
-    for name, fn, radius in (
-        ("dedup_simhash", dedup_simhash, HAMMING_MAX),
-        ("dedup_simhash_wide", dedup_simhash_wide, WIDE_HAMMING_MAX),
-    ):
-        got = fn(spark, sf_dir)
-        to_free.append(got)
-        parts.append(_count_as(name, _symdiff(got, _simhash_brute(sims, radius))))
-
-    # -- IVF full-probe == brute force ---------------------------------
-    truth = sim_topk_bruteforce(spark, sf_dir).persist()
-    to_free.append(truth)
-    for name, fn in (("sim_ann_ivf", sim_ann_ivf),
-                     ("sim_ann_ivf_kmeans", sim_ann_ivf_kmeans),
-                     ("sim_ann_ivf_stored", sim_ann_ivf_stored),
-                     ("sim_ann_ivf_incremental", sim_ann_ivf_incremental)):
-        parts.append(_count_as(
-            name, _symdiff(fn(spark, sf_dir, n_probe=N_CELLS), truth)))
-
-    # -- multimodal near-dup precision containment ---------------------
-    emb = media_embeddings(binary_payloads(spark, sf_dir)).persist()
-    to_free.append(emb)
+    emb = _shared(ctx, "media_emb",
+                  lambda: media_embeddings(binary_payloads(spark, sf_dir)))
     lsh = neardup_lsh_pairs(emb, MEDIA_NEARDUP_COS,
                             bands=MEDIA_BANDS, rows=MEDIA_ROWS)
-    to_free.append(lsh)
+    ctx["_free"].append(lsh)
     ma = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     mb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     media_brute = (
@@ -154,20 +122,28 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_cosine(F.col("va"), F.col("vb")) > MEDIA_NEARDUP_COS)
         .select("vec_a", "vec_b")
     )
-    parts.append(_count_as("multimodal_neardup", lsh.exceptAll(media_brute)))
+    return lsh.exceptAll(media_brute)
 
-    # -- sketch error bounds -------------------------------------------
+
+def _gate_approx_distinct(spark, sf_dir, ctx):
+    from kstore_spark.functions.sketches import (
+        events_approx_distinct, events_distinct_users)
+
     exact_d = events_distinct_users(spark, sf_dir).select(
         "event_type", "n_users", F.col("n_events").alias("ne_x"))
     approx_d = events_approx_distinct(spark, sf_dir).select(
         "event_type", "n_users_approx", F.col("n_events").alias("ne_a"))
-    dist_viol = exact_d.join(approx_d, "event_type", "full").filter(
+    return exact_d.join(approx_d, "event_type", "full").filter(
         F.col("n_users").isNull() | F.col("n_users_approx").isNull()
         | (F.col("ne_x") != F.col("ne_a"))
         | (10 * F.abs(F.col("n_users_approx") - F.col("n_users"))
            > F.greatest(F.lit(10), F.col("n_users")))
     )
-    parts.append(_count_as("events_approx_distinct", dist_viol))
+
+
+def _gate_approx_quantiles(spark, sf_dir, ctx):
+    from kstore_spark.functions.sketches import (
+        PCTL_ACCURACY, events_approx_quantiles)
 
     q = events_approx_quantiles(spark, sf_dir)
     melted = q.select(
@@ -190,33 +166,114 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eps = F.lit(1.0 / PCTL_ACCURACY) + F.lit(1.0) / F.col("n_events")
     target = F.col("pq") / F.lit(100.0)
-    pct_viol = ranks.filter(
+    return ranks.filter(
         (F.col("n_le") / F.col("n_events") < target - eps)
         | (F.col("n_lt") / F.col("n_events") > target + eps))
-    parts.append(_count_as("events_approx_quantiles", pct_viol))
 
-    # -- streaming HLL vs exact batch distinct -------------------------
+
+def _gate_stream_hll(spark, sf_dir, ctx):
+    from kstore_spark.streaming.windows import stream_hourly_approx_users
+
     got_h = stream_hourly_approx_users(spark, sf_dir)
     exact_h = (
         table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.countDistinct("user_id").alias("n"))
     )
-    hll_viol = got_h.join(exact_h, ["hour", "event_type"], "full").filter(
+    return got_h.join(exact_h, ["hour", "event_type"], "full").filter(
         F.col("n").isNull() | F.col("n_users_approx").isNull()
         | (10 * F.abs(F.col("n_users_approx") - F.col("n"))
            > F.greatest(F.lit(20), F.col("n")))
     )
-    parts.append(_count_as("stream_hourly_approx_users", hll_viol))
 
+
+GATES = {
+    "dedup_simhash": lambda s, d, c: _gate_simhash(s, d, c, wide=False),
+    "dedup_simhash_wide": lambda s, d, c: _gate_simhash(s, d, c, wide=True),
+    "sim_ann_ivf": lambda s, d, c: _gate_ivf(s, d, c, "base"),
+    "sim_ann_ivf_kmeans": lambda s, d, c: _gate_ivf(s, d, c, "kmeans"),
+    "sim_ann_ivf_stored": lambda s, d, c: _gate_ivf(s, d, c, "stored"),
+    "sim_ann_ivf_incremental":
+        lambda s, d, c: _gate_ivf(s, d, c, "incremental"),
+    "multimodal_neardup": _gate_multimodal,
+    "events_approx_distinct": _gate_approx_distinct,
+    "events_approx_quantiles": _gate_approx_quantiles,
+    "stream_hourly_approx_users": _gate_stream_hll,
+}
+
+
+def _guard(spark, sf_dir) -> None:
+    # Guard: the exact twins are deliberately quadratic (brute hamming /
+    # brute cosine self-joins) — a test-scale oracle, not a scale path.
+    # sf0.01 (500 docs) is the intended operating point; sf0.1 already
+    # costs ~8 min (PERF.md). Refuse anything bigger so nobody points
+    # this at a production SF_DIR by accident.
+    import os
+    n_docs = table(spark, sf_dir, "documents").count()
+    if n_docs > _MAX_CHECK_DOCS and not os.environ.get(
+            "KSTORE_ALLOW_LARGE_CHECKS"):
+        raise ValueError(
+            f"equivalence checks run O(n^2) exact twins; "
+            f"{sf_dir} has {n_docs} documents (> {_MAX_CHECK_DOCS}). "
+            "Set KSTORE_ALLOW_LARGE_CHECKS=1 to force.")
+
+
+def _run_gates(spark: SparkSession, sf_dir: str, names) -> DataFrame:
+    _guard(spark, sf_dir)
+    ctx: dict = {"_free": []}
+    parts = [_count_as(n, GATES[n](spark, sf_dir, ctx)) for n in names]
     res = parts[0]
     for p in parts[1:]:
         res = res.union(p)
     res = res.persist()
     res.count()  # materialize the one-row-per-gate result, then free helpers
-    for frame in to_free:  # cache (signatures, truth ranks, embeddings)
+    for frame in ctx["_free"]:  # cache (signatures, truth ranks, embeddings)
         frame.unpersist()
     return res
+
+
+def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check_name, n_diff) — one row per approximate-op equivalence
+    gate, all of which must be zero:
+
+    - dedup_simhash / dedup_simhash_wide: banded output == brute-force
+      hamming <= 7 / <= 3 pairs (pigeonhole recall is a theorem at
+      radius <= bands-1; verification is exact popcount, so equality —
+      not containment — is required).
+    - sim_ann_ivf / sim_ann_ivf_kmeans / sim_ann_ivf_stored /
+      sim_ann_ivf_incremental: probing ALL cells == exact brute-force
+      top-k (the IVF machinery — incl. the cell-partitioned store +
+      dynamic partition pruning, and the history-store + increment
+      union — adds no approximation beyond cell pruning).
+    - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
+      the same media embeddings (precision is exact by the cosine
+      verify; recall is the probabilistic part, pinned on planted
+      payloads in pytest).
+    - events_approx_distinct: HLL++ per-type estimate within
+      max(1, 10%) of the exact distinct count, exact row counts equal.
+    - events_approx_quantiles: each reported quantile's true rank
+      interval within the percentile_approx guarantee
+      (1/accuracy + one value).
+    - stream_hourly_approx_users: the streaming HLL++ per-window
+      estimate within max(2, 10%) of the exact batch distinct, with
+      identical group keys.
+
+    The same gates are ALSO exposed one-per-entry as ``check_<name>``
+    driver queries (r5 VERDICT item 6's optional half): the
+    consolidated entry buys all gates in one window slot; the per-gate
+    entries give the driver per-op rows so one flaky gate can't mask
+    the other nine. Both run the same GATES builders.
+    """
+    return _run_gates(spark, sf_dir, CHECK_NAMES)
+
+
+def _single_gate(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _run_gates(spark, sf_dir, (name,))
+    q.__name__ = f"check_{name}"
+    q.__doc__ = (f"Single-gate driver entry for the {name!r} equivalence "
+                 "gate — see approx_equivalence_checks.")
+    return q
 
 
 CHECK_NAMES = (
@@ -232,10 +289,17 @@ APPROX_CHECKS_SQL = "SELECT * FROM (VALUES " + ", ".join(
 ) + ") t(check_name, n_diff)"
 
 
+def _single_gate_sql(name: str) -> str:
+    return (f"SELECT * FROM (VALUES ('{name}', CAST(0 AS BIGINT))) "
+            "t(check_name, n_diff)")
+
+
 QUERIES = {
     "approx_equivalence_checks": approx_equivalence_checks,
+    **{f"check_{n}": _single_gate(n) for n in CHECK_NAMES},
 }
 
 ORACLES = {
     "approx_equivalence_checks": APPROX_CHECKS_SQL,
+    **{f"check_{n}": _single_gate_sql(n) for n in CHECK_NAMES},
 }
