@@ -526,6 +526,52 @@ IVF_INCR_MIN = 400  # vec_id >= this plays the "new embeddings increment"
                     # driver table has ids 0..499 -> a 20% increment)
 
 
+# Exact SQL oracle for the DETERMINISTIC IVF variants (r6 upgrade from
+# rows-only): the whole pipeline — argmax cell assignment, top-n_probe
+# cell selection, candidate ranking — is deterministic float comparison
+# with every boundary pinned FAR above noise (assignment top1-top2 gap
+# > 1e-6 and probe-boundary gap > 1.1e-3 in tests, vs ~1e-15
+# matmul-vs-fold summation noise; neighbor ranks rest on the same
+# 1.9e-5 margin as sim_topk's oracle), and tie-breaks (cell DESC on
+# equal sim; neighbor_id ASC on equal score) are mirrored. kmeans stays
+# rows-only: its centroids are trained float averages.
+SIM_ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {N_CELLS}
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC
+           ) AS rnk
+    FROM e CROSS JOIN c)
+  WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell DESC
+           ) AS rnk
+    FROM q CROSS JOIN c)
+  WHERE rnk <= {N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id ASC
+         ) AS rank
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= {TOP_K}
+"""
+
+
 def sim_ann_ivf_incremental(spark, sf_dir, n_probe: int = N_PROBE,
                             n_cells: int = N_CELLS,
                             new_min: int = IVF_INCR_MIN):
@@ -894,6 +940,15 @@ ORACLES = {
     # fold (same basis as sim_topk_bruteforce's oracle) with the argmax
     # tie-break mirrored; everything downstream is integer arithmetic
     "cluster_balanced_sample": CLUSTER_BALANCED_SAMPLE_SQL,
-    # sim_ann_ivf: approximate by construction → rows-only check +
-    # recall/exactness gates in tests/test_pipeline_functions.py
+    # sim_ann_ivf / _incremental (r6 upgrade from rows-only): the
+    # APPROXIMATION is deterministic — argmax assignment + top-n_probe
+    # cell selection + candidate ranking, every float boundary pinned
+    # far above noise (see SIM_ANN_IVF_SQL comment) — so the same SQL
+    # reproduces the approximate output exactly. The incremental
+    # variant equals the base at equal n_probe (per-row assignment,
+    # history-deterministic centroids — pinned), so it carries the
+    # same SQL. sim_ann_ivf_kmeans stays rows-only (float centroid
+    # training) with its equivalence gate.
+    "sim_ann_ivf": SIM_ANN_IVF_SQL,
+    "sim_ann_ivf_incremental": SIM_ANN_IVF_SQL,
 }

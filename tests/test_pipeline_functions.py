@@ -201,6 +201,31 @@ def test_ann_ivf_full_probe_is_exact(spark):
     assert full == truth
 
 
+def test_ann_ivf_probe_boundary_margin(spark):
+    """Oracle-safety for SIM_ANN_IVF_SQL (r6: sim_ann_ivf upgraded from
+    rows-only to an exact DuckDB oracle): the n_probe-th vs
+    (n_probe+1)-th cell-similarity gap per query must sit far above the
+    ~1e-15 matmul-vs-fold summation noise, or probe-cell selection
+    could diverge between engines. Assignment margin is pinned in
+    test_cluster_balanced_sample_quota_and_margin; neighbor ranks rest
+    on sim_topk's 1.9e-5 margin."""
+    from kstore_spark.functions.similarity import (
+        N_PROBE, N_QUERIES, _centroids, _emb, _nearest_cells)
+    from pyspark.sql import functions as F
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        emb = _emb(spark, sf)
+        cents = _centroids(emb)
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        ranked = q.select(F.transform(
+            _nearest_cells(F.col("v"), cents, N_PROBE + 1),
+            lambda s: s["s"]).alias("ss"))
+        gap = ranked.select(
+            (F.col("ss")[N_PROBE - 1] - F.col("ss")[N_PROBE]).alias("g"))
+        min_gap = gap.agg(F.min("g")).first()[0]
+        assert min_gap > 1e-6, f"probe boundary knife-edge at {sf}: {min_gap}"
+
+
 def test_ann_ivf_incremental_equals_full(spark):
     """The incremental path (persisted history store + query-time
     assignment of only the increment) must equal the full-corpus IVF at
