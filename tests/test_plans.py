@@ -248,3 +248,14 @@ def test_ivf_stored_uses_dynamic_partition_pruning(spark):
             sim_ann_ivf_stored(spark, SF_DIR, n_probe=N_CELLS).collect()}
     truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
     assert full == truth
+
+
+def test_ivf_incremental_keeps_dynamic_partition_pruning(spark):
+    """sim_ann_ivf_incremental unions the increment branch AFTER the
+    probe join precisely so the history-store branch keeps its dynamic
+    partition pruning filter (a pre-join union would defeat it) — pin
+    that the DPP expression survives in the plan."""
+    from kstore_spark.functions.similarity import sim_ann_ivf_incremental
+
+    plan = _plan(sim_ann_ivf_incremental(spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower()
