@@ -163,14 +163,17 @@ def test_corpus_ops_differential(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", (13, 29))
 def test_embedding_ops_differential(spark, tmp_path, seed):
     """Random Gaussian embeddings (continuous sims → no ties): exact
-    top-k (both the fold and the BLAS path) and threshold near-dup must
-    match DuckDB's list_cosine_similarity bit-for-bit."""
+    top-k (both the fold and the BLAS path), threshold near-dup, and
+    the deterministic IVF variants (r6 oracle upgrade — incl. the
+    incremental path, whose vec_id >= 400 increment branch is
+    exercised by n=500) must match DuckDB's list_cosine_similarity
+    bit-for-bit."""
     import numpy as np
 
     from kstore_spark.functions import similarity
 
     rng = np.random.default_rng(seed)
-    n, dim = 300, 64
+    n, dim = 500, 64
     V = rng.standard_normal((n, dim)).astype("float32")
     d = tmp_path / f"emb{seed}"
     d.mkdir()
@@ -192,7 +195,8 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         f"read_parquet('{d}/embeddings.parquet')"
     )
     for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup",
-               "cluster_balanced_sample", "knn_label_vote"):
+               "cluster_balanced_sample", "knn_label_vote",
+               "sim_ann_ivf", "sim_ann_ivf_incremental"):
         df = similarity.QUERIES[op](spark, str(d))
         got = _rowset(df.columns, [tuple(r) for r in df.collect()])
         res = con.execute(similarity.ORACLES[op])
