@@ -317,7 +317,9 @@ def _nearest_cells(vcol, cents, n: int):
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is per-thread — fall back to the (single, shared)
+    # session so worker-thread callers don't see None
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     cells = np.asarray([cid for cid, _ in cents], dtype="int64")
     C = np.stack([np.asarray(cv, dtype="float64") for _, cv in cents])
     # descending cell id: stable argsort then breaks sim ties toward the
