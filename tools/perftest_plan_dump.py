@@ -52,6 +52,9 @@ def main() -> None:
     agg = build(spark, algo)
     print(agg._sc._jvm.PythonSQLUtils.explainString(
         agg._jdf.queryExecution(), "formatted"))
+    if n_runs < 1:  # plan-only mode: output is diffable across rounds
+        return      # (snapshots live in tools/plans/, regenerated per
+                    # round; `git diff` shows any plan drift)
     runs = []
     for _ in range(n_runs):
         t0 = time.time()
