@@ -93,6 +93,24 @@ def test_concurrent_clients_compose(server):
         assert c.query("print(f)") == "200\n201\n202\n203"
 
 
+def test_load_over_socket(spark, tmp_path):
+    """The reference ships the CSV over the wire (RPC_FILE,
+    client.c:195-201); here load() resolves server-side against the
+    server's load_dir — the cluster-appropriate equivalent (data comes
+    from shared storage, not the client socket)."""
+    with open(tmp_path / "t.csv", "w") as f:
+        f.write("la,lb\n1,10\n2,20\n3,30\n")
+    with KstoreServer(spark, str(tmp_path / "db"),
+                      load_dir=str(tmp_path)) as srv:
+        with KstoreClient(srv.host, srv.port) as c:
+            c.query('create(la,"unsorted")')
+            c.query('create(lb,"unsorted")')
+            c.query('load("t.csv")')
+            c.query("s=select(la,2,3)")
+            c.query("f=fetch(lb,s)")
+            assert c.query("print(f)") == "20\n30"
+
+
 def test_mutations_visible_across_connections(server):
     """A second connection opened after a mutation sees it (shared
     storage, like the reference's shared struct storage)."""
