@@ -631,6 +631,153 @@ def sim_ann_ivf_incremental(spark, sf_dir, n_probe: int = N_PROBE,
     )
 
 
+# -- product quantization (memory-compressed ANN) ----------------------
+#
+# The 100 TB memory lever IVF alone doesn't give: a 64-dim float64
+# vector is 512 bytes; its PQ code is PQ_M bytes (one codebook index
+# per subspace) — a 64× compression that lets a 10^10-vector corpus's
+# codes fit where its vectors never could (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+# method). Scoring approximates the dot product as a sum of per-
+# subspace table lookups; candidates are then EXACTLY re-ranked with
+# true cosine on the candidate set only, so precision is exact and
+# only recall (which candidates make the cut) is approximate — the
+# same verify-exactly discipline as the LSH/IVF paths, and with the
+# re-rank pool widened to the whole corpus the op degenerates to brute
+# force (the equivalence gate in plans/checks.py).
+
+PQ_M = 8            # subspaces (dim 64 -> 8 dims each); code = 8 bytes
+PQ_K = 16           # codewords per subspace (first-K deterministic,
+                    # like _centroids — kmeans would tighten cells but
+                    # determinism matters more here)
+PQ_RERANK = 50      # re-rank floor; default pool = max(this, corpus/100)
+                    # — a FIXED pool shrinks relatively as the corpus
+                    # grows and recall collapses with it (measured on
+                    # the 100× structureless replica: 0.22 at 50 vs
+                    # 0.82 at 2000, same wall — PERF.md r6)
+
+
+def _pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K):
+    """(m, k, sub_dim) ndarray: codebook j = the j-th dim-slice of the
+    first k vectors by id. Bounded driver state (m*k*sub_dim doubles),
+    broadcast to executors — never in the plan (same rule as
+    _nearest_cells)."""
+    import numpy as np
+
+    rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by {m} subspaces")
+    sub = dim // m
+    return X.reshape(k, m, sub).transpose(1, 0, 2).copy()  # m × k × sub
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """(vec_id, code: array<int>[m]) — nearest codeword per subspace by
+    L2 (the PQ standard; ties → lower codeword id via argmin-first).
+    One Arrow batch = m small matmuls; codes are the only thing wider
+    than an id that ever shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    bc = spark.sparkContext.broadcast(books)
+
+    def _enc(col):
+        bks = bc.value
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(col.to_numpy())
+        m, k, sub = bks.shape
+        parts = X.reshape(len(X), m, sub)
+        codes = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            # ||x - c||^2 = ||x||^2 - 2x·c + ||c||^2 ; ||x||^2 constant
+            # per row -> argmin over (-2x·c + ||c||^2)
+            d = -2.0 * (parts[:, j, :] @ bks[j].T) + (bks[j] ** 2).sum(1)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    _enc.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    enc = pandas_udf(ArrayType(IntegerType()))(_enc)
+    return emb.select("vec_id", enc(F.col("v")).alias("code"))
+
+
+def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None):
+    """PQ-compressed top-k: every vector is an m-byte code; per query a
+    (m × PQ_K) lookup table of subspace dot products scores the whole
+    corpus via table-lookup sums (JVM-side: the LUT rides a per-query
+    broadcast-joined literal-free array, the score is one
+    zip_with/aggregate over the code — no vectors read), the top
+    ``rerank`` PQ scores become candidates, and candidates are
+    re-ranked by EXACT cosine against the raw vectors (only the
+    candidate vectors are fetched). Output schema == sim_topk_*.
+
+    Scale shape: the scan reads (vec_id, code) — m bytes a row instead
+    of 8·dim — so the scoring pass touches 64× less data than brute
+    force; exact re-rank touches rerank×|queries| vectors. Recall is
+    approximate (pinned in pytest ≥ 60% on the structureless Gaussian
+    worst case + exact-precision by construction); with rerank ≥
+    corpus the op IS brute force (equivalence gate row). The default
+    re-rank pool scales with the corpus (1%, floor PQ_RERANK) so the
+    operating point survives growth — re-ranking is cheap relative to
+    the scan, so a bigger pool costs ~nothing (PERF.md r6)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    books = _pq_codebooks(emb)
+    codes = pq_encode(emb, books)
+    if rerank is None:
+        rerank = max(PQ_RERANK, emb.count() // 100)
+
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    m, kw, sub = books.shape
+    # per-query LUT: lut[q][j][c] = q_sub_j · codeword_c / |q| (cosine
+    # numerator contribution; |x| is handled in the re-rank — PQ scores
+    # only RANK candidates, so the un-normalized dot suffices and skew
+    # from |x| is what the exact re-rank corrects)
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype="float64")
+        lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
+        lut_rows.append((r["vec_id"], [[float(x) for x in row] for row in lut]))
+    lut_df = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+
+    scored = (
+        codes.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("code", "lut", lambda c, row: row[c]),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("pq_s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_s"), F.asc("neighbor_id"))
+    cands = scored.withColumn("crn", F.row_number().over(w)).filter(
+        F.col("crn") <= rerank).select("query_id", "neighbor_id")
+
+    qv_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        cands.join(F.broadcast(qv_df), "query_id").join(nv_df, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                _cosine(F.col("qv"), F.col("nv")).alias("s"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # -- cluster-balanced (diversity) sampling -----------------------------
 
 _MIX, _MIX_MOD = 2654435761, 2**32  # Knuth multiplicative hash (2^32/φ)
@@ -913,6 +1060,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_kmeans": sim_ann_ivf_kmeans,
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
+    "sim_ann_pq": sim_ann_pq,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
     "cluster_balanced_sample": cluster_balanced_sample,

@@ -104,6 +104,17 @@ def _gate_ivf(spark, sf_dir, ctx, variant: str):
     return _symdiff(fn(spark, sf_dir, n_probe=N_CELLS), truth)
 
 
+def _gate_pq(spark, sf_dir, ctx):
+    """PQ with the re-rank pool widened to the whole corpus IS brute
+    force: table-lookup scores only choose candidates, and with every
+    vector a candidate the exact-cosine re-rank decides all ranks."""
+    from kstore_spark.functions.similarity import (
+        sim_ann_pq, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    return _symdiff(sim_ann_pq(spark, sf_dir, rerank=10**9), truth)
+
+
 def _gate_multimodal(spark, sf_dir, ctx):
     from kstore_spark.functions.multimodal import (
         MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS, binary_payloads,
@@ -195,6 +206,7 @@ GATES = {
     "sim_ann_ivf_stored": lambda s, d, c: _gate_ivf(s, d, c, "stored"),
     "sim_ann_ivf_incremental":
         lambda s, d, c: _gate_ivf(s, d, c, "incremental"),
+    "sim_ann_pq": _gate_pq,
     "multimodal_neardup": _gate_multimodal,
     "events_approx_distinct": _gate_approx_distinct,
     "events_approx_quantiles": _gate_approx_quantiles,
@@ -245,6 +257,9 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       top-k (the IVF machinery — incl. the cell-partitioned store +
       dynamic partition pruning, and the history-store + increment
       union — adds no approximation beyond cell pruning).
+    - sim_ann_pq: product-quantized top-k with the re-rank pool
+      widened to the whole corpus == brute force (the compressed
+      scores only pick candidates; exact re-rank decides ranks).
     - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
       the same media embeddings (precision is exact by the cosine
       verify; recall is the probabilistic part, pinned on planted
@@ -279,7 +294,7 @@ def _single_gate(name: str):
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
-    "multimodal_neardup",
+    "sim_ann_pq", "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",
 )
