@@ -167,6 +167,12 @@ def headline_queries():
         "text_lm_score_trusted": lambda s, sf: lm.text_lm_score_trusted(s, sf).agg(
             F.sum("lm_score_ppm").alias("sp"), F.sum("n_bigrams").alias("nb"),
         ),
+        # round-6 additions (keys above stay comparable round-over-round)
+        # incremental IVF: history store probe + query-time increment
+        # assignment (first run pays the one-time history-store write)
+        "sim_ann_ivf_incremental": similarity.sim_ann_ivf_incremental,
+        # product-quantized ANN: 8-byte codes + corpus-scaled exact re-rank
+        "sim_ann_pq": similarity.sim_ann_pq,
     }
 
 
