@@ -38,7 +38,17 @@ def get_spark(app_name: str = "kstore-spark", shuffle_partitions: int | None = N
         # vectorized reader rejects; read as long and convert in tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver JVM IS the executor: all N task threads share
+        # its unified memory. 8g/32 threads = 250 MB/core starved the
+        # 1000x dedup probe into UNABLE_TO_ACQUIRE_MEMORY (PERF.md r6);
+        # 24g ≈ 0.75 GB/core matches the documented 128 GiB box while
+        # leaving room for 32 Arrow/pandas Python workers outside the JVM
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # NOTE: adaptive.coalescePartitions.initialPartitionNum was tried
+        # here (8×cores) for finer big-shuffle spills and REVERTED: the
+        # per-stage planning overhead taxed iterative ops 60%+
+        # (dedup_keep_best_lsh's star contraction runs many tiny stages)
+        # while the 1000× probes complete on the memory sizing alone
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
