@@ -330,6 +330,82 @@ FROM documents d LEFT JOIN nr ON d.doc_id = nr.doc_id
 """
 
 
+# -- Gopher rule filter ------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+# the canonical required-stopword list (Rae et al. 2021, §A1.1.2)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def text_gopher_quality(spark, sf_dir):
+    """Per-doc Gopher rule flags (Rae et al. 2021, the rule set Dolma /
+    RefinedWeb reuse): word-count bounds, mean-word-length bounds,
+    alphabetic-word ratio >= 0.8, >= 2 required stopwords, symbol
+    ('#'/'...') to word ratio < 0.1 — plus the conjunction
+    ``pass_gopher``. Every flag is an integer cross-multiplied
+    comparison (``10*alpha >= 8*n`` instead of a float ratio), so the
+    output is bit-exact in any engine and the op carries a plain SQL
+    oracle. Row-local array/regex expressions only — no shuffle, no
+    Python; streams at scan speed like the rest of this module."""
+    t = _tok(spark, sf_dir)
+    n = F.size("t")
+    # chars minus single-space separators = total word chars
+    word_chars = F.length("text") - n + 1
+    alpha = F.size(F.filter(F.col("t"), lambda x: x.rlike("[A-Za-z]")))
+    stops = F.size(F.array_intersect(
+        F.array_distinct("t"), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    symbols = (F.size(F.regexp_extract_all("text", F.lit("#"), 0))
+               + F.size(F.regexp_extract_all("text", F.lit(r"\.\.\."), 0)))
+    ok_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ok_mwl = (3 * n <= word_chars) & (word_chars <= 10 * n)
+    ok_alpha = 10 * alpha >= 8 * n
+    ok_stop = stops >= 2
+    ok_sym = 10 * symbols < n
+    return t.select(
+        "doc_id",
+        n.alias("n_words"),
+        alpha.alias("n_alpha_words"),
+        stops.alias("n_stop_types"),
+        symbols.alias("n_symbols"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        ok_sym.alias("ok_symbol_ratio"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop & ok_sym).alias("pass_gopher"),
+    )
+
+
+TEXT_GOPHER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len(tok) AS n_words,
+         length(text) - len(tok) + 1 AS word_chars,
+         len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+         len(list_intersect(list_distinct(tok), {list(GOPHER_STOPWORDS)!r})) AS n_stop_types,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents)
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_alpha_words AS INTEGER) AS n_alpha_words,
+       CAST(n_stop_types AS INTEGER) AS n_stop_types,
+       CAST(n_symbols AS INTEGER) AS n_symbols,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_word_count,
+       3 * n_words <= word_chars AND word_chars <= 10 * n_words AS ok_mean_word_len,
+       10 * n_alpha_words >= 8 * n_words AS ok_alpha_ratio,
+       n_stop_types >= 2 AS ok_stopwords,
+       10 * n_symbols < n_words AS ok_symbol_ratio,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+         AND (10 * n_alpha_words >= 8 * n_words)
+         AND (n_stop_types >= 2)
+         AND (10 * n_symbols < n_words) AS pass_gopher
+FROM m
+"""
+
+
 HH_K = 1000  # report tokens with corpus share > 1/HH_K
 
 
@@ -401,6 +477,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "text_rarity": text_rarity,
     "text_heavy_hitters": text_heavy_hitters,
+    "text_gopher_quality": text_gopher_quality,
 }
 
 ORACLES = {
@@ -413,4 +490,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "text_rarity": TEXT_RARITY_SQL,
+    "text_gopher_quality": TEXT_GOPHER_SQL,
 }

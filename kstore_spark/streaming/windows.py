@@ -191,13 +191,82 @@ def stream_hourly_approx_users(spark: SparkSession, sf_dir: str,
     )
 
 
+TRENDING_K = 3
+
+
+def stream_topk_trending(spark: SparkSession, sf_dir: str,
+                         k: int = TRENDING_K) -> DataFrame:
+    """Trending event types: per SLIDING 2-hour window (1-hour slide),
+    the top-k types by count with a deterministic tie-break (count desc,
+    type asc). The heavy part — the sliding-window count state — runs as
+    a real Structured Streaming aggregation (each event feeds exactly
+    two windows; watermark bounds state); the rank is a batch window
+    function over the finished per-window counts, because ranking is not
+    an incremental operation (Spark correctly refuses ranks inside a
+    streaming agg — a late event can reorder an entire window, so any
+    streamed rank would be retractable). At 100 TB the streamed part is
+    the one that sees the volume; the ranked frame is |windows|×|types|.
+    Counts and the tie-break are exact integers → plain SQL oracle."""
+    from pyspark.sql import Window
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_trend_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
+    rk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type")))
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                rk.alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+# sliding window membership: an event at ts lands in the hour-aligned
+# starts {floor_hour(ts) - 1h, floor_hour(ts)} (size 2h, slide 1h)
+STREAM_TOPK_TRENDING_SQL = f"""
+WITH wins AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start,
+         event_type
+  FROM events
+), c AS (
+  SELECT win_start, event_type, COUNT(*) AS n FROM wins GROUP BY 1, 2
+)
+SELECT win_start, event_type, n, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY win_start ORDER BY n DESC, event_type) AS INTEGER) AS rk
+  FROM c
+) WHERE rk <= {TRENDING_K}
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_hourly_approx_users": stream_hourly_approx_users,
+    "stream_topk_trending": stream_topk_trending,
 }
 
 ORACLES = {
     "stream_hourly_counts": STREAM_HOURLY_SQL,
     # stream_hourly_approx_users: sketch internals are engine-specific →
     # rows-only; error gate in tests/test_streaming.py
+    "stream_topk_trending": STREAM_TOPK_TRENDING_SQL,
 }

@@ -25,6 +25,35 @@ def test_stream_hourly_equals_batch(spark):
     assert got == exp
 
 
+def test_stream_topk_trending_equals_batch(spark):
+    """The streamed sliding-window top-k must equal the batch twin
+    (same F.window spec + same deterministic rank) tuple-for-tuple —
+    every row, not a sample, including the tie-break order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.windows import TRENDING_K, stream_topk_trending
+    from kstore_spark.tables import table
+
+    got = {
+        (r["win_start"], r["event_type"], r["n"], r["rk"])
+        for r in stream_topk_trending(spark, SF_DIR).collect()
+    }
+    rk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type")))
+    exp = {
+        (r["win_start"], r["event_type"], r["n"], r["rk"])
+        for r in table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                rk.alias("rk"))
+        .filter(F.col("rk") <= TRENDING_K)
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
 def test_stream_sessionize_matches_batch(spark):
     """Closed streaming sessions must be a subset of the batch sessions
     with identical (user, start, count) tuples; only end-of-stream open

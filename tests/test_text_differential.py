@@ -64,7 +64,8 @@ def _rowset(cols, rows):
 
 # every oracled documents-table operator that is pure text-in, rows-out
 _OPS = ("pii_scrub", "text_tokens", "text_quality", "text_fingerprint",
-        "text_repetition", "text_rarity", "text_langid", "dedup_exact")
+        "text_repetition", "text_rarity", "text_langid", "dedup_exact",
+        "text_gopher_quality")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
