@@ -67,8 +67,8 @@ _PRIORITY = [
     "events_range_join", "split_train_holdout_lsh", "chunk_documents",
     # -- 50-entry window ends here; r7 leads with (a) the late-r6
     # never-rowed entries: sim_ann_ivf_incremental + sim_ann_pq +
-    # text_gopher_quality + stream_topk_trending (all verified green
-    # locally vs DuckDB / pinned in pytest) and the 11
+    # text_gopher_quality + stream_topk_trending + events_anomaly_hours
+    # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining
     # r4-green tail (q2/q5/q7-q12/q14, rollup/pivot/semi_join,

@@ -277,6 +277,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_anomaly_hours(spark, sf_dir):
+    """Anomalous traffic hours per event type: hours whose count exceeds
+    the type's mean + 2σ (population) over its hourly series. The
+    2σ test is cross-multiplied into exact int64 arithmetic —
+    ``n·c − S > 0 AND (n·c − S)² > 4·(n·SS − S²)`` with S=Σc, SS=Σc² —
+    so no float mean/stddev ever materializes and the flag is bit-exact
+    in any engine (a float stddev would be summation-order hostage).
+    Scale shape: one (type, hour) partial-agg shuffle, then a window
+    over event_type — cardinality |types|×|hours|, tiny regardless of
+    input volume. int64 bound: safe while hourly counts stay < ~2^31
+    (n·SS ≤ hours·max_c²); a 100 TB deploy shards the series by
+    (type, day-range) before the window if counts approach that."""
+    from pyspark.sql.window import Window
+
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("c").over(w)
+    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    dev = n * F.col("c") - s
+    return (
+        hourly.select(
+            "event_type", "hour", F.col("c").alias("n_events"),
+            ((dev > 0) & (dev * dev > 4 * (n * ss - s * s))).alias("is_anomaly"),
+        )
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, hour, c,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type) AS s,
+         SUM(c * c) OVER (PARTITION BY event_type) AS ss
+  FROM hourly
+)
+SELECT event_type, hour, c AS n_events,
+       (n * c - s > 0) AND ((n * c - s) * (n * c - s) > 4 * (n * ss - s * s))
+         AS is_anomaly
+FROM st
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity gap): a stateful
     pattern the reference cannot express. Batch formulation = windowed
@@ -515,6 +565,7 @@ QUERIES = {
     "events_by_type": events_by_type,
     "events_user_overlap": events_user_overlap,
     "events_hourly": events_hourly,
+    "events_anomaly_hours": events_anomaly_hours,
     "events_sessionize": events_sessionize,
     "events_gapfill": events_gapfill,
     "events_gapfill_locf": events_gapfill_locf,
@@ -534,6 +585,7 @@ ORACLES = {
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "events_user_overlap": EVENTS_USER_OVERLAP_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
+    "events_anomaly_hours": EVENTS_ANOMALY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
     "events_gapfill_locf": EVENTS_GAPFILL_LOCF_SQL,

@@ -76,7 +76,8 @@ def _rowset(cols, rows):
 _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         "events_gapfill", "events_gapfill_locf", "events_funnel",
         "events_user_overlap", "events_asof", "events_json_extract",
-        "events_distinct_users", "events_range_join", "events_retention")
+        "events_distinct_users", "events_range_join", "events_retention",
+        "events_anomaly_hours")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
