@@ -650,7 +650,12 @@ def decontaminate_ngram(spark, sf_dir, width: int = DECON_WIDTH,
     suites are KBs, corpora are TBs) — AQE broadcasts it; the corpus
     side streams through one scan + explode, no self-join, no shuffle
     of document text. This is exactly the MinHash-free special case of
-    dedup: exact containment against a tiny reference set.
+    dedup: exact containment against a tiny reference set. (Spark's
+    runtime bloom-filter semi-join reduction does NOT apply here — the
+    join key is a Generate-produced n-gram, not a scan attribute — which
+    is why the broadcast-side design carries this op; the mechanism and
+    its boundary are pinned in test_plans.py::
+    test_runtime_bloom_filter_semijoin_reduction.)
     """
     tok = _tokens(spark, sf_dir).filter(F.size("t") >= width)
     grams = F.array_distinct(

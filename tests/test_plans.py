@@ -250,6 +250,51 @@ def test_ivf_stored_uses_dynamic_partition_pruning(spark):
     assert full == truth
 
 
+def test_runtime_bloom_filter_semijoin_reduction(spark):
+    """Runtime bloom-filter injection (Spark's semi-join reduction) is
+    part of the engine's 100 TB story for fact⋈selective-dim shuffles:
+    the build side aggregates a bloom_filter_agg and the probe side
+    scans through might_contain BEFORE the shuffle, so most fact rows
+    never leave their input partition. Pin that the mechanism actually
+    fires on this engine's session configuration for a scan-keyed join.
+    (Known boundary, also pinned: keys produced by a Generate — e.g.
+    exploded n-grams in the decontaminate path — are not scan
+    attributes, so Spark cannot inject there; those ops rely on the
+    broadcast-side design instead.) The scan-size threshold is lowered
+    only inside this test: at sf0.001 the fact scan is far below the
+    10 GB production default — the default is the right knob at real
+    scale and we are pinning the mechanism, not the threshold."""
+    from pyspark.sql import functions as F
+
+    thresh_key = ("spark.sql.optimizer.runtime.bloomFilter."
+                  "applicationSideScanSizeThreshold")
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thresh = spark.conf.get(thresh_key)
+    old_bcast = spark.conf.get(bcast_key)
+    spark.conf.set(thresh_key, "0")
+    spark.conf.set(bcast_key, "-1")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # the exploded-key shape must NOT claim the same reduction
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        grams = docs.select(F.explode(F.split("text", " ")).alias("w"))
+        small = (docs.filter(F.col("doc_id") < 5)
+                 .select(F.explode(F.split("text", " ")).alias("w"))
+                 .distinct())
+        plan2 = _plan(grams.join(small, "w", "left_semi"))
+        assert "bloom_filter_agg" not in plan2
+    finally:
+        spark.conf.set(thresh_key, old_thresh)
+        spark.conf.set(bcast_key, old_bcast)
+
+
 def test_ivf_incremental_keeps_dynamic_partition_pruning(spark):
     """sim_ann_ivf_incremental unions the increment branch AFTER the
     probe join precisely so the history-store branch keeps its dynamic
