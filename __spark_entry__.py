@@ -68,6 +68,8 @@ _PRIORITY = [
     # -- 50-entry window ends here; r7 leads with (a) the late-r6
     # never-rowed entries: sim_ann_ivf_incremental + sim_ann_pq +
     # text_gopher_quality + stream_topk_trending + events_anomaly_hours
+    # + curate_survivors (the composed 9-stage pipeline vs its chained
+    # DuckDB oracle — the repo's capstone correctness entry)
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining
@@ -92,7 +94,8 @@ def _all_queries() -> dict[str, Callable]:
     out.update(checks.QUERIES)
     try:
         from kstore_spark.functions import (
-            corpus, dedup, lm, multimodal, sampling, similarity, sketches, text)
+            corpus, dedup, lm, multimodal, pipeline, sampling, similarity,
+            sketches, text)
 
         out.update(dedup.QUERIES)
         out.update(similarity.QUERIES)
@@ -102,6 +105,7 @@ def _all_queries() -> dict[str, Callable]:
         out.update(corpus.QUERIES)
         out.update(sketches.QUERIES)
         out.update(lm.QUERIES)
+        out.update(pipeline.QUERIES)
     except ImportError:
         pass
     try:
@@ -140,7 +144,8 @@ def oracle_sql() -> dict[str, str]:
     merged.update(checks.ORACLES)
     try:
         from kstore_spark.functions import (
-            corpus, dedup, lm, multimodal, sampling, similarity, sketches, text)
+            corpus, dedup, lm, multimodal, pipeline, sampling, similarity,
+            sketches, text)
 
         merged.update(dedup.ORACLES)
         merged.update(similarity.ORACLES)
@@ -150,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         merged.update(corpus.ORACLES)
         merged.update(sketches.ORACLES)
         merged.update(lm.ORACLES)
+        merged.update(pipeline.ORACLES)
     except ImportError:
         pass
     try:

@@ -1,0 +1,275 @@
+"""The composed curation pipeline as a first-class, oracle-checked query.
+
+``examples/curate_corpus.py`` narrates the same nine stages with
+per-stage survivor counts (and writes the partitioned training
+streams); this module is the engine-level composition — one lazy
+dataflow, no side effects — and carries the full DuckDB oracle: every
+stage's already-verified oracle SQL chained into ONE statement, so the
+FINAL training-stream rows (split, shard, batch id, token count,
+scrubbed text) hash-match an independent engine end to end. That is the
+strongest correctness statement the engine makes: not "each operator is
+right in isolation" but "the whole pipeline, survivor sets threaded
+through all nine stages, is right".
+
+Stages (identical to the example, same constants):
+    1. exact dedup (min doc_id per distinct text)
+    2. near-dup removal (MinHash-LSH pairs → connected components →
+       keep cluster minimum; oracle uses the exact-Jaccard twin graph,
+       set-equal at the shipped SFs — recall-1.0 pinned)
+    3. benchmark decontamination (5-gram overlap, bench = doc_id < 20)
+    4. quality: repetition flag + unidentifiable language
+    4b. per-source quota over SURVIVORS (longest docs win)
+    4c. corpus-LM tail-tercile cut over SURVIVORS (CCNet shape)
+    5. boilerplate passage strip + re-dedup of now-identical docs
+    6. PII scrub of the surviving cleaned text
+    7. stratified 1-in-k sample per language over SURVIVORS
+    8. leakage-safe split by stage-2 cluster representative
+    9. token-budget packing of the scrubbed survivor text
+
+Scale: the composition adds nothing beyond its stages — each stage's
+shuffle/broadcast/persist discipline is documented and plan-pinned in
+its own module; survivor sets thread through as doc_id-only semi-joins
+(never the text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstore_spark.tables import table
+
+CURATE_SAMPLE_EVERY = 2  # pipeline stratified-sample rate (1-in-2)
+
+
+def curate_stages(spark: SparkSession, sf_dir: str,
+                  sample_every: int = CURATE_SAMPLE_EVERY,
+                  ) -> dict[str, DataFrame]:
+    """All pipeline stages as named lazy frames, in stage order. Keys
+    mirror examples/curate_corpus.py's count labels; ``final`` is the
+    training-stream frame (split, shard, batch_id, doc_id, lang,
+    n_tokens, text)."""
+    from kstore_spark.functions.corpus import dedup_passages
+    from kstore_spark.functions.dedup import (
+        cluster_pairs, decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
+    from kstore_spark.functions.lm import N_BUCKETS, text_lm_buckets
+    from kstore_spark.functions.sampling import (
+        assign_split, pack_token_budget, sample_stratified, source_quota_cap)
+    from kstore_spark.functions.text import (
+        scrub_pii, text_langid, text_repetition)
+
+    docs = table(spark, sf_dir, "documents")
+    stages: dict[str, DataFrame] = {"input": docs}
+
+    # 1. exact dedup: canonical doc per distinct text
+    keep = dedup_exact(spark, sf_dir).select("doc_id")
+    stages["exact_dedup"] = keep
+
+    # 2. near-dup removal: transitive clusters over the verified pair
+    #    graph; keep each cluster's canonical minimum doc_id
+    clusters = cluster_pairs(dedup_minhash_lsh(spark, sf_dir))
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    keep = keep.join(non_canonical, "doc_id", "left_anti")
+    stages["near_dedup"] = keep
+
+    # 3. benchmark decontamination
+    dirty = decontaminate_ngram(spark, sf_dir).select("doc_id")
+    keep = keep.join(dirty, "doc_id", "left_anti")
+    stages["decontaminated"] = keep
+
+    # 4. quality: drop repetitive + language-unidentifiable docs
+    rep = text_repetition(spark, sf_dir).filter(
+        "flag_repetitive").select("doc_id")
+    unk = text_langid(spark, sf_dir).filter(
+        F.col("pred_lang") == "unk").select("doc_id")
+    keep = (keep.join(rep, "doc_id", "left_anti")
+            .join(unk, "doc_id", "left_anti"))
+    stages["quality"] = keep
+
+    # 4b. per-source quota over the SURVIVORS (longest docs win)
+    quota = source_quota_cap(
+        spark, sf_dir, docs=docs.join(keep, "doc_id", "left_semi")
+    ).select("doc_id")
+    keep = keep.join(quota, "doc_id", "left_semi")
+    stages["source_quota"] = keep
+
+    # 4c. LM tail-tercile cut over the SURVIVORS (corpus-trained LM)
+    head_mid = text_lm_buckets(spark, sf_dir, docs=keep).filter(
+        F.col("bucket") < N_BUCKETS).select("doc_id")
+    keep = keep.join(head_mid, "doc_id", "left_semi")
+    stages["lm_quality"] = keep
+
+    # 5. boilerplate strip; empty docs die; re-dedup identical cleaned
+    cleaned = (
+        dedup_passages(spark, sf_dir)
+        .join(keep, "doc_id", "left_semi")
+        .filter(F.col("clean_text") != "")
+        .groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    keep = cleaned.select("doc_id")
+    stages["boilerplate"] = keep
+
+    # 6. PII scrub over the surviving cleaned text
+    scrubbed = scrub_pii(
+        cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    ).select("doc_id", F.col("clean").alias("text"),
+             "n_emails", "n_ips", "n_phones")
+    stages["pii_scrubbed"] = scrubbed
+
+    # 7. stratified sample over the SURVIVORS
+    sampled = sample_stratified(
+        spark, sf_dir, k=sample_every,
+        docs=docs.select("doc_id", "lang").join(keep, "doc_id", "left_semi"),
+    ).select("doc_id")
+    keep = keep.join(sampled, "doc_id", "left_semi")
+    stages["sampled"] = keep
+
+    # 8. leakage-safe split by stage-2 cluster representative
+    survivors = scrubbed.join(keep, "doc_id", "left_semi")
+    with_rep = (
+        survivors.join(clusters, "doc_id", "left")
+        .select("doc_id", "text",
+                F.coalesce("cluster_id", "doc_id").alias("rep"))
+    )
+    split = assign_split(with_rep, "rep").select("doc_id", "split")
+
+    # 9. token-budget packing of the scrubbed survivor text
+    packed = pack_token_budget(spark, sf_dir, docs=survivors)
+    stages["final"] = (
+        packed.join(survivors.select("doc_id", "text"), "doc_id")
+        .join(split, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("split", "shard", "batch_id", "doc_id", "lang",
+                "n_tokens", "text")
+    )
+    return stages
+
+
+def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the pipeline's final training-stream frame."""
+    return curate_stages(spark, sf_dir)["final"]
+
+
+def _curate_sql() -> str:
+    """Chain each stage's already-verified oracle SQL into one
+    statement. Stage subqueries are embedded verbatim (a WITH inside a
+    derived table is legal DuckDB), so this oracle is the composition
+    of the per-stage oracles, not a re-derivation."""
+    from kstore_spark.functions.corpus import DEDUP_PASSAGES_SQL
+    from kstore_spark.functions.dedup import DECON_SQL, DEDUP_NGRAM_SQL
+    from kstore_spark.functions.lm import N_BUCKETS, TEXT_LM_SCORE_SQL
+    from kstore_spark.functions.sampling import (
+        _MASK, _MIX, HOLDOUT_PCT, PACK_BUDGET, PACK_SHARDS,
+        QUOTA_PER_SOURCE)
+    from kstore_spark.functions.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, TEXT_LANGID_SQL,
+        TEXT_REPETITION_SQL)
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({DEDUP_NGRAM_SQL}) p),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+keep2 AS (
+  SELECT doc_id FROM keep1
+  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+),
+dirty AS (SELECT doc_id FROM ({DECON_SQL}) x),
+keep3 AS (SELECT doc_id FROM keep2 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+rep_docs AS (SELECT doc_id FROM ({TEXT_REPETITION_SQL}) r WHERE flag_repetitive),
+unk_docs AS (SELECT doc_id FROM ({TEXT_LANGID_SQL}) l WHERE pred_lang = 'unk'),
+keep4 AS (
+  SELECT doc_id FROM keep3
+  WHERE doc_id NOT IN (SELECT doc_id FROM rep_docs)
+    AND doc_id NOT IN (SELECT doc_id FROM unk_docs)
+),
+quota AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY d.source
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rk
+    FROM documents d JOIN keep4 k ON d.doc_id = k.doc_id)
+  WHERE rk <= {QUOTA_PER_SOURCE}
+),
+scored AS (SELECT doc_id, lm_score_ppm FROM ({TEXT_LM_SCORE_SQL}) s),
+buck AS (
+  SELECT s.doc_id,
+         NTILE({N_BUCKETS}) OVER (PARTITION BY d.lang
+                                  ORDER BY s.lm_score_ppm DESC, s.doc_id)
+           AS bucket
+  FROM scored s
+  JOIN quota q ON s.doc_id = q.doc_id
+  JOIN documents d ON d.doc_id = s.doc_id
+),
+keep5 AS (SELECT doc_id FROM buck WHERE bucket < {N_BUCKETS}),
+cl AS (SELECT doc_id, clean_text FROM ({DEDUP_PASSAGES_SQL}) p),
+cleaned AS (
+  SELECT clean_text, MIN(doc_id) AS doc_id FROM cl
+  WHERE doc_id IN (SELECT doc_id FROM keep5) AND clean_text <> ''
+  GROUP BY clean_text
+),
+s1 AS (
+  SELECT doc_id,
+         regexp_replace(clean_text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM cleaned
+),
+s2 AS (SELECT doc_id, regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2 FROM s1),
+scrubbed AS (
+  SELECT doc_id, regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS text
+  FROM s2
+),
+samp AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn
+    FROM documents d JOIN cleaned c ON d.doc_id = c.doc_id)
+  WHERE (rn - 1) % {CURATE_SAMPLE_EVERY} = 0
+),
+surv AS (SELECT sc.doc_id, sc.text FROM scrubbed sc JOIN samp USING (doc_id)),
+spl AS (
+  SELECT s.doc_id,
+         CASE WHEN ((CAST(COALESCE(c.cluster_id, s.doc_id) AS BIGINT)
+                     * {_MIX}) & {_MASK}) % 100 < {HOLDOUT_PCT}
+              THEN 'holdout' ELSE 'train' END AS split
+  FROM samp s LEFT JOIN clusters c ON s.doc_id = c.doc_id
+),
+pk AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM surv
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}) AS BIGINT) AS batch_id
+  FROM pk
+)
+SELECT sp.split, p.shard, p.batch_id, p.doc_id, d.lang, p.n_tokens, s.text
+FROM packed p
+JOIN surv s ON p.doc_id = s.doc_id
+JOIN spl sp ON p.doc_id = sp.doc_id
+JOIN documents d ON p.doc_id = d.doc_id
+"""
+
+
+CURATE_SURVIVORS_SQL = _curate_sql()
+
+QUERIES = {
+    "curate_survivors": curate_survivors,
+}
+
+ORACLES = {
+    "curate_survivors": CURATE_SURVIVORS_SQL,
+}
