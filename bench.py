@@ -87,7 +87,8 @@ def perftest_query(spark, algorithm: str):
 
 
 def headline_queries():
-    from kstore_spark.functions import corpus, dedup, lm, similarity, text
+    from kstore_spark.functions import (
+        corpus, dedup, lm, pipeline, similarity, text)
     from kstore_spark.plans import analytics, extended, kparity, ranges, tpch_wide
 
     return {
@@ -173,6 +174,12 @@ def headline_queries():
         "sim_ann_ivf_incremental": similarity.sim_ann_ivf_incremental,
         # product-quantized ANN: 8-byte codes + corpus-scaled exact re-rank
         "sim_ann_pq": similarity.sim_ann_pq,
+        # the composed 9-stage curation pipeline end to end (exact dedup →
+        # LSH near-dup → decontaminate → quality/quota/LM cut → boilerplate
+        # strip → PII scrub → sample → leakage-safe split → packing) — the
+        # engine's end-to-end-throughput headline, oracled in
+        # functions/pipeline.py
+        "curate_survivors": pipeline.curate_survivors,
     }
 
 
