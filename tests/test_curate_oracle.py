@@ -43,15 +43,13 @@ def test_curate_survivors_contracts(spark):
     pii = re.compile("|".join((PII_EMAIL, PII_IPV4, PII_PHONE)))
     assert not any(pii.search(r["text"]) for r in rows)
 
-    # packing: n_tokens matches the shipped text; batch ids are dense
-    # per shard starting at 0 (the prefix-sum construction guarantees
-    # monotone batch ids in doc order)
+    # packing: n_tokens matches the shipped text; per shard, batch ids
+    # start at 0 and are monotone in doc order (the prefix-sum
+    # construction; a doc longer than the budget may skip ids)
     shard_batches = {}
     for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
         assert r["n_tokens"] == len(r["text"].split(" "))
         shard_batches.setdefault(r["shard"], []).append(r["batch_id"])
     for bids in shard_batches.values():
         assert bids[0] == 0
-        assert all(b2 - b1 in (0, 1) or b2 > b1
-                   for b1, b2 in zip(bids, bids[1:]))
         assert bids == sorted(bids)

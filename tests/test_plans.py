@@ -133,6 +133,17 @@ def test_pii_scrub_is_zero_shuffle_single_span(spark):
     )  # untouched columns pruned from the scan
 
 
+def test_gopher_quality_is_zero_shuffle_no_python(spark):
+    """text_gopher_quality is a row-local rule evaluator: one codegen
+    span over a pruned scan — no Exchange, no Python UDF; the corpus
+    streams through at scan speed."""
+    from kstore_spark.functions.text import text_gopher_quality
+
+    plan = _plan(text_gopher_quality(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_temperature_sample_joins_rates_broadcast(spark):
     """The per-stratum rate table is |sources|x|langs| rows — the join
     against the corpus must come out broadcast (no hint in the source;
