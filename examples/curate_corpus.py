@@ -64,10 +64,13 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     from kstore_spark.functions.pipeline import curate_stages
 
     stages = curate_stages(spark, sf_dir, sample_every=sample_every)
+    caches = stages.pop("_caches")
     counts = {name: df.count() for name, df in stages.items()
               if name != "final"}
     stages["final"].write.mode("overwrite").partitionBy(
         "split", "shard").parquet(out_dir)
+    for cached in caches:
+        cached.unpersist()
     counts["written"] = spark.read.parquet(out_dir).count()
     return counts
 

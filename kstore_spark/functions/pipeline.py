@@ -2,8 +2,10 @@
 
 ``examples/curate_corpus.py`` narrates the same nine stages with
 per-stage survivor counts (and writes the partitioned training
-streams); this module is the engine-level composition — one lazy
-dataflow, no side effects — and carries the full DuckDB oracle: every
+streams); this module is the engine-level composition — no writes, and
+the only session state it leaves behind is the persisted final frame
+(component caches are released; see curate_survivors) — and carries
+the full DuckDB oracle: every
 stage's already-verified oracle SQL chained into ONE statement, so the
 FINAL training-stream rows (split, shard, batch id, token count,
 scrubbed text) hash-match an independent engine end to end. That is the
@@ -45,10 +47,20 @@ CURATE_SAMPLE_EVERY = 2  # pipeline stratified-sample rate (1-in-2)
 def curate_stages(spark: SparkSession, sf_dir: str,
                   sample_every: int = CURATE_SAMPLE_EVERY,
                   ) -> dict[str, DataFrame]:
-    """All pipeline stages as named lazy frames, in stage order. Keys
-    mirror examples/curate_corpus.py's count labels; ``final`` is the
+    """All pipeline stages as named frames, in stage order. Keys mirror
+    examples/curate_corpus.py's count labels; ``final`` is the
     training-stream frame (split, shard, batch_id, doc_id, lang,
-    n_tokens, text)."""
+    n_tokens, text). Construction triggers the component operators'
+    own materializations (the LSH pair verification, the component
+    iteration, the LM bucket build) but writes nothing.
+
+    Cache contract: two component ops return PERSISTED frames the later
+    stages re-read (the LSH pair graph feeds both stage 2 and the
+    stage-8 split; the LM buckets feed stage 4c). They are handed back
+    under the ``"_caches"`` key — callers unpersist them once the
+    frames they need are materialized (curate_survivors and the example
+    both do), otherwise repeated invocations stack dead cache entries
+    in the session."""
     from kstore_spark.functions.corpus import dedup_passages
     from kstore_spark.functions.dedup import (
         cluster_pairs, decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
@@ -67,7 +79,8 @@ def curate_stages(spark: SparkSession, sf_dir: str,
 
     # 2. near-dup removal: transitive clusters over the verified pair
     #    graph; keep each cluster's canonical minimum doc_id
-    clusters = cluster_pairs(dedup_minhash_lsh(spark, sf_dir))
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # persisted — see _caches
+    clusters = cluster_pairs(pairs)
     non_canonical = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     keep = keep.join(non_canonical, "doc_id", "left_anti")
@@ -95,7 +108,8 @@ def curate_stages(spark: SparkSession, sf_dir: str,
     stages["source_quota"] = keep
 
     # 4c. LM tail-tercile cut over the SURVIVORS (corpus-trained LM)
-    head_mid = text_lm_buckets(spark, sf_dir, docs=keep).filter(
+    lm_buckets = text_lm_buckets(spark, sf_dir, docs=keep)  # persisted
+    head_mid = lm_buckets.filter(
         F.col("bucket") < N_BUCKETS).select("doc_id")
     keep = keep.join(head_mid, "doc_id", "left_semi")
     stages["lm_quality"] = keep
@@ -143,28 +157,56 @@ def curate_stages(spark: SparkSession, sf_dir: str,
         .select("split", "shard", "batch_id", "doc_id", "lang",
                 "n_tokens", "text")
     )
+    stages["_caches"] = [pairs, lm_buckets]
     return stages
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry: the pipeline's final training-stream frame."""
-    return curate_stages(spark, sf_dir)["final"]
+    """Driver entry: the pipeline's final training-stream frame —
+    persisted and materialized here so the component caches can be
+    released before returning (only the ~|survivors|-row result stays
+    cached, the module's usual persist → materialize → unpersist
+    discipline)."""
+    stages = curate_stages(spark, sf_dir)
+    final = stages["final"].persist()
+    final.count()
+    for cached in stages["_caches"]:
+        cached.unpersist()
+    return final
 
 
 def _curate_sql() -> str:
     """Chain each stage's already-verified oracle SQL into one
-    statement. Stage subqueries are embedded verbatim (a WITH inside a
-    derived table is legal DuckDB), so this oracle is the composition
-    of the per-stage oracles, not a re-derivation."""
+    statement. Six stage oracles are embedded verbatim as derived
+    tables (a WITH inside a derived table is legal DuckDB): the pair
+    graph, decontamination, repetition, langid, LM score, and passage
+    strip. The survivor-parameterized stages (quota, stratified sample,
+    packing, the split decision) are instantiated from their modules'
+    shared SQL TEMPLATES over the survivor relations — same text as the
+    standalone oracles, different FROM — so neither copy can drift.
+    The two clauses with no shareable template (the NTILE tercile cut,
+    which must join the survivor set mid-template, and the PII chain
+    over ``clean_text`` instead of ``text``) mirror
+    lm.TEXT_LM_BUCKETS_SQL_TEMPLATE and text.PII_SCRUB_SQL
+    respectively and reuse their modules' constants."""
     from kstore_spark.functions.corpus import DEDUP_PASSAGES_SQL
     from kstore_spark.functions.dedup import DECON_SQL, DEDUP_NGRAM_SQL
     from kstore_spark.functions.lm import N_BUCKETS, TEXT_LM_SCORE_SQL
     from kstore_spark.functions.sampling import (
-        _MASK, _MIX, HOLDOUT_PCT, PACK_BUDGET, PACK_SHARDS,
-        QUOTA_PER_SOURCE)
+        pack_token_budget_sql, sample_stratified_sql, source_quota_sql,
+        split_case_sql)
     from kstore_spark.functions.text import (
         PII_EMAIL, PII_IPV4, PII_PHONE, TEXT_LANGID_SQL,
         TEXT_REPETITION_SQL)
+
+    quota_sql = source_quota_sql(
+        rel="(SELECT d.* FROM documents d JOIN keep4 k ON d.doc_id = k.doc_id)")
+    samp_sql = sample_stratified_sql(
+        rel="(SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN cleaned c ON d.doc_id = c.doc_id)",
+        k=CURATE_SAMPLE_EVERY)
+    pack_sql = pack_token_budget_sql(rel="surv")
+    split_case = split_case_sql("COALESCE(c.cluster_id, s.doc_id)")
 
     return f"""
 WITH RECURSIVE
@@ -193,14 +235,7 @@ keep4 AS (
   WHERE doc_id NOT IN (SELECT doc_id FROM rep_docs)
     AND doc_id NOT IN (SELECT doc_id FROM unk_docs)
 ),
-quota AS (
-  SELECT doc_id FROM (
-    SELECT d.doc_id,
-           ROW_NUMBER() OVER (PARTITION BY d.source
-                              ORDER BY d.n_chars DESC, d.doc_id) AS rk
-    FROM documents d JOIN keep4 k ON d.doc_id = k.doc_id)
-  WHERE rk <= {QUOTA_PER_SOURCE}
-),
+quota AS (SELECT doc_id FROM ({quota_sql}) q),
 scored AS (SELECT doc_id, lm_score_ppm FROM ({TEXT_LM_SCORE_SQL}) s),
 buck AS (
   SELECT s.doc_id,
@@ -228,34 +263,13 @@ scrubbed AS (
   SELECT doc_id, regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS text
   FROM s2
 ),
-samp AS (
-  SELECT doc_id FROM (
-    SELECT d.doc_id,
-           ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn
-    FROM documents d JOIN cleaned c ON d.doc_id = c.doc_id)
-  WHERE (rn - 1) % {CURATE_SAMPLE_EVERY} = 0
-),
+samp AS (SELECT doc_id FROM ({samp_sql}) s),
 surv AS (SELECT sc.doc_id, sc.text FROM scrubbed sc JOIN samp USING (doc_id)),
 spl AS (
-  SELECT s.doc_id,
-         CASE WHEN ((CAST(COALESCE(c.cluster_id, s.doc_id) AS BIGINT)
-                     * {_MIX}) & {_MASK}) % 100 < {HOLDOUT_PCT}
-              THEN 'holdout' ELSE 'train' END AS split
+  SELECT s.doc_id, {split_case} AS split
   FROM samp s LEFT JOIN clusters c ON s.doc_id = c.doc_id
 ),
-pk AS (
-  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM surv
-),
-packed AS (
-  SELECT doc_id, shard, n_tokens,
-         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
-             PARTITION BY shard ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           / {PACK_BUDGET}) AS BIGINT) AS batch_id
-  FROM pk
-)
+packed AS (SELECT * FROM ({pack_sql}) p)
 SELECT sp.split, p.shard, p.batch_id, p.doc_id, d.lang, p.n_tokens, s.text
 FROM packed p
 JOIN surv s ON p.doc_id = s.doc_id

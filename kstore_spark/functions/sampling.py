@@ -62,13 +62,21 @@ def sample_stratified(spark, sf_dir, k: int = SAMPLE_EVERY, docs=None):
     )
 
 
-SAMPLE_STRATIFIED_SQL = f"""
+def sample_stratified_sql(rel: str = "documents",
+                          k: int = SAMPLE_EVERY) -> str:
+    """Oracle SQL template over any relation providing (doc_id, lang) —
+    the pipeline oracle instantiates it over the survivor set so the
+    clause can never drift from the standalone oracle below."""
+    return f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-  FROM documents)
-WHERE (rn - 1) % {SAMPLE_EVERY} = 0
+  FROM {rel})
+WHERE (rn - 1) % {k} = 0
 """
+
+
+SAMPLE_STRATIFIED_SQL = sample_stratified_sql()
 
 
 def pack_token_budget(spark, sf_dir, budget: int = PACK_BUDGET,
@@ -95,17 +103,25 @@ def pack_token_budget(spark, sf_dir, budget: int = PACK_BUDGET,
     )
 
 
-PACK_TOKEN_BUDGET_SQL = f"""
+def pack_token_budget_sql(rel: str = "documents",
+                          budget: int = PACK_BUDGET,
+                          shards: int = PACK_SHARDS) -> str:
+    """Oracle SQL template over any relation providing (doc_id, text)
+    (shared with the pipeline oracle — see sample_stratified_sql)."""
+    return f"""
 SELECT doc_id, shard, n_tokens,
        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         / {PACK_BUDGET}) AS BIGINT) AS batch_id
+         / {budget}) AS BIGINT) AS batch_id
 FROM (
-  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+  SELECT doc_id, doc_id % {shards} AS shard,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents)
+  FROM {rel})
 """
+
+
+PACK_TOKEN_BUDGET_SQL = pack_token_budget_sql()
 
 
 SHUFFLE_SHARDS = 16          # independent training streams
@@ -167,6 +183,16 @@ def write_training_shards(spark, sf_dir, out_dir: str,
 
 
 HOLDOUT_PCT = 10  # percent of clusters (not docs) held out
+
+
+def split_case_sql(rep_expr: str, holdout_pct: int = HOLDOUT_PCT) -> str:
+    """The Knuth-mix split decision as a SQL CASE expression over an
+    arbitrary representative expression — the single source of truth
+    for every oracle that reproduces assign_split (the standalone split
+    oracles below and the pipeline oracle)."""
+    return (f"CASE WHEN ((CAST({rep_expr} AS BIGINT) * {_MIX})"
+            f" & {_MASK}) % 100 < {holdout_pct}"
+            f" THEN 'holdout' ELSE 'train' END")
 
 
 def assign_split(df: "DataFrame", rep_col: str,
@@ -234,9 +260,7 @@ clusters AS (
   SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 )
 SELECT d.doc_id,
-       CASE WHEN ((CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) * {_MIX})
-                  & {_MASK}) % 100 < {HOLDOUT_PCT}
-            THEN 'holdout' ELSE 'train' END AS split
+       {split_case_sql("COALESCE(c.cluster_id, d.doc_id)")} AS split
 FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 """
 
@@ -285,14 +309,21 @@ def source_quota_cap(spark, sf_dir, cap: int = QUOTA_PER_SOURCE,
     )
 
 
-SOURCE_QUOTA_SQL = f"""
+def source_quota_sql(rel: str = "documents",
+                     cap: int = QUOTA_PER_SOURCE) -> str:
+    """Oracle SQL template over any relation providing (doc_id, source,
+    n_chars) (shared with the pipeline oracle)."""
+    return f"""
 SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk FROM (
   SELECT doc_id, source, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source
                             ORDER BY n_chars DESC, doc_id) AS rk
-  FROM documents)
-WHERE rk <= {QUOTA_PER_SOURCE}
+  FROM {rel})
+WHERE rk <= {cap}
 """
+
+
+SOURCE_QUOTA_SQL = source_quota_sql()
 
 
 WEIGHTED_K = 100  # weighted sample size

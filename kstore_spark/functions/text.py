@@ -386,23 +386,22 @@ WITH m AS (
          len(regexp_extract_all(text, '#'))
            + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
   FROM (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents)
+), flags AS (
+  SELECT doc_id,
+         CAST(n_words AS INTEGER) AS n_words,
+         CAST(n_alpha_words AS INTEGER) AS n_alpha_words,
+         CAST(n_stop_types AS INTEGER) AS n_stop_types,
+         CAST(n_symbols AS INTEGER) AS n_symbols,
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_word_count,
+         3 * n_words <= word_chars AND word_chars <= 10 * n_words AS ok_mean_word_len,
+         10 * n_alpha_words >= 8 * n_words AS ok_alpha_ratio,
+         n_stop_types >= 2 AS ok_stopwords,
+         10 * n_symbols < n_words AS ok_symbol_ratio
+  FROM m
 )
-SELECT doc_id,
-       CAST(n_words AS INTEGER) AS n_words,
-       CAST(n_alpha_words AS INTEGER) AS n_alpha_words,
-       CAST(n_stop_types AS INTEGER) AS n_stop_types,
-       CAST(n_symbols AS INTEGER) AS n_symbols,
-       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_word_count,
-       3 * n_words <= word_chars AND word_chars <= 10 * n_words AS ok_mean_word_len,
-       10 * n_alpha_words >= 8 * n_words AS ok_alpha_ratio,
-       n_stop_types >= 2 AS ok_stopwords,
-       10 * n_symbols < n_words AS ok_symbol_ratio,
-       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-         AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
-         AND (10 * n_alpha_words >= 8 * n_words)
-         AND (n_stop_types >= 2)
-         AND (10 * n_symbols < n_words) AS pass_gopher
-FROM m
+SELECT *, ok_word_count AND ok_mean_word_len AND ok_alpha_ratio
+          AND ok_stopwords AND ok_symbol_ratio AS pass_gopher
+FROM flags
 """
 
 

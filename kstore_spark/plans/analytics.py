@@ -280,15 +280,19 @@ FROM events GROUP BY 1, 2
 def events_anomaly_hours(spark, sf_dir):
     """Anomalous traffic hours per event type: hours whose count exceeds
     the type's mean + 2σ (population) over its hourly series. The
-    2σ test is cross-multiplied into exact int64 arithmetic —
+    2σ test is cross-multiplied into exact DECIMAL arithmetic —
     ``n·c − S > 0 AND (n·c − S)² > 4·(n·SS − S²)`` with S=Σc, SS=Σc² —
     so no float mean/stddev ever materializes and the flag is bit-exact
     in any engine (a float stddev would be summation-order hostage).
-    Scale shape: one (type, hour) partial-agg shuffle, then a window
-    over event_type — cardinality |types|×|hours|, tiny regardless of
-    input volume. int64 bound: safe while hourly counts stay < ~2^31
-    (n·SS ≤ hours·max_c²); a 100 TB deploy shards the series by
-    (type, day-range) before the window if counts approach that."""
+    The intermediates run in decimal(20,0)-derived precision on the
+    Spark side and HUGEINT on DuckDB's (its SUM over BIGINT promotes
+    automatically): int64 would silently WRAP once n·SS passes 2^63 —
+    a year of hours needs only ~10^9 events/hour to get there — while
+    decimal stays exact to 10^38 (≈10^14 events/hour over a decade of
+    hours, beyond any real deployment; Spark returns NULL rather than
+    a wrong flag if ever exceeded). Scale shape: one (type, hour)
+    partial-agg shuffle, then a window over event_type — cardinality
+    |types|×|hours|, tiny regardless of input volume."""
     from pyspark.sql.window import Window
 
     hourly = (
@@ -297,10 +301,11 @@ def events_anomaly_hours(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.partitionBy("event_type")
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum("c").over(w)
-    ss = F.sum(F.col("c") * F.col("c")).over(w)
-    dev = n * F.col("c") - s
+    c = F.col("c").cast("decimal(20,0)")
+    n = F.count(F.lit(1)).over(w).cast("decimal(20,0)")
+    s = F.sum(c).over(w)
+    ss = F.sum(c * c).over(w)
+    dev = n * c - s
     return (
         hourly.select(
             "event_type", "hour", F.col("c").alias("n_events"),

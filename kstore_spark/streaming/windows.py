@@ -21,7 +21,6 @@ store stays tiny regardless of input volume.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,16 +122,16 @@ def _events_stream_chunked(spark: SparkSession, sf_dir: str,
     return normalize_events_ts(stream)
 
 
-def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event counts per type, computed by an actual
-    Structured Streaming query (not a batch rewrite)."""
-    stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+def _run_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    complete-mode memory sink and return the result table. The sink
+    table name is FIXED per operator — the previous invocation's table
+    is dropped first, so repeated bench/driver calls hold at most one
+    result set per op in driver memory (uuid-suffixed names leaked one
+    table per call). availableNow queries terminate before this
+    returns, so the fixed queryName can never collide with an active
+    query."""
+    spark.catalog.dropTempView(name)
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -146,7 +145,19 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming query did not finish within 300s — refusing to "
             "return a silently-partial result"
         )
-    return spark.table(name).select(
+    return spark.table(name)
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts per type, computed by an actual
+    Structured Streaming query (not a batch rewrite)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_to_memory(spark, agg, "kstore_stream_hourly").select(
         F.col("w.start").alias("hour"), "event_type", "n"
     )
 
@@ -172,21 +183,7 @@ def stream_hourly_approx_users(spark: SparkSession, sf_dir: str,
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.approx_count_distinct("user_id", rsd).alias("n_users_approx"))
     )
-    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 300s — refusing to "
-            "return a silently-partial result"
-        )
-    return spark.table(name).select(
+    return _run_to_memory(spark, agg, "kstore_stream_hll").select(
         F.col("w.start").alias("hour"), "event_type", "n_users_approx"
     )
 
@@ -215,24 +212,10 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str,
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = f"stream_trend_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 300s — refusing to "
-            "return a silently-partial result"
-        )
     rk = F.row_number().over(
         Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type")))
     return (
-        spark.table(name)
+        _run_to_memory(spark, agg, "kstore_stream_trend")
         .select(F.col("w.start").alias("win_start"), "event_type", "n",
                 rk.alias("rk"))
         .filter(F.col("rk") <= k)
