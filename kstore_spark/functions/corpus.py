@@ -369,6 +369,47 @@ FROM starts
 """
 
 
+TRIGRAM_K = 20  # top-k corpus trigrams
+
+
+def corpus_trigrams(spark, sf_dir, k: int = TRIGRAM_K):
+    """Top-k corpus-wide token trigrams (the n-gram frequency table a
+    contamination/memorization audit starts from; unigram twin is
+    plans/extended.top_tokens, bigrams feed functions/lm). Trigram
+    expansion is ROW-LOCAL (sequence + slice over the token array, no
+    pre-shuffle), the count map-side combines before the single shuffle
+    on the trigram key, and only the ≤|vocab|³-bounded (in practice
+    Zipf-tiny) aggregate ever moves."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t"))
+    # sequence(1, n) is DESCENDING when n < 1 — guard short docs first
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+    )
+    return (
+        docs.filter(F.size("t") >= 3)
+        .select(F.explode(tri).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(k)
+    )
+
+
+CORPUS_TRIGRAMS_SQL = f"""
+SELECT trigram, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_transform(
+           range(1, len(tok) - 1),
+           i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS trigram
+  FROM (SELECT string_split(text, ' ') AS tok FROM documents)
+  WHERE len(tok) >= 3
+)
+GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT {TRIGRAM_K}
+"""
+
+
 QUERIES = {
     "dedup_passages": dedup_passages,
     "corpus_mixture": corpus_mixture,
@@ -376,6 +417,7 @@ QUERIES = {
     "corpus_temperature_sample": corpus_temperature_sample,
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents": chunk_documents,
+    "corpus_trigrams": corpus_trigrams,
 }
 
 ORACLES = {
@@ -385,4 +427,5 @@ ORACLES = {
     "corpus_temperature_sample": CORPUS_TEMPERATURE_SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "corpus_trigrams": CORPUS_TRIGRAMS_SQL,
 }

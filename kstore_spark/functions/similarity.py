@@ -1051,10 +1051,73 @@ WHERE rn = 1
 """
 
 
+HYBRID_KEYWORD = "vector"  # token-filter predicate for hybrid_search
+
+
+def hybrid_search(spark, sf_dir, keyword: str = HYBRID_KEYWORD,
+                  k: int = TOP_K):
+    """Pre-filtered vector search (the RAG 'hybrid retrieval' shape):
+    exact cosine top-k per query vector, restricted to documents whose
+    token list contains ``keyword``. Output (query_id, doc_id, rank) —
+    ranks only, ties by doc_id, same determinism basis as sim_topk.
+
+    Scale shape: the coarse `text CONTAINS keyword` predicate is a
+    plain string filter Spark pushes into the parquet scan
+    (PushedFilters: StringContains — pinned in test_plans.py), the
+    exact token test runs on that superset's survivors only, and the
+    candidate id set reaches the embeddings scan as a LEFT SEMI join
+    AQE broadcasts while the filter is selective. Queries broadcast;
+    scoring touches |candidates| vectors, never the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    cand = (
+        docs.filter(F.col("text").contains(keyword))  # pushed to scan
+        .filter(F.array_contains(F.split("text", " "), keyword))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = _emb(spark, sf_dir)
+    cvec = emb.join(cand, "vec_id", "left_semi")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = cvec.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", F.col("vec_id").alias("doc_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT e.vec_id, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE list_contains(string_split(d.text, ' '), '{HYBRID_KEYWORD}')
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, c.vec_id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, c.v) DESC,
+                                     c.vec_id ASC) AS rank
+  FROM q, c WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_matmul": sim_topk_matmul,
     "knn_label_vote": knn_label_vote,
+    "hybrid_search": hybrid_search,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1074,6 +1137,9 @@ ORACLES = {
     "sim_topk_matmul": SIM_TOPK_SQL,
     # the vote aggregates the same exact top-k ranks → integer counts
     "knn_label_vote": KNN_LABEL_VOTE_SQL,
+    # same cosine fold / ranks-only basis as sim_topk; the keyword
+    # filter is exact set membership in both engines
+    "hybrid_search": HYBRID_SEARCH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # embedding_neardup_lsh verifies candidates with EXACT cosine, so its
     # output ⊆ brute force; at sf0.01 the seeded bands attain 100% recall

@@ -332,6 +332,51 @@ FROM st
 """
 
 
+PATH_K = 20  # top-k event-type trigram paths
+
+
+def events_top_paths(spark, sf_dir, k: int = PATH_K):
+    """Top-k most common 3-step event-type paths (the clickstream
+    path-mining staple the reference's agg set can't express): per user,
+    events ordered by (ts, event_id) — event_id breaks timestamp ties
+    deterministically — yield sliding (e1, e2, e3) transitions counted
+    corpus-wide. Scale shape: one shuffle partitions by user_id for the
+    window (users are high-cardinality → no skew wall), then the path
+    agg map-side combines to |types|³ partials; the top-k over ≤ |types|³
+    rows is driver-trivial at any input volume."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    return (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .groupBy(F.col("event_type").alias("e1"), "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(k)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT event_type AS e1, e2, e3, COUNT(*) AS n_paths
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT {PATH_K}
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity gap): a stateful
     pattern the reference cannot express. Batch formulation = windowed
@@ -576,6 +621,7 @@ QUERIES = {
     "events_gapfill_locf": events_gapfill_locf,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_top_paths": events_top_paths,
 }
 
 ORACLES = {
@@ -596,4 +642,5 @@ ORACLES = {
     "events_gapfill_locf": EVENTS_GAPFILL_LOCF_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
+    "events_top_paths": EVENTS_TOP_PATHS_SQL,
 }

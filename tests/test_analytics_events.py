@@ -62,3 +62,24 @@ def test_gapfill_locf_carries_last_observation(spark):
                 # carried value == most recent observation (NULL before
                 # the type's first observation)
                 assert r["mean_micro"] == last
+
+
+def test_top_paths_mass_and_topk_prefix(spark):
+    """The full path table's mass is Σ_user max(0, n_u − 2) (every
+    consecutive triple counted exactly once), and the shipped top-k is
+    the deterministic prefix of the full ordering."""
+    from kstore_spark.plans.analytics import PATH_K, events_top_paths
+    from kstore_spark.tables import table
+
+    full = events_top_paths(spark, SF_DIR, k=1_000_000_000).collect()
+    per_user = table(spark, SF_DIR, "events").groupBy("user_id").count()
+    expected = sum(max(0, r["count"] - 2) for r in per_user.collect())
+    assert sum(r["n_paths"] for r in full) == expected
+    assert all(r["e1"] and r["e2"] and r["e3"] for r in full)
+
+    order = sorted(
+        ((-r["n_paths"], r["e1"], r["e2"], r["e3"]) for r in full))
+    top = events_top_paths(spark, SF_DIR).collect()
+    assert len(top) == min(PATH_K, len(full))
+    got = [(-r["n_paths"], r["e1"], r["e2"], r["e3"]) for r in top]
+    assert got == order[: len(top)]

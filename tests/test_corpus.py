@@ -122,3 +122,22 @@ def test_temperature_sample_rebalances(spark):
         assert n <= sizes[k]
     total = sum(sizes.values())
     assert 0.5 * TEMP_TARGET_PPM / 1e6 <= len(a) / total <= 1.6 * TEMP_TARGET_PPM / 1e6
+
+
+def test_corpus_trigrams_mass_conservation(spark):
+    """Unlimited trigram counts sum to Σ_doc max(0, n_tokens − 2) —
+    every in-doc window counted once, short docs contribute nothing —
+    and the shipped top-k is the prefix of the full (n desc, trigram)
+    ordering."""
+    from kstore_spark.functions.corpus import TRIGRAM_K, corpus_trigrams
+    from kstore_spark.tables import table
+
+    full = corpus_trigrams(spark, SF_DIR, k=1_000_000_000).collect()
+    docs = table(spark, SF_DIR, "documents")
+    lens = docs.select(F.size(F.split("text", " ")).alias("n")).collect()
+    assert sum(r["n"] for r in full) == sum(max(0, r["n"] - 2) for r in lens)
+    assert all(len(r["trigram"].split(" ")) == 3 for r in full)
+
+    order = sorted(((-r["n"], r["trigram"]) for r in full))
+    top = [(-r["n"], r["trigram"]) for r in corpus_trigrams(spark, SF_DIR).collect()]
+    assert top == order[: min(TRIGRAM_K, len(full))]

@@ -684,3 +684,31 @@ def test_ann_ivf_kmeans_partial_probe_recall(spark):
     truth = {(r[0], r[1]) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
     approx = {(r[0], r[1]) for r in sim_ann_ivf_kmeans(spark, SF_DIR).collect()}
     assert len(approx & truth) >= 0.25 * len(truth)
+
+
+def test_hybrid_search_restricts_to_keyword_docs(spark):
+    """Every hybrid_search hit is a keyword-token document (exact set
+    membership, not substring), never the query itself, with dense
+    per-query ranks 1..k."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.similarity import (
+        HYBRID_KEYWORD, N_QUERIES, TOP_K, hybrid_search)
+    from kstore_spark.tables import table
+
+    out = hybrid_search(spark, SF_DIR).collect()
+    cand = {
+        r["doc_id"]
+        for r in table(spark, SF_DIR, "documents")
+        .filter(F.array_contains(F.split("text", " "), HYBRID_KEYWORD))
+        .select("doc_id")
+        .collect()
+    }
+    by_q: dict = {}
+    for r in out:
+        assert r["doc_id"] in cand
+        assert r["doc_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(range(N_QUERIES))
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, TOP_K + 1))

@@ -315,3 +315,15 @@ def test_ivf_incremental_keeps_dynamic_partition_pruning(spark):
 
     plan = _plan(sim_ann_ivf_incremental(spark, SF_DIR))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_hybrid_search_pushes_keyword_and_semijoins(spark):
+    """hybrid_search's coarse keyword predicate must reach the documents
+    scan (StringContains pushed filter) and the candidate restriction
+    must be a LeftSemi join — the embeddings corpus is filtered by ids,
+    never joined wide. The query side is a broadcast of N_QUERIES rows."""
+    from kstore_spark.functions.similarity import hybrid_search
+
+    txt = _formatted(spark, hybrid_search(spark, SF_DIR))
+    assert "StringContains(text,vector)" in txt
+    assert "LeftSemi" in txt

@@ -119,7 +119,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "sample_weighted", "text_heavy_hitters", "chunk_documents",
                # round-5 additions: cross-source pair audit (random s0/s1
                # tags exercise the straddle filter), trusted-slice LM
-               "dedup_cross_source", "text_lm_score_trusted")
+               "dedup_cross_source", "text_lm_score_trusted",
+               # r6 continuation: corpus-wide trigram top-k (1/2-token
+               # docs exercise the short-doc guard)
+               "corpus_trigrams")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
@@ -190,14 +193,37 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         }),
         str(d / "embeddings.parquet"),
     )
+    # a documents twin keyed doc_id == vec_id: random texts where the
+    # hybrid_search keyword lands in ~half the docs — exercises the
+    # token filter + semi-join over a random candidate set
+    trng = random.Random(seed)
+    texts = [
+        " ".join(
+            (["vector"] if trng.random() < 0.5 else ["scan"])
+            + [trng.choice(("a", "b", "vectors"))]
+        )
+        for _ in range(n)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()), "text": texts,
+            "lang": ["en"] * n, "source": ["s0"] * n,
+            "n_chars": [len(t) for t in texts],
+        }),
+        str(d / "documents.parquet"),
+    )
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{d}/embeddings.parquet')"
     )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
     for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup",
                "cluster_balanced_sample", "knn_label_vote",
-               "sim_ann_ivf", "sim_ann_ivf_incremental"):
+               "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search"):
         df = similarity.QUERIES[op](spark, str(d))
         got = _rowset(df.columns, [tuple(r) for r in df.collect()])
         res = con.execute(similarity.ORACLES[op])
