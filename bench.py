@@ -180,6 +180,12 @@ def headline_queries():
         # engine's end-to-end-throughput headline, oracled in
         # functions/pipeline.py
         "curate_survivors": pipeline.curate_survivors,
+        # r6 third-session additions (keys above stay comparable):
+        # path mining, the corpus n-gram table, and pre-filtered vector
+        # search — all sublinear at 10× (PERF.md)
+        "events_top_paths": analytics.events_top_paths,
+        "corpus_trigrams": corpus.corpus_trigrams,
+        "hybrid_search": similarity.hybrid_search,
     }
 
 

@@ -293,13 +293,23 @@ def events_anomaly_hours(spark, sf_dir):
     a wrong flag if ever exceeded). Scale shape: one (type, hour)
     partial-agg shuffle, then a window over event_type — cardinality
     |types|×|hours|, tiny regardless of input volume."""
-    from pyspark.sql.window import Window
-
     hourly = (
         table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return anomaly_flags(hourly)
+
+
+def anomaly_flags(hourly):
+    """The exact-decimal flag kernel over a (hour, event_type, c) frame
+    — shared with streaming.windows.stream_anomaly_hours, whose hourly
+    counts come from a watermarked streaming agg instead of a batch
+    groupBy (the flags themselves are not incremental: one new hour
+    shifts every flag of its type, so they are a batch window over the
+    finished series in both variants)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("event_type")
     c = F.col("c").cast("decimal(20,0)")
     n = F.count(F.lit(1)).over(w).cast("decimal(20,0)")

@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kstore_spark.plans.analytics import EVENTS_ANOMALY_SQL
+
 
 def _stage_single_parquet(path: str) -> str:
     """The file streaming source ingests directories; stage a single
@@ -241,10 +243,28 @@ SELECT win_start, event_type, n, rk FROM (
 """
 
 
+def stream_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming traffic-anomaly monitor: the per-(type, hour) counts
+    are maintained by the real watermarked streaming aggregation (same
+    state as stream_hourly_counts — |types|×|hours| rows, RocksDB-
+    bounded); the mean+2σ flags run the SHARED exact-decimal kernel
+    (plans.analytics.anomaly_flags) over the finished series, because
+    a flag is not an incremental quantity — one new hour moves every
+    flag of its type. Oracle: the batch EVENTS_ANOMALY_SQL verbatim
+    (replay has no late data, so streamed counts equal the batch
+    groupBy exactly; stream==batch pinned in tests)."""
+    from kstore_spark.plans.analytics import anomaly_flags
+
+    hourly = stream_hourly_counts(spark, sf_dir).select(
+        "hour", "event_type", F.col("n").alias("c"))
+    return anomaly_flags(hourly)
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_hourly_approx_users": stream_hourly_approx_users,
     "stream_topk_trending": stream_topk_trending,
+    "stream_anomaly_hours": stream_anomaly_hours,
 }
 
 ORACLES = {
@@ -252,4 +272,7 @@ ORACLES = {
     # stream_hourly_approx_users: sketch internals are engine-specific →
     # rows-only; error gate in tests/test_streaming.py
     "stream_topk_trending": STREAM_TOPK_TRENDING_SQL,
+    # the batch anomaly oracle verbatim: replayed streamed counts equal
+    # the batch groupBy exactly, and the flag kernel is shared code
+    "stream_anomaly_hours": EVENTS_ANOMALY_SQL,
 }

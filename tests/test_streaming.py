@@ -383,3 +383,16 @@ def test_chunked_staging_is_event_time_ordered_and_reused(spark):
     again = _stage_ts_chunked_parquet(spark, path, 4)
     assert again == stage
     assert [os.path.getmtime(os.path.join(stage, f)) for f in parts] == mtimes
+
+
+def test_stream_anomaly_hours_equals_batch(spark):
+    """The streaming anomaly monitor is row-for-row equal to the batch
+    twin: streamed hourly counts equal the batch groupBy under replay,
+    and both run the shared exact-decimal flag kernel."""
+    from kstore_spark.plans.analytics import events_anomaly_hours
+    from kstore_spark.streaming.windows import stream_anomaly_hours
+
+    got = {tuple(r) for r in stream_anomaly_hours(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in events_anomaly_hours(spark, SF_DIR).collect()}
+    assert got == want and got
+    assert any(r[3] for r in got) or len(got) < 50  # flags exist at scale
