@@ -71,7 +71,8 @@ _PRIORITY = [
     # + curate_survivors (the composed 9-stage pipeline vs its chained
     # DuckDB oracle — the repo's capstone correctness entry)
     # + events_top_paths + corpus_trigrams + hybrid_search
-    # + stream_anomaly_hours
+    # + stream_anomaly_hours + events_cumulative_users
+    # + text_ngram_novelty
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining

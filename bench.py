@@ -186,6 +186,7 @@ def headline_queries():
         "events_top_paths": analytics.events_top_paths,
         "corpus_trigrams": corpus.corpus_trigrams,
         "hybrid_search": similarity.hybrid_search,
+        "text_ngram_novelty": corpus.text_ngram_novelty,
     }
 
 

@@ -410,6 +410,68 @@ GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT {TRIGRAM_K}
 """
 
 
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document trigram novelty (a memorization/duplication proxy
+    finer than whole-doc dedup): the share of a doc's DISTINCT trigrams
+    that appear in no other document, in exact integer ppm. Docs with
+    fewer than 3 tokens have no trigrams and are not scored.
+
+    Scale shape: the same row-local trigram expansion as
+    corpus_trigrams, distinct per (doc_id, trigram), then ONE shuffle
+    on the trigram key computes document frequency and the per-doc
+    rollup shuffles ids only — text never moves twice, and the df side
+    is Zipf-bounded vocabulary, not corpus volume."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+    )
+    dt = (
+        docs.filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(tri).alias("trigram"))
+        .distinct()
+    )
+    df = dt.groupBy("trigram").agg(
+        F.count(F.lit(1)).alias("df"))  # distinct docs by construction
+    return (
+        dt.join(df, "trigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_trigrams", "n_novel",
+            F.floor(F.lit(_PPM) * F.col("n_novel") / F.col("n_trigrams"))
+            .cast("long").alias("novelty_ppm"),
+        )
+    )
+
+
+TEXT_NGRAM_NOVELTY_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, trigram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(tok) - 1),
+             i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS trigram
+    FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+    WHERE len(tok) >= 3
+  )
+), df AS (
+  SELECT trigram, COUNT(*) AS df FROM dt GROUP BY trigram
+)
+SELECT dt.doc_id,
+       COUNT(*) AS n_trigrams,
+       SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel,
+       CAST(FLOOR({_PPM} * SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM dt JOIN df USING (trigram)
+GROUP BY dt.doc_id
+"""
+
+
 QUERIES = {
     "dedup_passages": dedup_passages,
     "corpus_mixture": corpus_mixture,
@@ -418,6 +480,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents": chunk_documents,
     "corpus_trigrams": corpus_trigrams,
+    "text_ngram_novelty": text_ngram_novelty,
 }
 
 ORACLES = {
@@ -428,4 +491,5 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "corpus_trigrams": CORPUS_TRIGRAMS_SQL,
+    "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
 }

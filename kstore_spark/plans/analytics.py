@@ -387,6 +387,42 @@ LIMIT {PATH_K}
 """
 
 
+def events_cumulative_users(spark, sf_dir):
+    """Daily new-user and cumulative-user counts (the growth-accounting
+    series): distinct-over-an-expanding-window rewritten as first-seen
+    date per user + a running sum — the only formulation that scales
+    (a naive per-day COUNT(DISTINCT) over an expanding window re-scans
+    every prefix). One user_id shuffle for the min-date agg, one
+    |days|-row global window (tiny by construction). Output
+    (day, n_new_users, n_cumulative_users)."""
+    from pyspark.sql.window import Window
+
+    firsts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("day"))
+    )
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "n_new_users",
+        F.sum("n_new_users").over(w).alias("n_cumulative_users"),
+    )
+
+
+EVENTS_CUMULATIVE_USERS_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS day FROM events GROUP BY 1
+), daily AS (
+  SELECT day, COUNT(*) AS n_new_users FROM firsts GROUP BY day
+)
+SELECT day, n_new_users,
+       SUM(n_new_users) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS n_cumulative_users
+FROM daily
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity gap): a stateful
     pattern the reference cannot express. Batch formulation = windowed
@@ -632,6 +668,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
+    "events_cumulative_users": events_cumulative_users,
 }
 
 ORACLES = {
@@ -653,4 +690,5 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
+    "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
 }

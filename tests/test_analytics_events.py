@@ -83,3 +83,22 @@ def test_top_paths_mass_and_topk_prefix(spark):
     assert len(top) == min(PATH_K, len(full))
     got = [(-r["n_paths"], r["e1"], r["e2"], r["e3"]) for r in top]
     assert got == order[: len(top)]
+
+
+def test_cumulative_users_mass_and_monotone(spark):
+    """Daily new-user counts sum to the distinct-user total, the
+    cumulative series is that same running total, and its last value
+    equals COUNT(DISTINCT user_id)."""
+    from kstore_spark.plans.analytics import events_cumulative_users
+    from kstore_spark.tables import table
+
+    rows = sorted(events_cumulative_users(spark, SF_DIR).collect(),
+                  key=lambda r: r["day"])
+    n_users = (table(spark, SF_DIR, "events")
+               .select("user_id").distinct().count())
+    assert sum(r["n_new_users"] for r in rows) == n_users
+    assert rows[-1]["n_cumulative_users"] == n_users
+    run = 0
+    for r in rows:
+        run += r["n_new_users"]
+        assert r["n_cumulative_users"] == run

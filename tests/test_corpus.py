@@ -141,3 +141,48 @@ def test_corpus_trigrams_mass_conservation(spark):
     order = sorted(((-r["n"], r["trigram"]) for r in full))
     top = [(-r["n"], r["trigram"]) for r in corpus_trigrams(spark, SF_DIR).collect()]
     assert top == order[: min(TRIGRAM_K, len(full))]
+
+
+def test_ngram_novelty_bounds_and_duplicates(spark):
+    """Novelty is scored exactly for the >=3-token docs, bounded in
+    [0, 1e6] ppm, and a doc with an exact text duplicate has zero novel
+    trigrams (its trigram set is shared verbatim)."""
+    from kstore_spark.functions.corpus import text_ngram_novelty
+    from kstore_spark.tables import table
+
+    out = {r["doc_id"]: r for r in text_ngram_novelty(spark, SF_DIR).collect()}
+    docs = table(spark, SF_DIR, "documents")
+    eligible = {
+        r["doc_id"]
+        for r in docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id").collect()
+    }
+    assert set(out) == eligible
+    for r in out.values():
+        assert 0 <= r["n_novel"] <= r["n_trigrams"]
+        assert 0 <= r["novelty_ppm"] <= 1_000_000
+
+def test_ngram_novelty_planted_extremes(spark, tmp_path):
+    """Exact duplicates share every trigram (novelty 0); a doc over a
+    private vocabulary is fully novel (novelty 1e6); a 2-token doc is
+    not scored."""
+    from kstore_spark.functions.corpus import text_ngram_novelty
+
+    texts = {
+        0: "a b c d",      # exact duplicate of 1
+        1: "a b c d",
+        2: "p q r s t",    # private vocabulary → fully novel
+        3: "a b",          # too short to score
+    }
+    path = str(tmp_path / "nv")
+    spark.createDataFrame(
+        [(i, t, "en", "s0") for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(path + "/documents.parquet")
+
+    out = {r["doc_id"]: r for r in text_ngram_novelty(spark, path).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_novel"] == 0 and out[0]["novelty_ppm"] == 0
+    assert out[1]["n_novel"] == 0
+    assert out[2]["novelty_ppm"] == 1_000_000
+    assert out[2]["n_novel"] == out[2]["n_trigrams"] == 3

@@ -77,7 +77,8 @@ _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         "events_gapfill", "events_gapfill_locf", "events_funnel",
         "events_user_overlap", "events_asof", "events_json_extract",
         "events_distinct_users", "events_range_join", "events_retention",
-        "events_anomaly_hours", "events_top_paths")
+        "events_anomaly_hours", "events_top_paths",
+        "events_cumulative_users")
 
 
 @pytest.mark.parametrize("seed", SEEDS)

@@ -120,9 +120,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # round-5 additions: cross-source pair audit (random s0/s1
                # tags exercise the straddle filter), trusted-slice LM
                "dedup_cross_source", "text_lm_score_trusted",
-               # r6 continuation: corpus-wide trigram top-k (1/2-token
-               # docs exercise the short-doc guard)
-               "corpus_trigrams")
+               # r6 continuation: corpus-wide trigram top-k + per-doc
+               # trigram novelty (1/2-token docs exercise the short-doc
+               # guard; planted exact duplicates plant df>1 trigrams)
+               "corpus_trigrams", "text_ngram_novelty")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
