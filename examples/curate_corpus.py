@@ -63,8 +63,7 @@ def curate(spark, sf_dir: str, out_dir: str, sample_every: int = 2) -> dict:
     partitioned by (split, shard)."""
     from kstore_spark.functions.pipeline import curate_stages
 
-    stages = curate_stages(spark, sf_dir, sample_every=sample_every)
-    caches = stages.pop("_caches")
+    stages, caches = curate_stages(spark, sf_dir, sample_every=sample_every)
     counts = {name: df.count() for name, df in stages.items()
               if name != "final"}
     stages["final"].write.mode("overwrite").partitionBy(

@@ -372,6 +372,23 @@ FROM starts
 TRIGRAM_K = 20  # top-k corpus trigrams
 
 
+def trigram_expr(col: str = "t"):
+    """Row-local trigram expansion over a token-array column — the ONE
+    boundary definition corpus_trigrams and text_ngram_novelty share
+    (same anti-drift rule as sampling's SQL templates). sequence(1, n)
+    DESCENDS for n < 1, so callers filter size(col) >= 3 first."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(col) - 2),
+        lambda i: F.concat_ws(" ", F.slice(col, i, 3)),
+    )
+
+
+# the DuckDB twin of trigram_expr over a `tok` list column (1-based,
+# range() excludes its stop — i runs 1..len-2)
+TRIGRAM_SQL_EXPR = ("list_transform(range(1, len(tok) - 1), "
+                    "i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])")
+
+
 def corpus_trigrams(spark, sf_dir, k: int = TRIGRAM_K):
     """Top-k corpus-wide token trigrams (the n-gram frequency table a
     contamination/memorization audit starts from; unigram twin is
@@ -382,14 +399,9 @@ def corpus_trigrams(spark, sf_dir, k: int = TRIGRAM_K):
     Zipf-tiny) aggregate ever moves."""
     docs = table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("t"))
-    # sequence(1, n) is DESCENDING when n < 1 — guard short docs first
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 2),
-        lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
-    )
     return (
         docs.filter(F.size("t") >= 3)
-        .select(F.explode(tri).alias("trigram"))
+        .select(F.explode(trigram_expr()).alias("trigram"))
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("trigram"))
@@ -400,9 +412,7 @@ def corpus_trigrams(spark, sf_dir, k: int = TRIGRAM_K):
 CORPUS_TRIGRAMS_SQL = f"""
 SELECT trigram, COUNT(*) AS n
 FROM (
-  SELECT unnest(list_transform(
-           range(1, len(tok) - 1),
-           i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS trigram
+  SELECT unnest({TRIGRAM_SQL_EXPR}) AS trigram
   FROM (SELECT string_split(text, ' ') AS tok FROM documents)
   WHERE len(tok) >= 3
 )
@@ -423,13 +433,9 @@ def text_ngram_novelty(spark, sf_dir):
     is Zipf-bounded vocabulary, not corpus volume."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t"))
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 2),
-        lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
-    )
     dt = (
         docs.filter(F.size("t") >= 3)
-        .select("doc_id", F.explode(tri).alias("trigram"))
+        .select("doc_id", F.explode(trigram_expr()).alias("trigram"))
         .distinct()
     )
     df = dt.groupBy("trigram").agg(
@@ -452,10 +458,7 @@ def text_ngram_novelty(spark, sf_dir):
 TEXT_NGRAM_NOVELTY_SQL = f"""
 WITH dt AS (
   SELECT DISTINCT doc_id, trigram FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             range(1, len(tok) - 1),
-             i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS trigram
+    SELECT doc_id, unnest({TRIGRAM_SQL_EXPR}) AS trigram
     FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
     WHERE len(tok) >= 3
   )

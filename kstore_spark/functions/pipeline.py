@@ -46,21 +46,22 @@ CURATE_SAMPLE_EVERY = 2  # pipeline stratified-sample rate (1-in-2)
 
 def curate_stages(spark: SparkSession, sf_dir: str,
                   sample_every: int = CURATE_SAMPLE_EVERY,
-                  ) -> dict[str, DataFrame]:
-    """All pipeline stages as named frames, in stage order. Keys mirror
-    examples/curate_corpus.py's count labels; ``final`` is the
-    training-stream frame (split, shard, batch_id, doc_id, lang,
-    n_tokens, text). Construction triggers the component operators'
-    own materializations (the LSH pair verification, the component
-    iteration, the LM bucket build) but writes nothing.
+                  ) -> tuple[dict[str, DataFrame], list[DataFrame]]:
+    """All pipeline stages as named frames, in stage order, plus the
+    component caches. Stage keys mirror examples/curate_corpus.py's
+    count labels; ``final`` is the training-stream frame (split, shard,
+    batch_id, doc_id, lang, n_tokens, text). Construction triggers the
+    component operators' own materializations (the LSH pair
+    verification, the component iteration, the LM bucket build) but
+    writes nothing.
 
     Cache contract: two component ops return PERSISTED frames the later
     stages re-read (the LSH pair graph feeds both stage 2 and the
-    stage-8 split; the LM buckets feed stage 4c). They are handed back
-    under the ``"_caches"`` key — callers unpersist them once the
-    frames they need are materialized (curate_survivors and the example
-    both do), otherwise repeated invocations stack dead cache entries
-    in the session."""
+    stage-8 split; the LM buckets feed stage 4c). They come back as the
+    second tuple element — callers unpersist them once the frames they
+    need are materialized (curate_survivors and the example both do),
+    otherwise repeated invocations stack dead cache entries in the
+    session."""
     from kstore_spark.functions.corpus import dedup_passages
     from kstore_spark.functions.dedup import (
         cluster_pairs, decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
@@ -157,20 +158,20 @@ def curate_stages(spark: SparkSession, sf_dir: str,
         .select("split", "shard", "batch_id", "doc_id", "lang",
                 "n_tokens", "text")
     )
-    stages["_caches"] = [pairs, lm_buckets]
-    return stages
+    return stages, [pairs, lm_buckets]
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: the pipeline's final training-stream frame —
     persisted and materialized here so the component caches can be
-    released before returning (only the ~|survivors|-row result stays
-    cached, the module's usual persist → materialize → unpersist
-    discipline)."""
-    stages = curate_stages(spark, sf_dir)
+    released before returning. Only the ~|survivors|-row result stays
+    cached (quota-bounded — see PERF.md); the CALLER owns
+    ``result.unpersist()`` if it invokes this repeatedly in one
+    long-lived session (bench.py instead clearCache()s between runs)."""
+    stages, caches = curate_stages(spark, sf_dir)
     final = stages["final"].persist()
     final.count()
-    for cached in stages["_caches"]:
+    for cached in caches:
         cached.unpersist()
     return final
 
