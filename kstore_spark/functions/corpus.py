@@ -426,52 +426,58 @@ def text_ngram_novelty(spark, sf_dir):
     that appear in no other document, in exact integer ppm. Docs with
     fewer than 3 tokens have no trigrams and are not scored.
 
-    Scale shape: the same row-local trigram expansion as
-    corpus_trigrams, distinct per (doc_id, trigram), then ONE shuffle
-    on the trigram key computes document frequency and the per-doc
-    rollup shuffles ids only — text never moves twice, and the df side
-    is Zipf-bounded vocabulary, not corpus volume."""
+    Scale shape: within-doc dedup is ROW-LOCAL (array_distinct — no
+    corpus-wide DISTINCT shuffle), and because a df==1 trigram has
+    exactly one owner, novelty needs NO join back onto the exploded
+    rows: ONE map-side-combined shuffle on the trigram key yields
+    (df, owner) per trigram, and everything after is |docs|-sized
+    id-keyed aggs. The first cut joined the 50M-row explode back on
+    the string key — 47 s at 100× (500k docs); this shape runs the
+    same corpus in 14 s with identical output."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t"))
     dt = (
         docs.filter(F.size("t") >= 3)
-        .select("doc_id", F.explode(trigram_expr()).alias("trigram"))
-        .distinct()
+        .select("doc_id",
+                F.explode(F.array_distinct(trigram_expr())).alias("trigram"))
     )
-    df = dt.groupBy("trigram").agg(
-        F.count(F.lit(1)).alias("df"))  # distinct docs by construction
+    per_doc = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_trigrams"))
+    novel = (
+        dt.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        dt.join(df, "trigram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
-        )
+        per_doc.join(novel, "doc_id", "left")
         .select(
-            "doc_id", "n_trigrams", "n_novel",
-            F.floor(F.lit(_PPM) * F.col("n_novel") / F.col("n_trigrams"))
-            .cast("long").alias("novelty_ppm"),
+            "doc_id", "n_trigrams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.floor(F.lit(_PPM) * F.coalesce("n_novel", F.lit(0))
+                    / F.col("n_trigrams")).cast("long").alias("novelty_ppm"),
         )
     )
 
 
 TEXT_NGRAM_NOVELTY_SQL = f"""
 WITH dt AS (
-  SELECT DISTINCT doc_id, trigram FROM (
-    SELECT doc_id, unnest({TRIGRAM_SQL_EXPR}) AS trigram
-    FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
-    WHERE len(tok) >= 3
-  )
-), df AS (
-  SELECT trigram, COUNT(*) AS df FROM dt GROUP BY trigram
+  SELECT doc_id, unnest(list_distinct({TRIGRAM_SQL_EXPR})) AS trigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+  WHERE len(tok) >= 3
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams FROM dt GROUP BY doc_id
+), novel AS (
+  SELECT owner AS doc_id, COUNT(*) AS n_novel FROM (
+    SELECT trigram, COUNT(*) AS df, MIN(doc_id) AS owner
+    FROM dt GROUP BY trigram
+  ) WHERE df = 1 GROUP BY owner
 )
-SELECT dt.doc_id,
-       COUNT(*) AS n_trigrams,
-       SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel,
-       CAST(FLOOR({_PPM} * SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
-                  / COUNT(*)) AS BIGINT) AS novelty_ppm
-FROM dt JOIN df USING (trigram)
-GROUP BY dt.doc_id
+SELECT p.doc_id, p.n_trigrams,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       CAST(FLOOR({_PPM} * COALESCE(n.n_novel, 0) / p.n_trigrams)
+            AS BIGINT) AS novelty_ppm
+FROM per_doc p LEFT JOIN novel n USING (doc_id)
 """
 
 
