@@ -327,3 +327,29 @@ def test_hybrid_search_pushes_keyword_and_semijoins(spark):
     txt = _formatted(spark, hybrid_search(spark, SF_DIR))
     assert "StringContains(text,vector)" in txt
     assert "LeftSemi" in txt
+
+
+def test_top_paths_two_exchanges_and_takeordered(spark):
+    """events_top_paths: exactly the user_id window shuffle + the
+    path-key agg shuffle, and the top-k compiles to
+    TakeOrderedAndProject (no global Sort of the path table)."""
+    from kstore_spark.plans.analytics import events_top_paths
+
+    plan = _plan(events_top_paths(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_ngram_novelty_never_joins_on_trigram(spark):
+    """text_ngram_novelty's only join is the |docs|-sized id-keyed
+    rollup merge — the 100×-probe-found rewrite guarantee that the
+    exploded trigram rows are aggregated, never joined back on the
+    string key (the first cut's 46.8 s cliff at 100×)."""
+    from kstore_spark.functions.corpus import text_ngram_novelty
+
+    plan = _plan(text_ngram_novelty(spark, SF_DIR))
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines  # the per-doc/novel rollup merge exists
+    for ln in join_lines:
+        assert "trigram" not in ln, ln
+        assert "doc_id" in ln, ln
