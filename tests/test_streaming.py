@@ -396,3 +396,17 @@ def test_stream_anomaly_hours_equals_batch(spark):
     want = {tuple(r) for r in events_anomaly_hours(spark, SF_DIR).collect()}
     assert got == want and got
     assert any(r[3] for r in got) or len(got) < 50  # flags exist at scale
+
+
+def test_run_to_memory_fixed_sink_reuse(spark):
+    """Repeated invocations of a memory-sink streaming op reuse ONE
+    fixed per-operator table (drop-then-start) instead of leaking a
+    uuid-named table per call, and return identical results."""
+    from kstore_spark.streaming.windows import stream_hourly_counts
+
+    a = {tuple(r) for r in stream_hourly_counts(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in stream_hourly_counts(spark, SF_DIR).collect()}
+    assert a == b and a
+    tabs = [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("kstore_stream_hourly")]
+    assert tabs == ["kstore_stream_hourly"]
