@@ -50,8 +50,15 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue  # partial dirs (e.g. docs-only replicas)
+        if os.path.isdir(p):  # Spark-written table dir → glob the parts
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries, oracles = entry.queries(), entry.oracle_sql()
     failures = []
