@@ -601,6 +601,70 @@ def events_funnel(spark, sf_dir):
         .unionByName(level(s3, 3, "purchase_after_view"))
     )
 
+CONV_WINDOW_HOURS = 24  # max step-to-step conversion delay
+
+
+def events_funnel_windowed(spark, sf_dir, hours: int = CONV_WINDOW_HOURS):
+    """The funnel with a CONVERSION WINDOW — step k counts only within
+    ``hours`` of the user's step-(k-1) time (the product-analytics
+    default; the unwindowed twin above answers lifetime conversion).
+    Same min-timestamp chaining and the same monotonically shrinking
+    per-step join shape; the window bound just tightens each filter, so
+    the scale story is identical to events_funnel."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(f"INTERVAL {hours} HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+
+    def level(df, step, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("name"), "n_users"
+        )
+
+    return (
+        level(s1, 1, "signup")
+        .unionByName(level(s2, 2, "view_within_window"))
+        .unionByName(level(s3, 3, "purchase_within_window"))
+    )
+
+
+EVENTS_FUNNEL_WINDOWED_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {CONV_WINDOW_HOURS} HOURS
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {CONV_WINDOW_HOURS} HOURS
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS name, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'view_within_window', COUNT(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase_within_window', COUNT(*) FROM s3
+"""
+
+
 EVENTS_FUNNEL_SQL = """
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
@@ -666,6 +730,7 @@ QUERIES = {
     "events_gapfill": events_gapfill,
     "events_gapfill_locf": events_gapfill_locf,
     "events_funnel": events_funnel,
+    "events_funnel_windowed": events_funnel_windowed,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
     "events_cumulative_users": events_cumulative_users,
@@ -688,6 +753,7 @@ ORACLES = {
     "events_gapfill": EVENTS_GAPFILL_SQL,
     "events_gapfill_locf": EVENTS_GAPFILL_LOCF_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_funnel_windowed": EVENTS_FUNNEL_WINDOWED_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,

@@ -102,3 +102,23 @@ def test_cumulative_users_mass_and_monotone(spark):
     for r in rows:
         run += r["n_new_users"]
         assert r["n_cumulative_users"] == run
+
+
+def test_windowed_funnel_contained_in_unwindowed(spark):
+    """The windowed funnel's step counts are bounded above by the
+    unwindowed funnel's at every step (tightening the filter can only
+    lose users), share step 1 exactly, and shrink down the funnel."""
+    from kstore_spark.plans.analytics import (
+        events_funnel, events_funnel_windowed)
+
+    free = {r["step"]: r["n_users"] for r in events_funnel(spark, SF_DIR).collect()}
+    win = {r["step"]: r["n_users"]
+           for r in events_funnel_windowed(spark, SF_DIR).collect()}
+    assert set(win) == {1, 2, 3}
+    assert win[1] == free[1]
+    assert win[2] <= free[2] and win[3] <= free[3]
+    assert win[1] >= win[2] >= win[3] >= 0
+    # a 1-second window must collapse conversions to (almost) nothing
+    tiny = {r["step"]: r["n_users"]
+            for r in events_funnel_windowed(spark, SF_DIR, hours=0).collect()}
+    assert tiny[2] == 0 and tiny[3] == 0
