@@ -601,6 +601,58 @@ def events_funnel(spark, sf_dir):
         .unionByName(level(s3, 3, "purchase_after_view"))
     )
 
+def events_ab_conversion(spark, sf_dir):
+    """Experiment-arm conversion table: arm = parity of the JSON
+    payload's ``k`` field (NULL when absent — kept as its own row, the
+    instrumentation-gap bucket), per arm the distinct exposed users,
+    distinct converted users (any ``purchase``), and the conversion
+    rate in exact integer ppm — no float aggregation of events.value
+    anywhere, so the whole table is bit-exact. Scale shape: the JSON
+    extract is row-local at scan speed; both distincts are one
+    user-keyed partial-agg shuffle; output is |arms| rows."""
+    ev = table(spark, sf_dir, "events")
+    arm = (F.get_json_object("props", "$.k").cast("long") % 2).alias("arm")
+    exposed = ev.select(arm, "user_id").groupBy("arm").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    converted = (
+        ev.select(arm, "user_id", "event_type")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("arm")
+        .agg(F.countDistinct("user_id").alias("n_converted"))
+    )
+    return (
+        # null-safe join key: the NULL arm (missing k) is a real bucket
+        # in both frames — mirrors the oracle's IS NOT DISTINCT FROM
+        exposed.join(converted,
+                     exposed["arm"].eqNullSafe(converted["arm"]), "left")
+        .drop(converted["arm"])
+        .select(
+            "arm", "n_users",
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+            F.floor(F.lit(1_000_000) * F.coalesce("n_converted", F.lit(0))
+                    / F.col("n_users")).cast("long").alias("conv_ppm"),
+        )
+    )
+
+
+EVENTS_AB_CONVERSION_SQL = """
+WITH t AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS arm,
+         user_id, event_type
+  FROM events
+), exposed AS (
+  SELECT arm, COUNT(DISTINCT user_id) AS n_users FROM t GROUP BY arm
+), conv AS (
+  SELECT arm, COUNT(DISTINCT user_id) AS n_converted FROM t
+  WHERE event_type = 'purchase' GROUP BY arm
+)
+SELECT e.arm, e.n_users, COALESCE(c.n_converted, 0) AS n_converted,
+       CAST(FLOOR(1000000 * COALESCE(c.n_converted, 0) / e.n_users)
+            AS BIGINT) AS conv_ppm
+FROM exposed e LEFT JOIN conv c ON e.arm IS NOT DISTINCT FROM c.arm
+"""
+
+
 CONV_WINDOW_HOURS = 24  # max step-to-step conversion delay
 
 
@@ -731,6 +783,7 @@ QUERIES = {
     "events_gapfill_locf": events_gapfill_locf,
     "events_funnel": events_funnel,
     "events_funnel_windowed": events_funnel_windowed,
+    "events_ab_conversion": events_ab_conversion,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
     "events_cumulative_users": events_cumulative_users,
@@ -754,6 +807,7 @@ ORACLES = {
     "events_gapfill_locf": EVENTS_GAPFILL_LOCF_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_funnel_windowed": EVENTS_FUNNEL_WINDOWED_SQL,
+    "events_ab_conversion": EVENTS_AB_CONVERSION_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,

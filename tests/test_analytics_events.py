@@ -122,3 +122,27 @@ def test_windowed_funnel_contained_in_unwindowed(spark):
     tiny = {r["step"]: r["n_users"]
             for r in events_funnel_windowed(spark, SF_DIR, hours=0).collect()}
     assert tiny[2] == 0 and tiny[3] == 0
+
+
+def test_ab_conversion_bounds(spark):
+    """Per arm: converted ⊆ exposed, the ppm rate is the exact floor
+    division, and every distinct user appears in at least one arm."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.plans.analytics import events_ab_conversion
+    from kstore_spark.tables import table
+
+    rows = events_ab_conversion(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_users"]
+        assert r["conv_ppm"] == (1_000_000 * r["n_converted"]) // r["n_users"]
+    ev = table(spark, SF_DIR, "events")
+    total = ev.select("user_id").distinct().count()
+    per_arm_union = (
+        ev.select((F.get_json_object("props", "$.k").cast("long") % 2)
+                  .alias("arm"), "user_id")
+        .select("user_id").distinct().count()
+    )
+    assert per_arm_union == total
+    assert sum(r["n_users"] for r in rows) >= total  # arms may overlap

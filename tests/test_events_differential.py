@@ -78,7 +78,10 @@ _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         "events_user_overlap", "events_asof", "events_json_extract",
         "events_distinct_users", "events_range_join", "events_retention",
         "events_anomaly_hours", "events_top_paths",
-        "events_cumulative_users", "events_funnel_windowed")
+        "events_cumulative_users", "events_funnel_windowed",
+        # "{}" props (~30% of rows) exercise the NULL-arm bucket and
+        # the null-safe join
+        "events_ab_conversion")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
