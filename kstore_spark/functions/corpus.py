@@ -451,11 +451,11 @@ def text_ngram_novelty(spark, sf_dir):
     )
     return (
         per_doc.join(novel, "doc_id", "left")
-        .select(
-            "doc_id", "n_trigrams",
-            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-            F.floor(F.lit(_PPM) * F.coalesce("n_novel", F.lit(0))
-                    / F.col("n_trigrams")).cast("long").alias("novelty_ppm"),
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+        .withColumn(
+            "novelty_ppm",
+            F.floor(F.lit(_PPM) * F.col("n_novel")
+                    / F.col("n_trigrams")).cast("long"),
         )
     )
 

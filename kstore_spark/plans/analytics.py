@@ -568,38 +568,48 @@ FROM grid g LEFT JOIN means m ON g.hour = m.hour AND g.event_type = m.event_type
 """
 
 
-def events_funnel(spark, sf_dir):
-    """Ordered conversion funnel signup → view → purchase: a user counts
-    for step k only with a step-k event STRICTLY AFTER their step-(k-1)
-    time (min-timestamp chaining, the product-analytics semantics).
-    Each step is a join keyed on user_id against the shrinking survivor
-    set — shuffle volume decreases monotonically down the funnel."""
+def _funnel_levels(spark, sf_dir, names, hours=None):
+    """Shared signup → view → purchase min-timestamp chain: a user
+    reaches step k only with a step-k event STRICTLY AFTER their
+    step-(k-1) time, and — when ``hours`` is set — within that many
+    hours of it. Each step is a join keyed on user_id against the
+    shrinking survivor set, so shuffle volume decreases monotonically
+    down the funnel regardless of the bound."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "view")
-        .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
+    win = F.expr(f"INTERVAL {hours} HOURS") if hours is not None else None
 
-    def level(df, step, name):
+    def step(etype, prev, tcol):
+        out = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cond = F.col("ts") > F.col("pt")
+            if win is not None:
+                cond = cond & (F.col("ts") <= F.col("pt") + win)
+            out = out.join(prev.select("user_id", F.col(prev.columns[1])
+                                       .alias("pt")), "user_id").filter(cond)
+        return out.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = step("signup", None, "t1")
+    s2 = step("view", s1, "t2")
+    s3 = step("purchase", s2, "t3")
+
+    def level(df, n, name):
         return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(step).alias("step"), F.lit(name).alias("name"), "n_users"
+            F.lit(n).alias("step"), F.lit(name).alias("name"), "n_users"
         )
 
     return (
-        level(s1, 1, "signup")
-        .unionByName(level(s2, 2, "view_after_signup"))
-        .unionByName(level(s3, 3, "purchase_after_view"))
+        level(s1, 1, names[0])
+        .unionByName(level(s2, 2, names[1]))
+        .unionByName(level(s3, 3, names[2]))
     )
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → view → purchase with
+    lifetime conversion (no step-to-step deadline) — see
+    _funnel_levels for the shared chain."""
+    return _funnel_levels(
+        spark, sf_dir, ("signup", "view_after_signup", "purchase_after_view"))
 
 def events_ab_conversion(spark, sf_dir):
     """Experiment-arm conversion table: arm = parity of the JSON
@@ -612,25 +622,23 @@ def events_ab_conversion(spark, sf_dir):
     user-keyed partial-agg shuffle; output is |arms| rows."""
     ev = table(spark, sf_dir, "events")
     arm = (F.get_json_object("props", "$.k").cast("long") % 2).alias("arm")
-    exposed = ev.select(arm, "user_id").groupBy("arm").agg(
-        F.countDistinct("user_id").alias("n_users"))
-    converted = (
-        ev.select(arm, "user_id", "event_type")
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("arm")
-        .agg(F.countDistinct("user_id").alias("n_converted"))
-    )
+    # one scan, one shuffle: countDistinct ignores NULLs, so the
+    # purchase-gated user column counts converters per arm in the same
+    # agg (an arm with no purchases gets 0; the NULL arm — missing k —
+    # is an ordinary group key, no null-safe join needed)
     return (
-        # null-safe join key: the NULL arm (missing k) is a real bucket
-        # in both frames — mirrors the oracle's IS NOT DISTINCT FROM
-        exposed.join(converted,
-                     exposed["arm"].eqNullSafe(converted["arm"]), "left")
-        .drop(converted["arm"])
-        .select(
-            "arm", "n_users",
-            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
-            F.floor(F.lit(1_000_000) * F.coalesce("n_converted", F.lit(0))
-                    / F.col("n_users")).cast("long").alias("conv_ppm"),
+        ev.select(arm, "user_id", "event_type")
+        .groupBy("arm")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("n_converted"),
+        )
+        .withColumn(
+            "conv_ppm",
+            F.floor(F.lit(1_000_000) * F.col("n_converted")
+                    / F.col("n_users")).cast("long"),
         )
     )
 
@@ -659,39 +667,13 @@ CONV_WINDOW_HOURS = 24  # max step-to-step conversion delay
 def events_funnel_windowed(spark, sf_dir, hours: int = CONV_WINDOW_HOURS):
     """The funnel with a CONVERSION WINDOW — step k counts only within
     ``hours`` of the user's step-(k-1) time (the product-analytics
-    default; the unwindowed twin above answers lifetime conversion).
-    Same min-timestamp chaining and the same monotonically shrinking
-    per-step join shape; the window bound just tightens each filter, so
-    the scale story is identical to events_funnel."""
-    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    win = F.expr(f"INTERVAL {hours} HOURS")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "view")
-        .join(s1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
-
-    def level(df, step, name):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(step).alias("step"), F.lit(name).alias("name"), "n_users"
-        )
-
-    return (
-        level(s1, 1, "signup")
-        .unionByName(level(s2, 2, "view_within_window"))
-        .unionByName(level(s3, 3, "purchase_within_window"))
-    )
+    default; events_funnel answers lifetime conversion). Same chain,
+    same monotonically shrinking join shape — the bound just tightens
+    each step's filter (see _funnel_levels)."""
+    return _funnel_levels(
+        spark, sf_dir,
+        ("signup", "view_within_window", "purchase_within_window"),
+        hours=hours)
 
 
 EVENTS_FUNNEL_WINDOWED_SQL = f"""
