@@ -657,6 +657,19 @@ def decontaminate_ngram(spark, sf_dir, width: int = DECON_WIDTH,
     its boundary are pinned in test_plans.py::
     test_runtime_bloom_filter_semijoin_reduction.)
     """
+    sh = _decon_gram_stream(spark, sf_dir, width)
+    bench = sh.filter(F.col("doc_id") < bench_docs).select("s").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= bench_docs)
+        .join(bench, "s")  # bounded side — AQE broadcasts it
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hits"))
+    )
+
+
+def _decon_gram_stream(spark, sf_dir, width: int) -> DataFrame:
+    """(doc_id, s) — the distinct word ``width``-grams of every document,
+    one scan + explode, shared by both decontamination tiers."""
     tok = _tokens(spark, sf_dir).filter(F.size("t") >= width)
     grams = F.array_distinct(
         F.transform(
@@ -666,14 +679,58 @@ def decontaminate_ngram(spark, sf_dir, width: int = DECON_WIDTH,
             ),
         )
     )
-    sh = tok.select("doc_id", F.explode(grams).alias("s"))
-    bench = sh.filter(F.col("doc_id") < bench_docs).select("s").distinct()
-    return (
+    return tok.select("doc_id", F.explode(grams).alias("s"))
+
+
+BLOOM_BUCKETS = 1 << 22  # prefilter hash space: 4.2M buckets × 8 B ids
+                         # ≈ 34 MB broadcast ceiling, gram-count capped
+
+
+def decontaminate_bloom(spark, sf_dir, width: int = DECON_WIDTH,
+                        bench_docs: int = DECON_BENCH_DOCS,
+                        buckets: int = BLOOM_BUCKETS):
+    """Decontamination for the regime where the eval-suite n-gram set is
+    too large to broadcast AS STRINGS (a full eval stack is millions of
+    n-grams × ~50 B each): a hand-rolled bloom-style semi-join
+    reduction. Spark's own runtime bloom filter cannot fire on this
+    shape — the join key is a Generate-produced n-gram, not a scan
+    attribute (boundary pinned in test_plans.py::
+    test_runtime_bloom_filter_semijoin_reduction) — so this op restores
+    the same reduction manually with built-ins:
+
+      1. build side: the DISTINCT ``xxhash64(s) mod buckets`` ids of the
+         bench grams — ≤ min(|bench grams|, buckets) int64s, broadcast
+         regardless of gram string length (the string set may be GBs;
+         the bucket set is ≤ 34 MB by construction);
+      2. probe side: the corpus gram stream is semi-joined on the bucket
+         id BEFORE any shuffle — false-positive rate |bench|/buckets
+         (~1e-3 at a 4k-gram suite), so ~99.9% of corpus grams die
+         map-side without their strings ever leaving the scan stage;
+      3. exact verify: survivors equi-join the true gram set (now a
+         shuffle of only hits + FPs), making the output EXACTLY equal
+         to decontaminate_ngram — same SQL oracle, no recall argument.
+
+    Mirrors the reference's scan-vs-index access choice (ref
+    src/server/storage.c:462-560 picks the b+tree only when selectivity
+    pays): broadcast-the-strings is the reference plan for small
+    suites; this is the plan once the suite outgrows it."""
+    sh = _decon_gram_stream(spark, sf_dir, width)
+    bench = (sh.filter(F.col("doc_id") < bench_docs)
+             .select("s").distinct().persist())
+    bench.count()  # materialize once: feeds the bucket set AND the verify
+    bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(buckets))  # noqa: E731
+    bucket_ids = bench.select(bucket_of(F.col("s")).alias("bb")).distinct()
+    survivors = (
         sh.filter(F.col("doc_id") >= bench_docs)
-        .join(bench, "s")  # bounded side — AQE broadcasts it
+        .join(F.broadcast(bucket_ids), bucket_of(F.col("s")) == F.col("bb"),
+              "left_semi")  # map-side kill: no corpus gram shuffles unhit
+    )
+    res = (
+        survivors.join(bench, "s")  # exact verify on the true gram set
         .groupBy("doc_id")
         .agg(F.countDistinct("s").alias("n_hits"))
     )
+    return res
 
 
 DECON_SQL = f"""
@@ -1150,6 +1207,7 @@ QUERIES = {
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_substring_incremental": dedup_substring_incremental,
     "decontaminate_ngram": decontaminate_ngram,
+    "decontaminate_bloom": decontaminate_bloom,
 }
 
 ORACLES = {
@@ -1171,6 +1229,9 @@ ORACLES = {
     # ids) — the full keep-first SQL restricted to the increment
     "dedup_substring_incremental": _dedup_substring_incremental_sql(),
     "decontaminate_ngram": DECON_SQL,
+    # bucket prefilter + exact verify ⇒ output identical to the
+    # broadcast tier by construction (prefilter only drops non-matches)
+    "decontaminate_bloom": DECON_SQL,
     # exact-Jaccard verification makes LSH output ⊆ exact pairs; the
     # seeded bands attain recall 1.0 at sf0.001 and sf0.01 (set-equality
     # pinned in tests), so the exact SQL is its oracle — round-3 upgrade

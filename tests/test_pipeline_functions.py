@@ -483,6 +483,25 @@ def test_decontaminate_flags_only_training_docs(spark):
     assert wider <= set(flagged)
 
 
+def test_decontaminate_bloom_equals_broadcast_tier(spark):
+    """The bucket-prefilter tier is output-IDENTICAL to the broadcast
+    tier (prefilter only drops non-matching grams), at the default
+    bucket count AND at the degenerate buckets=1 (prefilter passes
+    everything -> pure verify path). This is the equality that lets it
+    carry the same SQL oracle."""
+    from kstore_spark.functions.dedup import (decontaminate_bloom,
+                                              decontaminate_ngram)
+
+    exact = {(r["doc_id"], r["n_hits"])
+             for r in decontaminate_ngram(spark, SF_DIR).collect()}
+    assert exact  # non-vacuous
+    for buckets in (None, 1):
+        kw = {} if buckets is None else {"buckets": buckets}
+        got = {(r["doc_id"], r["n_hits"])
+               for r in decontaminate_bloom(spark, SF_DIR, **kw).collect()}
+        assert got == exact
+
+
 def test_shuffle_shards_is_a_balanced_permutation(spark):
     """Shard+seq is a bijection over docs: every doc appears once, seq is
     contiguous 1..n per shard, shards are balanced, and adjacent doc_ids

@@ -353,3 +353,24 @@ def test_ngram_novelty_never_joins_on_trigram(spark):
     for ln in join_lines:
         assert "trigram" not in ln, ln
         assert "doc_id" in ln, ln
+
+
+def test_decontaminate_bloom_prefilter_is_broadcast_semi_on_hash(spark):
+    """decontaminate_bloom's bucket prefilter must be a BROADCAST
+    left-semi keyed on pmod(xxhash64(s)) — the hand-rolled bloom
+    reduction that kills corpus grams map-side, in the exact spot where
+    Spark's own runtime bloom filter cannot inject (Generate-produced
+    key; boundary pinned in
+    test_runtime_bloom_filter_semijoin_reduction). The exact string
+    verify join must still exist downstream of it."""
+    from kstore_spark.functions.dedup import decontaminate_bloom
+
+    res = decontaminate_bloom(spark, SF_DIR)
+    plan = _plan(res)
+    semi = [ln for ln in plan.splitlines()
+            if "LeftSemi" in ln and "BroadcastHashJoin" in ln]
+    assert semi, plan
+    assert any("xxhash64" in ln and "pmod" in ln for ln in semi), semi
+    # downstream exact verify on the gram string itself
+    assert any("Join" in ln and "[s" in ln and "LeftSemi" not in ln
+               for ln in plan.splitlines()), plan

@@ -109,7 +109,8 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "dedup_clusters", "dedup_keep_best",
                "dedup_substring", "dedup_substring_spans",
                "dedup_substring_strip",
-               "decontaminate_ngram", "dedup_passages", "corpus_mixture",
+               "decontaminate_ngram", "decontaminate_bloom",
+               "dedup_passages", "corpus_mixture",
                "corpus_temperature_weights", "corpus_temperature_sample",
                "tfidf_top_terms", "sample_stratified", "pack_token_budget",
                "shuffle_shards", "split_train_holdout",
