@@ -631,6 +631,132 @@ def sim_ann_ivf_incremental(spark, sf_dir, n_probe: int = N_PROBE,
     )
 
 
+def knn_graph_ivf(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
+                  n_cells: int = N_CELLS):
+    """The corpus SELF-kNN graph — every vector's top-``k`` cosine
+    neighbors among its ``n_probe`` nearest IVF cells. This is the
+    backbone artifact of embedding-based curation (SemDeDup's duplicate
+    graph, density/diversity sampling, kNN classification all consume
+    it); the existing ops query 10 vectors — a training pipeline needs
+    the graph over ALL of them, which changes the right physical shape:
+
+    - the all-pairs score matrix is N²·n_probe/n_cells — at √N cells
+      that is N^1.5·n_probe scores, the IVF contract; it must be
+      computed BLAS-blocked and never materialized as rows. Both sides
+      are cogrouped by cell and each cell computes ONE members×probers
+      matmul in Arrow batch space (applyInPandas over cogroup), emitting
+      only its per-prober top-k — so what shuffles into the final
+      re-rank window is N·n_probe·k rows, not N²·n_probe/n_cells.
+    - per-cell top-k under the global order (s DESC, neighbor ASC) is
+      lossless: a global top-k member has < k predecessors globally,
+      hence < k within its own cell (the within-cell order is the
+      restriction of the global order — members are id-sorted so the
+      stable argsort inherits the ASC tie-break).
+    - the unit of parallelism is the cell; at 100 TB the two knobs are
+      n_cells ≈ √N (bounds per-cell members×probers work) and hot-cell
+      splitting (cap members per task by sub-hashing the member side —
+      same salting idiom as operators/skew.py) — noted, not needed at
+      bench scale where AQE's skew handling covers the imbalance.
+
+    Exactness: deterministic first-k centroids (same as sim_ann_ivf's
+    exact-oracle upgrade), every rank boundary pinned far above BLAS-vs-
+    fold summation noise (test_knn_graph_margins: probe-boundary AND
+    adjacent-rank gaps over ALL vectors, both SFs), ties broken by
+    neighbor id — so the DuckDB fold SQL is its exact oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb, n_cells)
+    assigned = emb.withColumn(
+        "cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
+    probes = emb.select(
+        "vec_id", "v",
+        F.explode(
+            F.transform(_nearest_cells(F.col("v"), cents, n_probe),
+                        lambda s: s["cell"])
+        ).alias("cell"),
+    )
+
+    def cell_topk(members: pd.DataFrame, probers: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "s": pd.Series(dtype="float64"),
+        })
+        if members.empty or probers.empty:
+            return empty
+        mid = members["vec_id"].to_numpy()
+        order = np.argsort(mid)  # id ASC ⇒ stable sort breaks s-ties low
+        mid = mid[order]
+        M = np.stack(members["v"].to_numpy())[order].astype("float64")
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        qid = probers["vec_id"].to_numpy()
+        Q = np.stack(probers["v"].to_numpy()).astype("float64")
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Qn @ Mn.T                       # probers × members (BLAS)
+        S[qid[:, None] == mid[None, :]] = -np.inf  # self-mask
+        take = min(k, S.shape[1])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :take]
+        rows_q: list[int] = []
+        rows_n: list[int] = []
+        rows_s: list[float] = []
+        for i in range(S.shape[0]):
+            for j in idx[i]:
+                if np.isfinite(S[i, j]):    # drop the masked self slot
+                    rows_q.append(int(qid[i]))
+                    rows_n.append(int(mid[j]))
+                    rows_s.append(float(S[i, j]))
+        if not rows_q:
+            return empty
+        return pd.DataFrame({
+            "vec_id": np.asarray(rows_q, dtype="int64"),
+            "neighbor_id": np.asarray(rows_n, dtype="int64"),
+            "s": np.asarray(rows_s, dtype="float64"),
+        })
+
+    part = (
+        assigned.groupby("cell")
+        .cogroup(probes.groupby("cell"))
+        .applyInPandas(cell_topk, "vec_id long, neighbor_id long, s double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+KNN_GRAPH_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {N_CELLS}
+), ranked_cells AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC
+         ) AS rnk
+  FROM e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, v, cell FROM ranked_cells WHERE rnk = 1
+), probes AS (
+  SELECT vec_id, v AS qv, cell FROM ranked_cells WHERE rnk <= {N_PROBE}
+), scored AS (
+  SELECT p.vec_id, a.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+           ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id ASC
+         ) AS rank
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= {TOP_K}
+"""
+
+
 # -- product quantization (memory-compressed ANN) ----------------------
 #
 # The 100 TB memory lever IVF alone doesn't give: a 64-dim float64
@@ -1123,6 +1249,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_kmeans": sim_ann_ivf_kmeans,
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
+    "knn_graph_ivf": knn_graph_ivf,
     "sim_ann_pq": sim_ann_pq,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -1152,6 +1279,12 @@ ORACLES = {
     # copies share their source's hyperplane signature) + exact-cosine
     # verify + 0.3 cosine margin ⇒ brute-force SQL is the exact oracle
     "dedup_semantic_strong": DEDUP_SEMANTIC_STRONG_SQL,
+    # knn_graph_ivf: same deterministic-IVF exact-oracle basis as
+    # sim_ann_ivf, extended to all-vectors queries; per-cell top-k is
+    # lossless under the global (s DESC, id ASC) order and every rank/
+    # probe boundary over ALL vectors is margin-pinned in
+    # test_knn_graph_margins
+    "knn_graph_ivf": KNN_GRAPH_IVF_SQL,
     # cluster_balanced_sample: assignment rides the bit-equal cosine
     # fold (same basis as sim_topk_bruteforce's oracle) with the argmax
     # tie-break mirrored; everything downstream is integer arithmetic

@@ -731,3 +731,68 @@ def test_hybrid_search_restricts_to_keyword_docs(spark):
     assert set(by_q) == set(range(N_QUERIES))
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, TOP_K + 1))
+
+
+def test_knn_graph_margins(spark):
+    """Oracle-safety for KNN_GRAPH_IVF_SQL over ALL vectors (the 10-query
+    pins don't cover the self-graph): at both SFs, (a) the probe-cell
+    boundary gap (n_probe-th vs n_probe+1-th cell sim) and (b) every
+    adjacent-rank candidate gap through rank k+1 must sit far above the
+    ~1e-15 BLAS-vs-fold summation noise, with ZERO exact float ties in
+    the boundary region (an exact BLAS tie that the fold resolves by
+    1e-17 could contradict the id tie-break)."""
+    import duckdb
+    import numpy as np
+
+    from kstore_spark.functions.similarity import (N_CELLS, N_PROBE, TOP_K)
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
+            "ORDER BY vec_id").fetchall()
+        ids = np.array([r[0] for r in rows], dtype="int64")
+        X = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = Xn[:N_CELLS]
+        S = Xn @ C.T                                  # vectors × cells
+        Ssort = -np.sort(-S, axis=1)
+        probe_gap = Ssort[:, N_PROBE - 1] - Ssort[:, N_PROBE]
+        assert probe_gap.min() > 1e-6, f"probe knife-edge at {sf}"
+        # candidate ranks: per vector, over vectors in its probed cells;
+        # assignment mirrors the (s DESC, cell DESC) tie-break
+        assign = np.array([
+            max(np.flatnonzero(S[i] == S[i].max())) for i in range(len(ids))
+        ])
+        order_cells = np.argsort(-S, axis=1, kind="stable")
+        min_gap, ties = np.inf, 0
+        A = Xn @ Xn.T
+        for i in range(len(ids)):
+            probed = set(order_cells[i, :N_PROBE])
+            cand = [j for j in range(len(ids))
+                    if j != i and assign[j] in probed]
+            s = np.sort(-A[i, cand])
+            top = -s[: TOP_K + 1]
+            gaps = top[:-1] - top[1:]
+            ties += int((gaps == 0.0).sum())
+            if len(gaps):
+                min_gap = min(min_gap, gaps[gaps > 0].min())
+        assert ties == 0, f"exact float ties in top-{TOP_K + 1} at {sf}"
+        assert min_gap > 1e-7, f"rank knife-edge at {sf}: {min_gap}"
+
+
+def test_knn_graph_full_probe_matches_bruteforce(spark):
+    """Degeneration pin: probing ALL cells turns the graph into exact
+    brute-force self-kNN — its rows for the 10 query vectors must equal
+    sim_topk_bruteforce verbatim (cross-checks the cogroup kernel, the
+    self-mask, and the per-cell-topk losslessness against the
+    independently-oracled fold path)."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, N_QUERIES, knn_graph_ivf, sim_topk_bruteforce)
+
+    full = {
+        tuple(r) for r in
+        knn_graph_ivf(spark, SF_DIR, n_probe=N_CELLS).collect()
+        if r["vec_id"] < N_QUERIES
+    }
+    truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    assert full == truth
