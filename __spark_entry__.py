@@ -73,7 +73,7 @@ _PRIORITY = [
     # + events_top_paths + corpus_trigrams + hybrid_search
     # + stream_anomaly_hours + events_cumulative_users
     # + text_ngram_novelty + events_funnel_windowed
-    # + events_ab_conversion
+    # + events_ab_conversion + knn_graph_ivf + decontaminate_bloom
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining

@@ -187,6 +187,11 @@ def headline_queries():
         "corpus_trigrams": corpus.corpus_trigrams,
         "hybrid_search": similarity.hybrid_search,
         "text_ngram_novelty": corpus.text_ngram_novelty,
+        # r6 fourth-session additions (keys above stay comparable):
+        # the all-vectors neighbor graph (cell-cogrouped BLAS) and the
+        # bucket-prefiltered decontamination tier
+        "knn_graph_ivf": similarity.knn_graph_ivf,
+        "decontaminate_bloom": dedup.decontaminate_bloom,
     }
 
 
