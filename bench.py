@@ -192,6 +192,9 @@ def headline_queries():
         # bucket-prefiltered decontamination tier
         "knn_graph_ivf": similarity.knn_graph_ivf,
         "decontaminate_bloom": dedup.decontaminate_bloom,
+        # persisted inverted text index: first run pays the one-time
+        # postings write; min-of-2 reports the partition-pruned probe
+        "text_search_indexed": text.text_search_indexed,
     }
 
 

@@ -466,6 +466,88 @@ SELECT tok, cnt FROM c, tot WHERE cnt * {HH_K} > n
 """
 
 
+# -- persisted inverted text index (index-vs-scan access path) ---------
+
+TOKEN_BUCKETS = 64            # token-hash partition count of the index
+SEARCH_TERMS = ("dup", "window")  # default conjunctive query: one rare
+                                  # term ('dup' ⇒ planted-duplicate docs)
+                                  # + one common term
+
+
+def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS) -> str:
+    """Build (once) and register the inverted text index: postings
+    (tok, doc_id, tf) written ``partitionBy("bucket")`` with
+    bucket = pmod(xxhash64(tok), buckets), ArtifactStore-keyed by the
+    documents table's content version (same crash-safe register-after-
+    build + epoch-GC contract as the IVF/LSH/span index artifacts).
+
+    This is the text analogue of the reference's b+tree access path
+    (ref src/server/storage.c:462-560 — pick the index when selectivity
+    pays): a conjunctive term query touches only its terms' hash
+    partitions at LISTING time, while the scan path reads every
+    document's full text. One batch write at ingest; Zipf makes the
+    bucket sizes uneven but bounded (the head token's postings list is
+    ≤ |docs| ids — ids-only rows, not text)."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    params = f"b{buckets}"
+    version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        postings = (
+            _tok(spark, sf_dir)
+            .select("doc_id", F.explode("t").alias("tok"))
+            .groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(buckets)))
+        )
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+    return store.get_or_build(f"tokidx:{src}:{params}", version, build)
+
+
+def text_search_indexed(spark, sf_dir, terms: tuple[str, ...] = SEARCH_TERMS,
+                        buckets: int = TOKEN_BUCKETS):
+    """Conjunctive (AND) term search through the persisted inverted
+    index: docs containing EVERY term, with n_hits = total occurrences
+    of the query terms. The term buckets are computed up front (one
+    row per term — driver-trivial) and reach the index scan as literal
+    partition predicates, so only |terms| of the ``buckets`` partitions
+    are LISTED, let alone read (PartitionFilters plan-pinned); document
+    text is never touched. Exact oracle: the contains-scan SQL over the
+    documents table produces the identical (doc_id, n_hits) relation."""
+    idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets))
+    term_buckets = sorted({
+        r["b"] for r in spark.createDataFrame(
+            [(t,) for t in terms], "tok string"
+        ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
+    })
+    return (
+        idx.filter(F.col("bucket").isin(term_buckets))   # partition pruning
+        .filter(F.col("tok").isin(list(terms)))          # exact, in-partition
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("n_hits"))
+        .filter(F.col("n_terms") == len(terms))          # conjunctive
+        .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
+TEXT_SEARCH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM t
+WHERE tok IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}')
+GROUP BY doc_id
+HAVING COUNT(DISTINCT tok) = {len(SEARCH_TERMS)}
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_tokens_regex": text_tokens_regex,
@@ -477,6 +559,7 @@ QUERIES = {
     "text_rarity": text_rarity,
     "text_heavy_hitters": text_heavy_hitters,
     "text_gopher_quality": text_gopher_quality,
+    "text_search_indexed": text_search_indexed,
 }
 
 ORACLES = {
@@ -490,4 +573,7 @@ ORACLES = {
     "pii_scrub": PII_SCRUB_SQL,
     "text_rarity": TEXT_RARITY_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
+    # index path == scan path on the same corpus (postings are exact
+    # per-doc term counts; conjunction = HAVING all terms)
+    "text_search_indexed": TEXT_SEARCH_SQL,
 }

@@ -374,3 +374,20 @@ def test_decontaminate_bloom_prefilter_is_broadcast_semi_on_hash(spark):
     # downstream exact verify on the gram string itself
     assert any("Join" in ln and "[s" in ln and "LeftSemi" not in ln
                for ln in plan.splitlines()), plan
+
+
+def test_text_search_indexed_prunes_partitions(spark):
+    """text_search_indexed must reach the inverted-index scan with
+    LITERAL bucket partition predicates — only the query terms' hash
+    partitions are listed (the text analogue of the reference's b+tree
+    access path, ref src/server/storage.c:462-560), and the documents
+    table's text column is never scanned at query time."""
+    from kstore_spark.functions.text import text_search_indexed
+
+    df = text_search_indexed(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert part_lines, txt
+    assert any("bucket" in ln and "dynamic" not in ln for ln in part_lines), part_lines
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines)
