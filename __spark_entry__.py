@@ -74,6 +74,7 @@ _PRIORITY = [
     # + stream_anomaly_hours + events_cumulative_users
     # + text_ngram_novelty + events_funnel_windowed
     # + events_ab_conversion + knn_graph_ivf + decontaminate_bloom
+    # + text_search_indexed + text_search_ranked + text_search_phrase
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining

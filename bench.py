@@ -195,6 +195,8 @@ def headline_queries():
         # persisted inverted text index: first run pays the one-time
         # postings write; min-of-2 reports the partition-pruned probe
         "text_search_indexed": text.text_search_indexed,
+        "text_search_ranked": text.text_search_ranked,
+        "text_search_phrase": text.text_search_phrase,
     }
 
 

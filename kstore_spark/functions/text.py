@@ -17,6 +17,7 @@ any IEEE engine, so everything here is oracle-checkable.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kstore_spark.tables import table
@@ -494,20 +495,44 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
-    params = f"b{buckets}"
+    params = f"b{buckets}p1"  # p1 = positional postings schema
     version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
         postings = (
             _tok(spark, sf_dir)
-            .select("doc_id", F.explode("t").alias("tok"))
+            .select("doc_id", F.posexplode("t").alias("p", "tok"))
             .groupBy("tok", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                # 0-based in-doc positions, sorted — phrase queries
+                # intersect shifted copies of these (column pruned away
+                # for the tf-only searches: ids+counts stay the scan)
+                F.sort_array(F.collect_list("p")).alias("positions"),
+            )
             .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(buckets)))
         )
         postings.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
 
     return store.get_or_build(f"tokidx:{src}:{params}", version, build)
+
+
+def _index_postings(spark, sf_dir, terms, buckets):
+    """Pruned postings scan shared by the index-path searches: the
+    terms' bucket ids are computed up front (|terms| rows —
+    driver-trivial) and reach the index scan as LITERAL partition
+    predicates, so only |terms| of the ``buckets`` partitions are
+    listed, let alone read (PartitionFilters plan-pinned)."""
+    idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets))
+    term_buckets = sorted({
+        r["b"] for r in spark.createDataFrame(
+            [(t,) for t in terms], "tok string"
+        ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
+    })
+    return (
+        idx.filter(F.col("bucket").isin(term_buckets))   # partition pruning
+        .filter(F.col("tok").isin(list(terms)))          # exact, in-partition
+    )
 
 
 def text_search_indexed(spark, sf_dir, terms: tuple[str, ...] = SEARCH_TERMS,
@@ -520,15 +545,9 @@ def text_search_indexed(spark, sf_dir, terms: tuple[str, ...] = SEARCH_TERMS,
     are LISTED, let alone read (PartitionFilters plan-pinned); document
     text is never touched. Exact oracle: the contains-scan SQL over the
     documents table produces the identical (doc_id, n_hits) relation."""
-    idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets))
-    term_buckets = sorted({
-        r["b"] for r in spark.createDataFrame(
-            [(t,) for t in terms], "tok string"
-        ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
-    })
+    hits = _index_postings(spark, sf_dir, terms, buckets)
     return (
-        idx.filter(F.col("bucket").isin(term_buckets))   # partition pruning
-        .filter(F.col("tok").isin(list(terms)))          # exact, in-partition
+        hits
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("n_hits"))
         .filter(F.col("n_terms") == len(terms))          # conjunctive
@@ -548,6 +567,118 @@ HAVING COUNT(DISTINCT tok) = {len(SEARCH_TERMS)}
 """
 
 
+RANKED_TERMS = ("dup", "join", "scan")  # one rare + two common terms:
+                                        # the low-df term dominates the
+                                        # idf-weighted score, as it should
+RANKED_K = 15
+
+
+def text_search_ranked(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS,
+                       k: int = RANKED_K, buckets: int = TOKEN_BUCKETS):
+    """Ranked (OR) retrieval through the persisted inverted index:
+    top-k docs by the repo's float-free TF-IDF score —
+    score_ppm = Σ_t (tf · 1e6 div df_t) — with (score DESC, doc_id)
+    tie-break. Everything is index-resident: per-term df IS the
+    postings-row count of the already-pruned partitions (no corpus
+    pass), the |terms|-row df table broadcasts back onto the same
+    pruned scan, and the global top-k runs as TakeOrderedAndProject
+    (per-partition heaps, no global sort) — document text is never
+    touched. Exact oracle: the scan-path SQL over the documents table
+    yields the identical (rank, doc_id, score_ppm) relation."""
+    hits = _index_postings(spark, sf_dir, terms, buckets)
+    df_t = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_t), "tok")
+        .withColumn("term_score", F.expr("(tf * 1000000) div df"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").cast("long").alias("score_ppm"))
+    )
+    top = scored.orderBy(F.col("score_ppm").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))  # k rows only
+        .select("rank", "doc_id", "score_ppm")
+    )
+
+
+TEXT_SEARCH_RANKED_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM t
+  WHERE tok IN ({", ".join("'" + t + "'" for t in RANKED_TERMS)})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), s AS (
+  SELECT doc_id, CAST(SUM((tf * 1000000) // df) AS BIGINT) AS score_ppm
+  FROM tf JOIN df USING (tok) GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank,
+       doc_id, score_ppm
+FROM s
+ORDER BY score_ppm DESC, doc_id
+LIMIT {RANKED_K}
+"""
+
+
+PHRASE = ("join", "key")  # adjacent-token phrase; both tokens common
+                          # (df ≈ 0.75·N) so the win is positional, not
+                          # selectivity — the hard case for a phrase index
+
+
+def text_search_phrase(spark, sf_dir, phrase: tuple[str, ...] = PHRASE,
+                       buckets: int = TOKEN_BUCKETS):
+    """Exact phrase search through the positional inverted index:
+    docs where the phrase's tokens appear CONSECUTIVELY, with
+    n_occurrences counting every (possibly overlapping) start position.
+    Term i's postings contribute positions shifted by −i, and the
+    phrase's start positions are the intersection of all shifted lists
+    (row-local array_intersect — positions are per-(tok,doc) sorted
+    arrays, so no positional explode). The |phrase| per-term branches
+    each prune to their term's hash partition and join on doc_id;
+    AQE broadcasts when a rare term makes one side small. Document
+    text is never read. Exact oracle: the scan-path SQL checks
+    tok[i..i+n-1] equality per start index — the same overlapping-
+    occurrence semantics (delimiter-split SQL would undercount
+    back-to-back occurrences, so the oracle indexes, not splits)."""
+    branches = []
+    for i, term in enumerate(phrase):
+        b = (
+            _index_postings(spark, sf_dir, (term,), buckets)
+            .select(
+                "doc_id",
+                F.transform("positions", lambda x: x - i).alias(f"p{i}"),  # noqa: B023
+            )
+        )
+        branches.append(b)
+    joined = branches[0]
+    for i in range(1, len(phrase)):
+        joined = joined.join(branches[i], "doc_id")
+    starts = F.col("p0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, F.col(f"p{i}"))
+    return (
+        joined.select("doc_id", F.size(starts).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+        .select("doc_id", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+    )
+
+
+TEXT_SEARCH_PHRASE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), starts AS (
+  SELECT doc_id, tok, unnest(range(1, len(tok) - {len(PHRASE) - 1} + 1)) AS i
+  FROM t
+)
+SELECT doc_id, COUNT(*) AS n_occurrences
+FROM starts
+WHERE {" AND ".join(f"tok[i + {j}] = '{w}'" for j, w in enumerate(PHRASE))}
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_tokens_regex": text_tokens_regex,
@@ -560,6 +691,8 @@ QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_gopher_quality": text_gopher_quality,
     "text_search_indexed": text_search_indexed,
+    "text_search_ranked": text_search_ranked,
+    "text_search_phrase": text_search_phrase,
 }
 
 ORACLES = {
@@ -576,4 +709,8 @@ ORACLES = {
     # index path == scan path on the same corpus (postings are exact
     # per-doc term counts; conjunction = HAVING all terms)
     "text_search_indexed": TEXT_SEARCH_SQL,
+    # index path == scan path: per-term df over the pruned postings is
+    # exactly COUNT(*) per tok of the scan-side tf relation
+    "text_search_ranked": TEXT_SEARCH_RANKED_SQL,
+    "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
 }

@@ -391,3 +391,42 @@ def test_text_search_indexed_prunes_partitions(spark):
     assert any("bucket" in ln and "dynamic" not in ln for ln in part_lines), part_lines
     read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
     assert read_lines and all("text" not in ln for ln in read_lines)
+
+
+def test_text_search_phrase_prunes_per_term(spark):
+    """Each phrase term's postings branch must prune the index scan to
+    that term's hash partition (literal PartitionFilters on bucket),
+    and the start-position intersection must be row-local (no
+    positional explode — no Generate node) with document text never
+    read."""
+    from kstore_spark.functions.text import text_search_phrase
+
+    df = text_search_phrase(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert len(part_lines) >= 2 and all(
+        "bucket" in ln and "dynamic" not in ln for ln in part_lines
+    ), txt
+    assert "Generate" not in txt, txt
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines)
+
+
+def test_text_search_ranked_is_index_resident_topk(spark):
+    """text_search_ranked must (a) prune the index scan to the query
+    terms' bucket partitions, (b) broadcast the |terms|-row df table
+    back onto the pruned postings, (c) run the global top-k as
+    TakeOrderedAndProject (per-partition heaps — no global sort of the
+    scored docs), and (d) never read document text."""
+    from kstore_spark.functions.text import text_search_ranked
+
+    df = text_search_ranked(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any(
+        "bucket" in ln and "dynamic" not in ln for ln in part_lines
+    ), txt
+    assert "BroadcastHashJoin" in txt, txt
+    assert "TakeOrderedAndProject" in txt, txt
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines)

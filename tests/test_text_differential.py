@@ -124,7 +124,15 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # r6 continuation: corpus-wide trigram top-k + per-doc
                # trigram novelty (1/2-token docs exercise the short-doc
                # guard; planted exact duplicates plant df>1 trigrams)
-               "corpus_trigrams", "text_ngram_novelty")
+               "corpus_trigrams", "text_ngram_novelty",
+               # r6 fifth session: the persisted-inverted-index search
+               # paths ('join' is in VOCAB → ranked returns rows; the
+               # conjunctive default is empty on this vocab — empty ==
+               # empty is still a valid differential)
+               "text_search_indexed", "text_search_ranked",
+               # phrase default ('join','key') is two VOCAB tokens →
+               # word salad plants real (and back-to-back) occurrences
+               "text_search_phrase")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
