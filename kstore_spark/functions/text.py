@@ -475,7 +475,8 @@ SEARCH_TERMS = ("dup", "window")  # default conjunctive query: one rare
                                   # + one common term
 
 
-def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS) -> str:
+def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
+                    max_doc: int | None = None) -> str:
     """Build (once) and register the inverted text index: postings
     (tok, doc_id, tf) written ``partitionBy("bucket")`` with
     bucket = pmod(xxhash64(tok), buckets), ArtifactStore-keyed by the
@@ -495,12 +496,17 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
-    params = f"b{buckets}p1"  # p1 = positional postings schema
+    # p1 = positional postings schema; m<N> = history slice (doc_id <
+    # max_doc only — the incremental search's already-indexed corpus)
+    params = f"b{buckets}p1" + (f"m{max_doc}" if max_doc is not None else "")
     version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
+        docs = _tok(spark, sf_dir)
+        if max_doc is not None:
+            docs = docs.filter(F.col("doc_id") < max_doc)
         postings = (
-            _tok(spark, sf_dir)
+            docs
             .select("doc_id", F.posexplode("t").alias("p", "tok"))
             .groupBy("tok", "doc_id")
             .agg(
@@ -517,13 +523,13 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS) -> str:
     return store.get_or_build(f"tokidx:{src}:{params}", version, build)
 
 
-def _index_postings(spark, sf_dir, terms, buckets):
+def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
     """Pruned postings scan shared by the index-path searches: the
     terms' bucket ids are computed up front (|terms| rows —
     driver-trivial) and reach the index scan as LITERAL partition
     predicates, so only |terms| of the ``buckets`` partitions are
     listed, let alone read (PartitionFilters plan-pinned)."""
-    idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets))
+    idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets, max_doc))
     term_buckets = sorted({
         r["b"] for r in spark.createDataFrame(
             [(t,) for t in terms], "tok string"
@@ -586,6 +592,12 @@ def text_search_ranked(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS,
     touched. Exact oracle: the scan-path SQL over the documents table
     yields the identical (rank, doc_id, score_ppm) relation."""
     hits = _index_postings(spark, sf_dir, terms, buckets)
+    return _ranked_topk(hits, k)
+
+
+def _ranked_topk(hits, k):
+    """Score and top-k a (tok, doc_id, tf) hits relation: float-free
+    TF-IDF sum, TakeOrderedAndProject top-k, rank over the k rows."""
     df_t = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         hits.join(F.broadcast(df_t), "tok")
@@ -599,6 +611,42 @@ def text_search_ranked(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS,
         top.withColumn("rank", F.row_number().over(w))  # k rows only
         .select("rank", "doc_id", "score_ppm")
     )
+
+
+INCR_DOC_MIN = 400  # doc_id >= this plays the "new crawl increment"
+                    # (same operating point as the dedup/span/IVF
+                    # incremental family — dedup.py INCR_NEW_MIN)
+
+
+def text_search_incremental(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS,
+                            k: int = RANKED_K, buckets: int = TOKEN_BUCKETS,
+                            new_min: int = INCR_DOC_MIN):
+    """Ranked search over history + a fresh increment WITHOUT
+    re-indexing: documents with doc_id >= ``new_min`` are "today's
+    crawl"; the rest is the already-indexed corpus whose positional
+    postings are on disk. The increment's postings are computed
+    query-side (the doc_id >= new_min filter pushes to the documents
+    scan, so history text is never re-tokenized — pinned), filtered to
+    the query terms, and unioned with the history index's pruned
+    partitions. For the query terms, history-pruned ∪ increment IS the
+    full-corpus postings, so per-term df — and therefore every score —
+    is exact: the oracle is text_search_ranked's full-corpus SQL
+    verbatim. Same contract as dedup_minhash_incremental /
+    dedup_substring_incremental / sim_ann_ivf_incremental: the
+    increment pays increment-sized work, the answer is corpus-exact."""
+    hist = (
+        _index_postings(spark, sf_dir, terms, buckets, max_doc=new_min)
+        .select("tok", "doc_id", "tf")
+    )
+    inc = (
+        _tok(spark, sf_dir)
+        .filter(F.col("doc_id") >= new_min)          # pushed to the scan
+        .select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(list(terms)))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _ranked_topk(hist.unionByName(inc), k)
 
 
 TEXT_SEARCH_RANKED_SQL = f"""
@@ -693,6 +741,7 @@ QUERIES = {
     "text_search_indexed": text_search_indexed,
     "text_search_ranked": text_search_ranked,
     "text_search_phrase": text_search_phrase,
+    "text_search_incremental": text_search_incremental,
 }
 
 ORACLES = {
@@ -713,4 +762,7 @@ ORACLES = {
     # exactly COUNT(*) per tok of the scan-side tf relation
     "text_search_ranked": TEXT_SEARCH_RANKED_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
+    # history-index ∪ increment == full-corpus postings for the query
+    # terms, so the full-corpus ranked SQL is the oracle verbatim
+    "text_search_incremental": TEXT_SEARCH_RANKED_SQL,
 }

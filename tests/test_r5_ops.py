@@ -89,6 +89,43 @@ def test_incremental_dedup_matches_restricted_full(spark, con):
     assert all(b >= new_min for _, b in rows)
 
 
+def test_incremental_search_matches_full(spark, con):
+    """Incremental ranked search (persisted positional index for
+    doc_id < N, query-side postings for the increment) must equal the
+    FULL-corpus ranked search exactly — scores included, because
+    history-pruned ∪ increment is the full postings for the query
+    terms — at an all-history, mid-corpus, and near-all-increment
+    split. (r6 addition; lives here with its incremental siblings.)"""
+    from kstore_spark.functions.text import (
+        text_search_incremental, text_search_ranked)
+
+    full = sorted(tuple(r) for r in text_search_ranked(spark, SF_DIR).collect())
+    assert full
+    for new_min in (1, 25, 10**9):
+        rows = sorted(
+            tuple(r)
+            for r in text_search_incremental(spark, SF_DIR,
+                                             new_min=new_min).collect())
+        assert rows == full, new_min
+
+
+def test_incremental_search_never_retokenizes_history(spark):
+    """The increment branch's documents scan must carry the pushed
+    doc_id >= new_min filter — history text reaches the plan only as
+    the index's pruned postings partitions, never as a text scan."""
+    from kstore_spark.functions.text import text_search_incremental
+
+    df = text_search_incremental(spark, SF_DIR, new_min=25)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    text_scans = [ln for ln in plan.splitlines()
+                  if "FileScan" in ln and "text#" in ln]
+    # the df-agg and join-back consumers each scan the increment (two
+    # scans), but EVERY text scan must carry the pushed doc_id bound —
+    # history text never reaches a scan
+    assert text_scans, plan
+    assert all(">= 25" in ln for ln in text_scans), text_scans
+
+
 def test_incremental_substring_matches_restricted_full(spark, con):
     """Incremental exact substring dedup (persisted digest index for
     doc_id < N) == the full keep-first span cuts restricted to the

@@ -132,7 +132,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "text_search_indexed", "text_search_ranked",
                # phrase default ('join','key') is two VOCAB tokens →
                # word salad plants real (and back-to-back) occurrences
-               "text_search_phrase")
+               "text_search_phrase",
+               # incremental == full-corpus ranked SQL (fuzz corpora sit
+               # entirely below INCR_DOC_MIN → all-history degenerate)
+               "text_search_incremental")
 
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
