@@ -628,11 +628,16 @@ class ArtifactStore:
         key = repr((sorted(entries), params)).encode()
         return hashlib.md5(key).hexdigest()[:16]
 
-    def get_or_build(self, name: str, version: str, build) -> str:
+    def get_or_build(self, name: str, version: str, build,
+                     src: str | None = None) -> str:
         """Return the registered dir for (name, version), building it
         first if absent or stale. ``build(out_dir)`` must write the
         complete artifact into ``out_dir`` (a fresh path) and runs
-        OUTSIDE the lock — only the rename + registry swap serialize."""
+        OUTSIDE the lock — only the rename + registry swap serialize.
+        ``src`` (the source table path, when there is one) is recorded
+        so open-time GC can tombstone artifacts whose source vanished —
+        without it, indexes built over short-lived dirs (a dropped
+        table, a test corpus) pin disk forever."""
         ent = self._load()["artifacts"].get(name)
         if ent and ent["version"] == version:
             live = os.path.join(self.base, ent["dir"])
@@ -653,15 +658,30 @@ class ArtifactStore:
             if ent:  # stale version: snapshot-safe delete via epochs
                 reg["tombstones"].append([ent["dir"], time.time()])
             reg["artifacts"][name] = {"version": version, "dir": final,
-                                      "created": time.time()}
+                                      "created": time.time(),
+                                      **({"src": src} if src else {})}
             self._save(reg)
             return os.path.join(self.base, final)
 
     def _gc(self, reg: dict) -> None:
-        """Sweep (a) tombstoned dirs no live session can reference and
-        (b) orphan build_* dirs whose creating session died mid-build.
-        Caller holds the lock."""
+        """Sweep (a) artifacts whose recorded source path vanished
+        (tombstoned now, deleted behind the barrier), (b) tombstoned
+        dirs no live session can reference, and (c) orphan build_*
+        dirs whose creating session died mid-build. Caller holds the
+        lock."""
         barrier = self._epochs.barrier(time.time())
+        # dead-source sweep: an artifact whose recorded source path no
+        # longer exists can never be requested again (versions are
+        # source-derived) — tombstone it now; the epoch barrier below
+        # deletes it once no live session could hold frames on it.
+        # Without this, indexes over short-lived sources (dropped
+        # tables, test corpora) accumulate in the registry forever.
+        dead = [n for n, ent in reg.get("artifacts", {}).items()
+                if ent.get("src") and not os.path.exists(ent["src"])]
+        for n in dead:
+            reg["tombstones"].append(
+                [reg["artifacts"].pop(n)["dir"], time.time()])
+        dirty_dead = bool(dead)
         keep = []
         for rel, ts in reg.get("tombstones", []):
             if ts < barrier:
@@ -669,7 +689,7 @@ class ArtifactStore:
                               ignore_errors=True)
             else:
                 keep.append([rel, ts])
-        dirty = len(keep) != len(reg.get("tombstones", []))
+        dirty = dirty_dead or len(keep) != len(reg.get("tombstones", []))
         reg["tombstones"] = keep
         for name in os.listdir(self.base):
             if not name.startswith("build_"):

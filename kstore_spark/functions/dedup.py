@@ -1017,7 +1017,7 @@ def lsh_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN) -> str:
         (sig.select("doc_id", F.posexplode(band_hashes()).alias("band", "bh"))
          .write.mode("overwrite").partitionBy("band").parquet(out_dir))
 
-    return store.get_or_build(f"lsh:{src}:d{max_doc}", version, build)
+    return store.get_or_build(f"lsh:{src}:d{max_doc}", version, build, src=src)
 
 
 def dedup_minhash_incremental(spark, sf_dir,
@@ -1115,7 +1115,7 @@ def span_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN,
             _tokens(spark, sf_dir).filter(F.col("doc_id") < max_doc), width)
         sp.select("h").distinct().write.mode("overwrite").parquet(out_dir)
 
-    return store.get_or_build(f"span:{src}:w{width}:d{max_doc}", version, build)
+    return store.get_or_build(f"span:{src}:w{width}:d{max_doc}", version, build, src=src)
 
 
 def dedup_substring_incremental(spark, sf_dir, new_min: int = INCR_NEW_MIN,

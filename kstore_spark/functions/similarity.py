@@ -485,7 +485,7 @@ def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
         (emb.withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
          .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
 
-    return store.get_or_build(f"ivf:{src}:{params}", version, build)
+    return store.get_or_build(f"ivf:{src}:{params}", version, build, src=src)
 
 
 def sim_ann_ivf_stored(spark, sf_dir, n_probe: int = N_PROBE,

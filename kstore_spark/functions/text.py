@@ -520,7 +520,7 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
         )
         postings.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
 
-    return store.get_or_build(f"tokidx:{src}:{params}", version, build)
+    return store.get_or_build(f"tokidx:{src}:{params}", version, build, src=src)
 
 
 def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):

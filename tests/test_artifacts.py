@@ -157,3 +157,54 @@ def test_stale_version_tombstoned_then_gcd(tmp_path):
     assert not os.path.isdir(d1)
     assert open(os.path.join(d2, "data")).read() == "two"
     store2.close()
+
+
+def test_dead_source_artifact_tombstoned_then_gcd(tmp_path):
+    """An artifact whose recorded source path vanished (dropped table,
+    deleted test corpus) can never be requested again — open-time GC
+    must tombstone it and, once no live session could reference it,
+    delete the dir. Without this, per-corpus indexes accumulate in the
+    shared store forever."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    _write_source(src)
+    base = str(tmp_path / "store")
+    store = ArtifactStore(base)
+
+    def build(out_dir):
+        os.makedirs(out_dir)
+        open(os.path.join(out_dir, "data"), "w").write("x")
+
+    v = ArtifactStore.source_version(src, "")
+    d = store.get_or_build("idx:dead", v, build, src=src)
+    assert os.path.isdir(d)
+    shutil.rmtree(src)  # the source table is dropped
+
+    store2 = ArtifactStore(base)  # tombstones the dead-source entry
+    # this session (store) may still hold frames on it -> dir survives
+    assert os.path.isdir(d)
+    # and the entry is no longer served: a rebuilt source re-registers
+    _write_source(src, b"y" * 50)
+    store.close(); store2.close()
+
+    store3 = ArtifactStore(base)  # all prior sessions gone -> swept
+    assert not os.path.isdir(d)
+    store3.close()
+
+
+def test_srcless_artifacts_survive_gc(tmp_path):
+    """Artifacts registered without a src (pre-existing entries, or
+    derived data with no single source) must never be dead-source
+    swept."""
+    store = ArtifactStore(str(tmp_path / "store"))
+
+    def build(out_dir):
+        os.makedirs(out_dir)
+        open(os.path.join(out_dir, "data"), "w").write("x")
+
+    d = store.get_or_build("idx:nosrc", "v0", build)
+    store.close()
+    store2 = ArtifactStore(str(tmp_path / "store"))
+    assert os.path.isdir(d)
+    store2.close()
