@@ -628,6 +628,57 @@ class ArtifactStore:
         key = repr((sorted(entries), params)).encode()
         return hashlib.md5(key).hexdigest()[:16]
 
+    @staticmethod
+    def source_version_bounded(src_path: str, params: str,
+                               col: str, below: int) -> str:
+        """Content-derived version over only the source files that can
+        contain rows with ``col < below`` (parquet footer min stats —
+        driver-side metadata reads, no scan). This is the right version
+        key for a HISTORY-slice artifact (an index over doc_id <
+        new_min): appending new files whose ids all sit at or above the
+        bound must NOT invalidate the history index — that would turn
+        every increment into a full re-index, defeating the incremental
+        ops. A file whose footer stats are missing or unreadable is
+        included conservatively (its rewrite still invalidates)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            pq = None
+        entries = []
+        paths = ([src_path] if os.path.isfile(src_path) else [
+            os.path.join(root, f)
+            for root, _d, files in os.walk(src_path) for f in files
+            if not f.startswith(("_", "."))])
+        for p in paths:
+            keep = True
+            if pq is not None and p.endswith(".parquet"):
+                try:
+                    md = pq.ParquetFile(p).metadata
+                    idx = {md.schema.column(i).name: i
+                           for i in range(md.num_columns)}
+                    if col in idx:
+                        mins = []
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx[col]).statistics
+                            if st is None or not st.has_min_max:
+                                mins = None
+                                break
+                            mins.append(int(st.min))
+                        if mins is not None and mins and min(mins) >= below:
+                            keep = False  # no row of this file is history
+                except Exception:
+                    pass  # unreadable footer ⇒ keep conservatively
+            if keep:
+                try:
+                    entries.append((os.path.relpath(p, src_path)
+                                    if os.path.isdir(src_path)
+                                    else os.path.basename(p),
+                                    os.path.getsize(p)))
+                except OSError:
+                    continue
+        key = repr((sorted(entries), params)).encode()
+        return hashlib.md5(key).hexdigest()[:16]
+
     def get_or_build(self, name: str, version: str, build,
                      src: str | None = None) -> str:
         """Return the registered dir for (name, version), building it
@@ -657,9 +708,12 @@ class ArtifactStore:
             os.rename(tmp, os.path.join(self.base, final))
             if ent:  # stale version: snapshot-safe delete via epochs
                 reg["tombstones"].append([ent["dir"], time.time()])
+            # abspath: the sweep's os.path.exists must not depend on a
+            # future opener's cwd (a relative src would read as dead)
             reg["artifacts"][name] = {"version": version, "dir": final,
-                                      "created": time.time(),
-                                      **({"src": src} if src else {})}
+                                      **({"src": os.path.abspath(src)}
+                                         if src else {}),
+                                      "created": time.time()}
             self._save(reg)
             return os.path.join(self.base, final)
 

@@ -1009,7 +1009,10 @@ def lsh_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
-    version = ArtifactStore.source_version(src, f"d{max_doc}")
+    # history-slice version: only files that can hold doc_id < max_doc
+    # (footer min stats) — appends of new crawls do not invalidate
+    version = ArtifactStore.source_version_bounded(
+        src, f"d{max_doc}", "doc_id", max_doc)
 
     def build(out_dir: str) -> None:
         sig = minhash_signatures(
@@ -1108,7 +1111,8 @@ def span_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN,
     width = SPAN_WIDTH if width is None else width
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
-    version = ArtifactStore.source_version(src, f"w{width}:d{max_doc}")
+    version = ArtifactStore.source_version_bounded(  # see lsh_index_dir
+        src, f"w{width}:d{max_doc}", "doc_id", max_doc)
 
     def build(out_dir: str) -> None:
         sp = _span_positions(

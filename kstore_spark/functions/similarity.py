@@ -475,7 +475,11 @@ def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
     params = f"c{n_cells}" + (f":d{max_vec}" if max_vec is not None else "")
-    version = ArtifactStore.source_version(src, params)
+    if max_vec is not None:  # history slice: appends must not invalidate
+        version = ArtifactStore.source_version_bounded(
+            src, params, "vec_id", max_vec)
+    else:
+        version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
         emb = _emb(spark, sf_dir)

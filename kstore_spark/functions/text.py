@@ -485,9 +485,13 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
 
     This is the text analogue of the reference's b+tree access path
     (ref src/server/storage.c:462-560 — pick the index when selectivity
-    pays): a conjunctive term query touches only its terms' hash
-    partitions at LISTING time, while the scan path reads every
-    document's full text. One batch write at ingest; Zipf makes the
+    pays): a conjunctive term query READS only its terms' hash
+    partitions, while the scan path reads every document's full text.
+    (Partition DISCOVERY still walks every bucket dir once per
+    relation — that's why b=1024 measured slower than b=64 on a tiny
+    vocabulary, PERF.md — so bucket count must track vocabulary size,
+    and at real scale the file listing should come from catalog
+    metadata, not a directory walk.) One batch write at ingest; Zipf makes the
     bucket sizes uneven but bounded (the head token's postings list is
     ≤ |docs| ids — ids-only rows, not text)."""
     import os
@@ -497,9 +501,17 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
     # p1 = positional postings schema; m<N> = history slice (doc_id <
-    # max_doc only — the incremental search's already-indexed corpus)
+    # max_doc only — the incremental search's already-indexed corpus).
+    # The history slice versions over only the files that can hold
+    # doc_id < max_doc (footer min stats), so appending a new crawl
+    # does NOT invalidate the history index — the whole point of the
+    # incremental path.
     params = f"b{buckets}p1" + (f"m{max_doc}" if max_doc is not None else "")
-    version = ArtifactStore.source_version(src, params)
+    if max_doc is not None:
+        version = ArtifactStore.source_version_bounded(
+            src, params, "doc_id", max_doc)
+    else:
+        version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
         docs = _tok(spark, sf_dir)
@@ -528,7 +540,8 @@ def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
     terms' bucket ids are computed up front (|terms| rows —
     driver-trivial) and reach the index scan as LITERAL partition
     predicates, so only |terms| of the ``buckets`` partitions are
-    listed, let alone read (PartitionFilters plan-pinned)."""
+    READ (PartitionFilters plan-pinned; discovery still lists every
+    bucket dir once — see token_index_dir)."""
     idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets, max_doc))
     term_buckets = sorted({
         r["b"] for r in spark.createDataFrame(
@@ -567,7 +580,7 @@ WITH t AS (
 )
 SELECT doc_id, COUNT(*) AS n_hits
 FROM t
-WHERE tok IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}')
+WHERE tok IN ({", ".join("'" + t + "'" for t in SEARCH_TERMS)})
 GROUP BY doc_id
 HAVING COUNT(DISTINCT tok) = {len(SEARCH_TERMS)}
 """
@@ -690,14 +703,18 @@ def text_search_phrase(spark, sf_dir, phrase: tuple[str, ...] = PHRASE,
     tok[i..i+n-1] equality per start index — the same overlapping-
     occurrence semantics (delimiter-split SQL would undercount
     back-to-back occurrences, so the oracle indexes, not splits)."""
+    # ONE store resolution + ONE bucket-id collect for the whole phrase
+    # (per-term _index_postings calls would re-open the registry and
+    # re-walk the source once per token on the hot search path); each
+    # branch then filters its term from the shared pruned scan
+    hits = _index_postings(
+        spark, sf_dir, tuple(dict.fromkeys(phrase)), buckets
+    ).select("tok", "doc_id", "positions")
     branches = []
     for i, term in enumerate(phrase):
-        b = (
-            _index_postings(spark, sf_dir, (term,), buckets)
-            .select(
-                "doc_id",
-                F.transform("positions", lambda x: x - i).alias(f"p{i}"),  # noqa: B023
-            )
+        b = hits.filter(F.col("tok") == term).select(
+            "doc_id",
+            F.transform("positions", lambda x: x - i).alias(f"p{i}"),  # noqa: B023
         )
         branches.append(b)
     joined = branches[0]

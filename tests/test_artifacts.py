@@ -208,3 +208,37 @@ def test_srcless_artifacts_survive_gc(tmp_path):
     store2 = ArtifactStore(str(tmp_path / "store"))
     assert os.path.isdir(d)
     store2.close()
+
+
+def test_bounded_version_ignores_appends_above_bound(tmp_path):
+    """source_version_bounded must be stable when files whose ids all
+    sit at/above the bound are appended (a new crawl must not
+    invalidate the history index), and must change when a file that
+    CAN hold history rows changes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "documents.parquet")
+    os.makedirs(src)
+
+    def write(name, ids):
+        pq.write_table(pa.table({"doc_id": ids, "text": ["x"] * len(ids)}),
+                       os.path.join(src, name))
+
+    write("part-0.parquet", [0, 1, 2])
+    v0 = ArtifactStore.source_version_bounded(src, "p", "doc_id", 100)
+    # append an increment entirely at/above the bound
+    write("part-1.parquet", [100, 101])
+    v1 = ArtifactStore.source_version_bounded(src, "p", "doc_id", 100)
+    assert v1 == v0
+    # full-source version DOES change (sanity that the two differ)
+    assert (ArtifactStore.source_version(src, "p")
+            != ArtifactStore.source_version(src, "p_other"))
+    # a file straddling the bound counts as history
+    write("part-2.parquet", [50, 150])
+    v2 = ArtifactStore.source_version_bounded(src, "p", "doc_id", 100)
+    assert v2 != v1
+    # rewriting a history file invalidates
+    write("part-0.parquet", [0, 1, 2, 3])
+    v3 = ArtifactStore.source_version_bounded(src, "p", "doc_id", 100)
+    assert v3 != v2
