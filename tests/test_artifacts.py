@@ -242,3 +242,52 @@ def test_bounded_version_ignores_appends_above_bound(tmp_path):
     write("part-0.parquet", [0, 1, 2, 3])
     v3 = ArtifactStore.source_version_bounded(src, "p", "doc_id", 100)
     assert v3 != v2
+
+
+def test_incremental_search_survives_append_without_reindex(spark, tmp_path):
+    """END-TO-END append contract: build the history index, append a
+    new crawl file to the documents table, and (a) the history index
+    dir is REUSED verbatim (no rebuild — bounded versioning ignores
+    files wholly at/above the bound), (b) text_search_incremental over
+    the grown corpus equals text_search_ranked recomputed from
+    scratch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kstore_spark.functions.text import (
+        text_search_incremental, text_search_ranked, token_index_dir)
+
+    sf = tmp_path / "sf"
+    docs = sf / "documents.parquet"
+    os.makedirs(docs)
+    words = ["dup", "join", "scan", "key", "data"]
+    base = [(i, " ".join(words[(i + j) % 5] for j in range(6)))
+            for i in range(40)]
+    pq.write_table(
+        pa.table({"doc_id": [i for i, _ in base],
+                  "text": [t for _, t in base],
+                  "lang": ["en"] * 40, "source": ["s"] * 40,
+                  "n_chars": [len(t) for _, t in base]}),
+        str(docs / "part-0.parquet"))
+
+    new_min = 40
+    d_before = token_index_dir(spark, str(sf), max_doc=new_min)
+
+    inc = [(i, " ".join(words[(i * 2 + j) % 5] for j in range(6)))
+           for i in range(40, 55)]
+    pq.write_table(
+        pa.table({"doc_id": [i for i, _ in inc],
+                  "text": [t for _, t in inc],
+                  "lang": ["en"] * 15, "source": ["s"] * 15,
+                  "n_chars": [len(t) for _, t in inc]}),
+        str(docs / "part-1.parquet"))
+
+    d_after = token_index_dir(spark, str(sf), max_doc=new_min)
+    assert d_after == d_before  # append did NOT invalidate history
+
+    got = sorted(tuple(r) for r in
+                 text_search_incremental(spark, str(sf),
+                                         new_min=new_min).collect())
+    exp = sorted(tuple(r) for r in
+                 text_search_ranked(spark, str(sf)).collect())
+    assert got and got == exp
