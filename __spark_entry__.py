@@ -75,7 +75,7 @@ _PRIORITY = [
     # + text_ngram_novelty + events_funnel_windowed
     # + events_ab_conversion + knn_graph_ivf + decontaminate_bloom
     # + text_search_indexed + text_search_ranked + text_search_phrase
-    # + text_search_incremental
+    # + text_search_incremental + stream_token_postings
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining
@@ -116,12 +116,14 @@ def _all_queries() -> dict[str, Callable]:
         pass
     try:
         from kstore_spark.streaming import dedup as stream_dedup
+        from kstore_spark.streaming import indexing as stream_indexing
         from kstore_spark.streaming import joins as stream_joins
         from kstore_spark.streaming import windows as stream_windows
 
         out.update(stream_windows.QUERIES)
         out.update(stream_dedup.QUERIES)
         out.update(stream_joins.QUERIES)
+        out.update(stream_indexing.QUERIES)
     except ImportError:
         pass
     return out
@@ -166,12 +168,14 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         from kstore_spark.streaming import dedup as stream_dedup
+        from kstore_spark.streaming import indexing as stream_indexing
         from kstore_spark.streaming import joins as stream_joins
         from kstore_spark.streaming import windows as stream_windows
 
         merged.update(stream_windows.ORACLES)
         merged.update(stream_dedup.ORACLES)
         merged.update(stream_joins.ORACLES)
+        merged.update(stream_indexing.ORACLES)
     except ImportError:
         pass
     out: dict[str, str] = {}  # same priority order as queries()

@@ -1,0 +1,85 @@
+"""Streaming maintenance of the positional inverted text index.
+
+The batch index (functions/text.token_index_dir) is built with a
+posexplode + groupBy over the whole corpus. Under streaming ingestion
+that shape would need stateful aggregation — but it doesn't have to:
+a document's postings depend on THAT DOCUMENT ALONE, so the streaming
+maintainer computes (tok, tf, positions) row-locally inside the stream
+(array expressions, whole-stage codegen, no Python, no state, no
+shuffle) and appends them to the sink. Exactly-once comes from the
+file-sink checkpoint, and the emitted rows are byte-identical to the
+batch index's postings regardless of micro-batch boundaries — pinned
+in tests/test_streaming.py.
+
+This closes the index lifecycle: batch build → partition-pruned
+search → incremental query (history index + increment) → append-safe
+reuse (bounded versioning) → streaming maintenance (this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _postings_expr():
+    """Row-local postings of the token array `t`: one struct per
+    DISTINCT token with its occurrence count and ascending 0-based
+    positions — the same values the batch groupBy produces (positions
+    ascend because F.filter preserves sequence order, matching the
+    batch sort_array(collect_list(p)))."""
+    toks = F.array_distinct("t")
+    return F.transform(
+        toks,
+        lambda tk: F.struct(
+            tk.alias("tok"),
+            F.size(F.filter(F.col("t"), lambda x: x == tk)).alias("tf"),
+            F.filter(
+                F.sequence(F.lit(0), F.size("t") - 1),
+                lambda i: F.col("t")[i] == tk,
+            ).cast("array<long>").alias("positions"),
+        ),
+    )
+
+
+def stream_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the inverted-index postings under streaming document
+    ingestion: each arriving document emits its own (tok, doc_id, tf,
+    positions) rows — stateless append mode, so state is ZERO bytes and
+    a micro-batch's cost is proportional to the batch, never the
+    corpus. Driver output is (tok, doc_id, tf) for the SQL oracle;
+    positions equality vs the batch index is pinned in pytest."""
+    from kstore_spark.streaming.dedup import _doc_stream, _run_to_parquet
+
+    stream = _doc_stream(spark, sf_dir)
+    postings = (
+        stream.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(_postings_expr()).alias("p"))
+        .select(
+            "doc_id", F.col("p.tok").alias("tok"),
+            F.col("p.tf").cast("long").alias("tf"),
+            F.col("p.positions").alias("positions"),
+        )
+    )
+    res = _run_to_parquet(postings, "stream_tokidx")
+    return res.select("tok", "doc_id", "tf")
+
+
+STREAM_TOKEN_POSTINGS_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok, doc_id, COUNT(*) AS tf
+FROM t
+GROUP BY tok, doc_id
+"""
+
+
+QUERIES = {
+    "stream_token_postings": stream_token_postings,
+}
+
+ORACLES = {
+    # each doc's streamed postings == the batch per-doc term counts
+    "stream_token_postings": STREAM_TOKEN_POSTINGS_SQL,
+}
