@@ -1204,6 +1204,12 @@ def hybrid_search(spark, sf_dir, keyword: str = HYBRID_KEYWORD,
         .filter(F.array_contains(F.split("text", " "), keyword))
         .select(F.col("doc_id").alias("vec_id"))
     )
+    return _hybrid_topk(spark, sf_dir, cand, k)
+
+
+def _hybrid_topk(spark, sf_dir, cand, k):
+    """Shared hybrid tail: restrict embeddings to the candidate ids
+    (LeftSemi), broadcast the queries, exact cosine per-query top-k."""
     emb = _emb(spark, sf_dir)
     cvec = emb.join(cand, "vec_id", "left_semi")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1220,6 +1226,24 @@ def hybrid_search(spark, sf_dir, keyword: str = HYBRID_KEYWORD,
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def hybrid_search_indexed(spark, sf_dir, keyword: str = HYBRID_KEYWORD,
+                          k: int = TOP_K):
+    """hybrid_search with the keyword stage served by the persisted
+    inverted text index instead of a corpus text scan: the keyword's
+    postings partition is the candidate id set directly (postings are
+    exact token membership — the same predicate hybrid_search applies
+    after its coarse contains pre-filter), so at query time NO document
+    text is read at all and the keyword cost is one pruned ids-only
+    partition read. Output — and therefore the SQL oracle — is
+    hybrid_search's verbatim."""
+    from kstore_spark.functions.text import TOKEN_BUCKETS, _index_postings
+
+    cand = _index_postings(
+        spark, sf_dir, (keyword,), TOKEN_BUCKETS
+    ).select(F.col("doc_id").alias("vec_id"))
+    return _hybrid_topk(spark, sf_dir, cand, k)
 
 
 HYBRID_SEARCH_SQL = f"""
@@ -1248,6 +1272,7 @@ QUERIES = {
     "sim_topk_matmul": sim_topk_matmul,
     "knn_label_vote": knn_label_vote,
     "hybrid_search": hybrid_search,
+    "hybrid_search_indexed": hybrid_search_indexed,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1271,6 +1296,8 @@ ORACLES = {
     # same cosine fold / ranks-only basis as sim_topk; the keyword
     # filter is exact set membership in both engines
     "hybrid_search": HYBRID_SEARCH_SQL,
+    # index path == scan path (postings are exact token membership)
+    "hybrid_search_indexed": HYBRID_SEARCH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # embedding_neardup_lsh verifies candidates with EXACT cosine, so its
     # output ⊆ brute force; at sf0.01 the seeded bands attain 100% recall

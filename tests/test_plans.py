@@ -412,6 +412,22 @@ def test_text_search_phrase_prunes_per_term(spark):
     assert read_lines and all("text" not in ln for ln in read_lines)
 
 
+def test_hybrid_search_indexed_never_reads_text(spark):
+    """hybrid_search_indexed's keyword stage is the pruned postings
+    partition: NO scan in the whole plan reads document text (the
+    contains-prefilter variant reads every doc's text once), and the
+    candidate restriction stays a LeftSemi join onto embeddings."""
+    from kstore_spark.functions.similarity import hybrid_search_indexed
+
+    df = hybrid_search_indexed(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines), txt
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln and "dynamic" not in ln for ln in part_lines)
+    assert "LeftSemi" in txt, txt
+
+
 def test_text_search_ranked_is_index_resident_topk(spark):
     """text_search_ranked must (a) prune the index scan to the query
     terms' bucket partitions, (b) broadcast the |terms|-row df table

@@ -236,7 +236,8 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
     )
     for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup",
                "cluster_balanced_sample", "knn_label_vote",
-               "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search"):
+               "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search",
+               "hybrid_search_indexed"):
         df = similarity.QUERIES[op](spark, str(d))
         got = _rowset(df.columns, [tuple(r) for r in df.collect()])
         res = con.execute(similarity.ORACLES[op])
