@@ -196,6 +196,7 @@ def headline_queries():
         # postings write; min-of-2 reports the partition-pruned probe
         "text_search_indexed": text.text_search_indexed,
         "text_search_ranked": text.text_search_ranked,
+        "text_search_bm25": text.text_search_bm25,
         "text_search_phrase": text.text_search_phrase,
         "text_search_incremental": text.text_search_incremental,
         "hybrid_search_indexed": similarity.hybrid_search_indexed,

@@ -683,6 +683,198 @@ LIMIT {RANKED_K}
 """
 
 
+BM25_K1_MILLI = 1200  # k1 = 1.2 — the classic tf-saturation knob
+BM25_B_MILLI = 750    # b = 0.75 — the classic length-normalization knob
+
+
+def token_norms_dir(spark, sf_dir, max_doc: int | None = None) -> str:
+    """Build (once) and register the document-norms artifact BM25 needs:
+    ``dl/`` holds (doc_id, dl) — per-doc token count — and ``stats/``
+    holds the single (n_docs, total_tokens) row, both written at index
+    time so a query never aggregates (or even scans) the corpus for its
+    normalization constants. Same ArtifactStore contract as the token
+    index (crash-safe register-after-build, epoch GC, content-version
+    key). At 100 TB this is the standard "norms file" of a search
+    engine: N rows of two ints next to a corpus of full documents."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    # m<N> = history slice (doc_id < max_doc), versioned over only the
+    # files that can hold history rows so appends don't invalidate it —
+    # same contract as the token index's history slice.
+    params = "norms1" + (f"m{max_doc}" if max_doc is not None else "")
+    if max_doc is not None:
+        version = ArtifactStore.source_version_bounded(
+            src, params, "doc_id", max_doc)
+    else:
+        version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        docs = _tok(spark, sf_dir)
+        if max_doc is not None:
+            docs = docs.filter(F.col("doc_id") < max_doc)
+        norms = docs.select(
+            "doc_id", F.size("t").cast("long").alias("dl"))
+        norms.write.mode("overwrite").parquet(os.path.join(out_dir, "dl"))
+        (spark.read.parquet(os.path.join(out_dir, "dl"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("dl").alias("total_tokens"))
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "stats")))
+
+    return store.get_or_build(f"toknorms:{src}:{params}", version, build, src=src)
+
+
+def _bm25_topk(hits, norms, stats, k):
+    """Score a (tok, doc_id, tf) hits relation with fixed-point BM25 and
+    return the top-k. All arithmetic is int64 with truncating div, so
+    the DuckDB mirror is exact:
+
+      dl_ratio_ppk = dl·N·1000 div total_tokens          (≈ 1000·dl/avgdl)
+      tfsat_ppm    = tf·(1000+k1)·10⁶ div
+                     (tf·1000 + k1·(1000−b + b·dl_ratio_ppk div 1000) div 1000)
+      idf_milli    = (2N−2df+1)·1000 div (2df+1) + 1000
+      score_ppm    = Σ_t idf_milli·tfsat_ppm div 1000
+
+    idf is the rational odds ratio (N−df+0.5)/(df+0.5)+1 WITHOUT the
+    log — a log has no exact fixed-point mirror; per-term ordering is
+    the same monotone-in-df order, and BM25's actual contributions over
+    TF-IDF (tf saturation at k1, dl normalization at b) are exact.
+    Overflow bound: idf_milli·tfsat_ppm ≤ 2N·1000·2.2·10⁶ — int64-safe
+    to N ≈ 2·10⁹ docs per index shard (document-count, not bytes)."""
+    df_t = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_t), "tok")
+        .join(norms, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("dl_ratio_ppk",
+                    F.expr("(dl * n_docs * 1000) div total_tokens"))
+        .withColumn("tfsat_ppm", F.expr(
+            f"(tf * {1000 + BM25_K1_MILLI} * 1000000) div "
+            f"(tf * 1000 + ({BM25_K1_MILLI} * ({1000 - BM25_B_MILLI} + "
+            f"({BM25_B_MILLI} * dl_ratio_ppk) div 1000)) div 1000)"))
+        .withColumn("idf_milli", F.expr(
+            "((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1) + 1000"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("(idf_milli * tfsat_ppm) div 1000"))
+             .cast("long").alias("score_ppm"))
+    )
+    top = scored.orderBy(F.col("score_ppm").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))  # k rows only
+        .select("rank", "doc_id", "score_ppm")
+    )
+
+
+def text_search_bm25(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS,
+                     k: int = RANKED_K, buckets: int = TOKEN_BUCKETS):
+    """BM25 ranked (OR) retrieval through the persisted inverted index,
+    float-free (see _bm25_topk for the exact fixed-point formula and
+    the documented no-log idf). Everything is index/artifact-resident:
+    the postings scan prunes to the query terms' bucket partitions,
+    per-term df is the pruned postings count, dl comes from the norms
+    artifact (token_norms_dir — built once at index time), and the
+    corpus constants (N, total tokens) come from the artifact's 1-row
+    stats table, broadcast — a query never aggregates the corpus and
+    never touches document text. Global top-k is TakeOrderedAndProject.
+    Exact oracle: the scan-path SQL with the same integer formula."""
+    hits = _index_postings(spark, sf_dir, terms, buckets).select(
+        "tok", "doc_id", "tf")
+    import os
+
+    nd = token_norms_dir(spark, sf_dir)
+    norms = spark.read.parquet(os.path.join(nd, "dl"))
+    stats = spark.read.parquet(os.path.join(nd, "stats"))
+    return _bm25_topk(hits, norms, stats, k)
+
+
+def text_search_bm25_incremental(spark, sf_dir,
+                                 terms: tuple[str, ...] = RANKED_TERMS,
+                                 k: int = RANKED_K,
+                                 buckets: int = TOKEN_BUCKETS,
+                                 new_min: int = INCR_DOC_MIN):
+    """BM25 over history + a fresh increment WITHOUT re-indexing and
+    WITHOUT re-deriving the corpus constants: history postings and
+    history norms come from the bounded on-disk artifacts; the
+    increment's postings, dl rows, and (n_docs, total_tokens) delta are
+    computed query-side behind a pushed doc_id bound (history text
+    never reaches a scan); the 1-row corpus stats are history-stats +
+    increment-delta — so df, dl, N and total_tokens all equal their
+    full-corpus values and every score is corpus-exact. Oracle: the
+    full-corpus BM25 scan SQL verbatim. Same increment-pays-increment
+    contract as the rest of the *_incremental family."""
+    import os
+
+    hist = (
+        _index_postings(spark, sf_dir, terms, buckets, max_doc=new_min)
+        .select("tok", "doc_id", "tf")
+    )
+    inc_docs = _tok(spark, sf_dir).filter(F.col("doc_id") >= new_min)
+    inc = (
+        inc_docs
+        .select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(list(terms)))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nd = token_norms_dir(spark, sf_dir, max_doc=new_min)
+    inc_norms = inc_docs.select(
+        "doc_id", F.size("t").cast("long").alias("dl"))
+    norms = (
+        spark.read.parquet(os.path.join(nd, "dl")).unionByName(inc_norms))
+    stats = (
+        spark.read.parquet(os.path.join(nd, "stats"))
+        .join(F.broadcast(
+            inc_norms.agg(
+                F.count(F.lit(1)).alias("inc_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("inc_tokens"))))
+        .select(
+            (F.col("n_docs") + F.col("inc_docs")).alias("n_docs"),
+            (F.col("total_tokens") + F.col("inc_tokens"))
+            .alias("total_tokens"))
+    )
+    return _bm25_topk(hist.unionByName(inc), norms, stats, k)
+
+
+TEXT_SEARCH_BM25_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM t
+  WHERE tok IN ({", ".join("'" + t + "'" for t in RANKED_TERMS)})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), s AS (
+  SELECT tf.doc_id,
+         CAST(SUM(
+           ((((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1) + 1000)
+            * ((tf * {1000 + BM25_K1_MILLI} * 1000000) //
+               (tf * 1000 + ({BM25_K1_MILLI} * ({1000 - BM25_B_MILLI} +
+                ({BM25_B_MILLI} * ((dl.dl * n_docs * 1000) // total_tokens))
+                // 1000)) // 1000)))
+           // 1000
+         ) AS BIGINT) AS score_ppm
+  FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank,
+       doc_id, score_ppm
+FROM s
+ORDER BY score_ppm DESC, doc_id
+LIMIT {RANKED_K}
+"""
+
+
 PHRASE = ("join", "key")  # adjacent-token phrase; both tokens common
                           # (df ≈ 0.75·N) so the win is positional, not
                           # selectivity — the hard case for a phrase index
@@ -757,6 +949,8 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_search_indexed": text_search_indexed,
     "text_search_ranked": text_search_ranked,
+    "text_search_bm25": text_search_bm25,
+    "text_search_bm25_incremental": text_search_bm25_incremental,
     "text_search_phrase": text_search_phrase,
     "text_search_incremental": text_search_incremental,
 }
@@ -778,6 +972,11 @@ ORACLES = {
     # index path == scan path: per-term df over the pruned postings is
     # exactly COUNT(*) per tok of the scan-side tf relation
     "text_search_ranked": TEXT_SEARCH_RANKED_SQL,
+    # index+norms path == scan path under the shared integer formula
+    "text_search_bm25": TEXT_SEARCH_BM25_SQL,
+    # history artifacts ∪ increment reproduce full-corpus df/dl/N/
+    # total_tokens for the query terms → full-corpus SQL verbatim
+    "text_search_bm25_incremental": TEXT_SEARCH_BM25_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim

@@ -428,6 +428,27 @@ def test_hybrid_search_indexed_never_reads_text(spark):
     assert "LeftSemi" in txt, txt
 
 
+def test_text_search_bm25_is_artifact_resident(spark):
+    """text_search_bm25 must (a) prune the index scan to the query
+    terms' bucket partitions, (b) broadcast the df table and the 1-row
+    corpus-stats table (norms artifact — N and total_tokens are never
+    re-aggregated from the corpus at query time), (c) run the global
+    top-k as TakeOrderedAndProject, and (d) never read document text —
+    dl comes from the norms artifact, not a tokenize pass."""
+    from kstore_spark.functions.text import text_search_bm25
+
+    df = text_search_bm25(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any(
+        "bucket" in ln and "dynamic" not in ln for ln in part_lines
+    ), txt
+    assert txt.count("BroadcastHashJoin") + txt.count("BroadcastNestedLoop") >= 2, txt
+    assert "TakeOrderedAndProject" in txt, txt
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines), txt
+
+
 def test_text_search_ranked_is_index_resident_topk(spark):
     """text_search_ranked must (a) prune the index scan to the query
     terms' bucket partitions, (b) broadcast the |terms|-row df table

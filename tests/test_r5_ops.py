@@ -109,6 +109,41 @@ def test_incremental_search_matches_full(spark, con):
         assert rows == full, new_min
 
 
+def test_incremental_bm25_matches_full_and_oracle(spark, con):
+    """Incremental BM25 (bounded postings + bounded norms artifacts,
+    increment postings/dl/stats-delta computed query-side) must equal
+    the FULL-corpus BM25 exactly — scores included, because df, dl, N
+    and total_tokens all reconstruct their full-corpus values — at an
+    all-increment, mid-corpus, and all-history split; the full path
+    itself is differentialed against the DuckDB scan SQL."""
+    from kstore_spark.functions.text import (
+        TEXT_SEARCH_BM25_SQL, text_search_bm25, text_search_bm25_incremental)
+
+    full = _diff(text_search_bm25(spark, SF_DIR), con, TEXT_SEARCH_BM25_SQL)
+    assert full
+    for new_min in (1, 25, 10**9):
+        rows = sorted(
+            tuple(r)
+            for r in text_search_bm25_incremental(
+                spark, SF_DIR, new_min=new_min).collect())
+        assert rows == full, new_min
+
+
+def test_incremental_bm25_never_retokenizes_history(spark):
+    """Every text scan in the incremental-BM25 plan must carry the
+    pushed doc_id >= new_min bound — history reaches the plan only as
+    the index's pruned postings + the norms artifact's (doc_id, dl)
+    rows, never as a text scan."""
+    from kstore_spark.functions.text import text_search_bm25_incremental
+
+    df = text_search_bm25_incremental(spark, SF_DIR, new_min=25)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    text_scans = [ln for ln in plan.splitlines()
+                  if "FileScan" in ln and "text#" in ln]
+    assert text_scans, plan
+    assert all(">= 25" in ln for ln in text_scans), text_scans
+
+
 def test_incremental_search_never_retokenizes_history(spark):
     """The increment branch's documents scan must carry the pushed
     doc_id >= new_min filter — history text reaches the plan only as

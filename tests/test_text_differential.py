@@ -130,6 +130,13 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # conjunctive default is empty on this vocab — empty ==
                # empty is still a valid differential)
                "text_search_indexed", "text_search_ranked",
+               # BM25 through the same index + the norms artifact: the
+               # fuzz corpora's skewed dl distribution (1-token salad
+               # docs vs long planted dups) exercises the length
+               # normalization the fixed testdata barely moves
+               "text_search_bm25",
+               # same all-history degenerate note as text_search_incremental
+               "text_search_bm25_incremental",
                # phrase default ('join','key') is two VOCAB tokens →
                # word salad plants real (and back-to-back) occurrences
                "text_search_phrase",
