@@ -77,7 +77,7 @@ _PRIORITY = [
     # + text_search_indexed + text_search_ranked + text_search_phrase
     # + text_search_incremental + stream_token_postings
     # + hybrid_search_indexed + text_search_bm25
-    # + text_search_bm25_incremental
+    # + text_search_bm25_incremental + text_search_snippets
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining

@@ -197,6 +197,7 @@ def headline_queries():
         "text_search_indexed": text.text_search_indexed,
         "text_search_ranked": text.text_search_ranked,
         "text_search_bm25": text.text_search_bm25,
+        "text_search_snippets": text.text_search_snippets,
         "text_search_phrase": text.text_search_phrase,
         "text_search_incremental": text.text_search_incremental,
         "hybrid_search_indexed": similarity.hybrid_search_indexed,

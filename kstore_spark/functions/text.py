@@ -875,6 +875,79 @@ LIMIT {RANKED_K}
 """
 
 
+SNIPPET_WINDOW = 2  # tokens of context on each side of the first hit
+
+
+def text_search_snippets(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS,
+                         k: int = RANKED_K, buckets: int = TOKEN_BUCKETS,
+                         window: int = SNIPPET_WINDOW):
+    """Ranked retrieval with snippets — the reference's
+    SELECT→FETCH late materialization (ref src/server/engine.c select/
+    fetch pipeline; SURVEY §2 FETCH) applied to search: ranking runs
+    entirely on the index/norms artifacts (text_search_bm25), and
+    document TEXT is fetched for exactly the k winners. The k doc_ids
+    (a bounded, k-row driver collect — same boundary as the ANN query
+    vectors) become a LITERAL IN predicate pushed into the documents
+    scan, so parquet row-group stats skip everything but the k rows'
+    groups — a point-gather, not a corpus scan. The snippet is the
+    ±window tokens around the first occurrence of any query term; that
+    position comes from the positional index (min over the terms'
+    first postings positions), not from re-searching the text.
+    Exact oracle: scan SQL with the same BM25 CTE + list_slice."""
+    top = text_search_bm25(spark, sf_dir, terms, k, buckets)
+    ids = [r["doc_id"] for r in top.select("doc_id").collect()]  # k rows
+    firsts = (
+        _index_postings(spark, sf_dir, terms, buckets)
+        .filter(F.col("doc_id").isin(ids))  # k docs' postings only
+        .select("doc_id", F.element_at("positions", 1).alias("p0"))
+        .groupBy("doc_id")
+        .agg(F.min("p0").cast("long").alias("pos"))
+    )
+    fetched = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))  # literal IN → row-group skip
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    start1 = F.greatest(F.col("pos") - window + 1, F.lit(1))  # 1-based
+    end1 = F.least(F.col("pos") + window + 1, F.size("t").cast("long"))
+    return (
+        top.join(F.broadcast(firsts), "doc_id")
+        .join(F.broadcast(fetched), "doc_id")
+        .select(
+            "rank", "doc_id", "score_ppm", "pos",
+            F.concat_ws(
+                " ", F.slice("t", start1, end1 - start1 + 1)
+            ).alias("snippet"))
+    )
+
+
+def _snippets_sql() -> str:
+    pos_terms = ", ".join(
+        f"NULLIF(list_position(t.tok, '{w}'), 0)" for w in RANKED_TERMS)
+    # reuse the BM25 CTEs up to the ranked top-k, then slice the text
+    head = TEXT_SEARCH_BM25_SQL.rpartition("SELECT CAST(ROW_NUMBER()")[0]
+    return f"""
+{head}, top AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT)
+           AS rank, doc_id, score_ppm
+  FROM s ORDER BY score_ppm DESC, doc_id LIMIT {RANKED_K}
+), tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+)
+SELECT top.rank, top.doc_id, top.score_ppm,
+       CAST(LEAST({pos_terms}) - 1 AS BIGINT) AS pos,
+       array_to_string(list_slice(
+         t.tok,
+         GREATEST(LEAST({pos_terms}) - {SNIPPET_WINDOW}, 1),
+         LEAST(LEAST({pos_terms}) + {SNIPPET_WINDOW}, len(t.tok))
+       ), ' ') AS snippet
+FROM top JOIN tokd t ON top.doc_id = t.doc_id
+"""
+
+
+TEXT_SEARCH_SNIPPETS_SQL = _snippets_sql()
+
+
 PHRASE = ("join", "key")  # adjacent-token phrase; both tokens common
                           # (df ≈ 0.75·N) so the win is positional, not
                           # selectivity — the hard case for a phrase index
@@ -951,6 +1024,7 @@ QUERIES = {
     "text_search_ranked": text_search_ranked,
     "text_search_bm25": text_search_bm25,
     "text_search_bm25_incremental": text_search_bm25_incremental,
+    "text_search_snippets": text_search_snippets,
     "text_search_phrase": text_search_phrase,
     "text_search_incremental": text_search_incremental,
 }
@@ -977,6 +1051,8 @@ ORACLES = {
     # history artifacts ∪ increment reproduce full-corpus df/dl/N/
     # total_tokens for the query terms → full-corpus SQL verbatim
     "text_search_bm25_incremental": TEXT_SEARCH_BM25_SQL,
+    # index-ranked top-k + k-row text fetch == scan-path CTE + slice
+    "text_search_snippets": TEXT_SEARCH_SNIPPETS_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim

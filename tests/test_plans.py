@@ -449,6 +449,32 @@ def test_text_search_bm25_is_artifact_resident(spark):
     assert read_lines and all("text" not in ln for ln in read_lines), txt
 
 
+def test_text_search_snippets_fetch_is_point_gather(spark):
+    """text_search_snippets ranks on the index (pruned bucket
+    partitions) and fetches text LATE: every text-reading scan must
+    carry the pushed k-id IN predicate (PushedFilters in(doc_id, …) →
+    row-group skipping), and every index-side branch must stay
+    bucket-pruned — the corpus is never scanned for k snippets. The
+    reference's SELECT→FETCH late materialization, as a plan property."""
+    from kstore_spark.functions.text import text_search_snippets
+
+    df = text_search_snippets(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any(
+        "bucket" in ln and "dynamic" not in ln for ln in part_lines
+    ), txt
+    lines = txt.splitlines()
+    text_scan_idx = [i for i, ln in enumerate(lines)
+                     if "ReadSchema" in ln and "text" in ln]
+    assert text_scan_idx, txt
+    for i in text_scan_idx:  # the PushedFilters line of the same scan node
+        block = "\n".join(lines[max(0, i - 6):i + 6])
+        assert "doc_id" in block and (
+            "in(doc_id" in block or "In(doc_id" in block), block
+    assert "TakeOrderedAndProject" in txt, txt
+
+
 def test_text_search_ranked_is_index_resident_topk(spark):
     """text_search_ranked must (a) prune the index scan to the query
     terms' bucket partitions, (b) broadcast the |terms|-row df table

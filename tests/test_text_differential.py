@@ -137,6 +137,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "text_search_bm25",
                # same all-history degenerate note as text_search_incremental
                "text_search_bm25_incremental",
+               # late-materialized snippets: index-ranked top-k, k-row
+               # text fetch; fuzz corpora exercise window clamping at
+               # doc edges (1-token docs) and absent-term LEAST/NULLIF
+               "text_search_snippets",
                # phrase default ('join','key') is two VOCAB tokens →
                # word salad plants real (and back-to-back) occurrences
                "text_search_phrase",
