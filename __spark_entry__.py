@@ -78,6 +78,7 @@ _PRIORITY = [
     # + text_search_incremental + stream_token_postings
     # + hybrid_search_indexed + text_search_bm25
     # + text_search_bm25_incremental + text_search_snippets
+    # + bpe_pair_counts (+ rows-only bpe_learn_merges/bpe_token_counts)
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining
@@ -102,9 +103,10 @@ def _all_queries() -> dict[str, Callable]:
     out.update(checks.QUERIES)
     try:
         from kstore_spark.functions import (
-            corpus, dedup, lm, multimodal, pipeline, sampling, similarity,
-            sketches, text)
+            bpe, corpus, dedup, lm, multimodal, pipeline, sampling,
+            similarity, sketches, text)
 
+        out.update(bpe.QUERIES)
         out.update(dedup.QUERIES)
         out.update(similarity.QUERIES)
         out.update(text.QUERIES)
@@ -154,9 +156,10 @@ def oracle_sql() -> dict[str, str]:
     merged.update(checks.ORACLES)
     try:
         from kstore_spark.functions import (
-            corpus, dedup, lm, multimodal, pipeline, sampling, similarity,
-            sketches, text)
+            bpe, corpus, dedup, lm, multimodal, pipeline, sampling,
+            similarity, sketches, text)
 
+        merged.update(bpe.ORACLES)
         merged.update(dedup.ORACLES)
         merged.update(similarity.ORACLES)
         merged.update(text.ORACLES)

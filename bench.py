@@ -88,7 +88,7 @@ def perftest_query(spark, algorithm: str):
 
 def headline_queries():
     from kstore_spark.functions import (
-        corpus, dedup, lm, pipeline, similarity, text)
+        bpe, corpus, dedup, lm, pipeline, similarity, text)
     from kstore_spark.plans import analytics, extended, kparity, ranges, tpch_wide
 
     return {
@@ -198,6 +198,8 @@ def headline_queries():
         "text_search_ranked": text.text_search_ranked,
         "text_search_bm25": text.text_search_bm25,
         "text_search_snippets": text.text_search_snippets,
+        "bpe_pair_counts": bpe.bpe_pair_counts,
+        "bpe_token_counts": bpe.bpe_token_counts,
         "text_search_phrase": text.text_search_phrase,
         "text_search_incremental": text.text_search_incremental,
         "hybrid_search_indexed": similarity.hybrid_search_indexed,
