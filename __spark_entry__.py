@@ -79,6 +79,7 @@ _PRIORITY = [
     # + hybrid_search_indexed + text_search_bm25
     # + text_search_bm25_incremental + text_search_snippets
     # + bpe_pair_counts (+ rows-only bpe_learn_merges/bpe_token_counts)
+    # + importance_weights_hashed
     # (all verified green locally vs DuckDB / pinned in pytest) and the 11
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 11 gates); then (b) the remaining

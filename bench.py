@@ -88,7 +88,7 @@ def perftest_query(spark, algorithm: str):
 
 def headline_queries():
     from kstore_spark.functions import (
-        bpe, corpus, dedup, lm, pipeline, similarity, text)
+        bpe, corpus, dedup, lm, pipeline, sampling, similarity, text)
     from kstore_spark.plans import analytics, extended, kparity, ranges, tpch_wide
 
     return {
@@ -199,6 +199,7 @@ def headline_queries():
         "text_search_bm25": text.text_search_bm25,
         "text_search_snippets": text.text_search_snippets,
         "bpe_pair_counts": bpe.bpe_pair_counts,
+        "importance_weights_hashed": sampling.importance_weights_hashed,
         "bpe_token_counts": bpe.bpe_token_counts,
         "text_search_phrase": text.text_search_phrase,
         "text_search_incremental": text.text_search_incremental,

@@ -370,7 +370,131 @@ LIMIT {WEIGHTED_K}
 """
 
 
+# -- DSIR-style hashed-ngram importance weighting ------------------------
+
+DSIR_BUCKETS = 1024       # hashed feature space (DSIR uses 10^4; the
+                          # testdata vocab saturates far below that)
+DSIR_TRUSTED_MAX = 100    # trusted/target slice: doc_id < this — the
+                          # same held-out convention as lm.py's
+                          # TRUSTED_MAX_DOC (CCNet-style trusted set)
+_DSIR_MOD = 2147483647    # portable 31-ary char hash (== text.py _FP_MOD)
+
+
+def _word_hashes():
+    """Per-token portable hash array: 31-ary char-code fold mod 2³¹−1 —
+    engine-agnostic (the same technique as text_fingerprint), because
+    the feature BUCKET is output-visible here and xxhash64 has no
+    DuckDB mirror."""
+    return F.expr(
+        "transform(split(text, ' '), w -> CASE WHEN length(w) >= 1 THEN "
+        "aggregate(transform(sequence(1, length(w)),"
+        "                    i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_DSIR_MOD}) "
+        "ELSE CAST(0 AS BIGINT) END)")
+
+
+def _doc_features(spark, sf_dir, buckets: int):
+    """(doc_id, f): one row per word-bigram OCCURRENCE, f = hashed
+    feature bucket — row-local hashing + adjacent-pair zip, the only
+    corpus-scale relation in the op."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _word_hashes().alias("hw"))
+        .select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(hw) >= 2 THEN "
+            "transform(sequence(0, size(hw) - 2),"
+            f" i -> pmod(hw[i] * 31 + hw[i + 1], {buckets})) "
+            "ELSE CAST(array() AS array<bigint>) END")).alias("f"))
+    )
+
+
+def importance_weights_hashed(spark, sf_dir, buckets: int = DSIR_BUCKETS,
+                              trusted_max: int = DSIR_TRUSTED_MAX):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how much its hashed word-bigram features look like the TRUSTED
+    target slice (doc_id < trusted_max) relative to the raw corpus.
+    Exact fixed-point surrogate of the DSIR log-ratio: per feature,
+
+      score_ppm(f) = (cnt_t+1)(total_r+B)·10⁶ div (cnt_r+1)(total_t+B)
+                     − 10⁶
+
+    (add-1-smoothed target/raw rate ratio, centered at 0) and
+    doc_score_ppm = Σ over the doc's feature OCCURRENCES of score_ppm —
+    identical ranking signal to the log-space sum per feature
+    (monotone per-feature), in int64 so the DuckDB oracle is exact.
+    Plan shape: features are row-local (portable char-fold hash + pair
+    zip — no Python); the target/raw count tables are ≤ B rows
+    (broadcast), the totals 1 row (broadcast); the only shuffles are
+    the B-group partial agg and the per-doc sum. Overflow bound:
+    (cnt_t+1)·(total_r+B)·10⁶ ≤ 9.2·10¹⁸ — holds to ~10⁹ raw bigram
+    occurrences with a ≤10³-doc trusted slice per aggregation scope;
+    past that, shard the totals (the counts stay mergeable) or move
+    the ratio to log-space doubles (ranking-only, oracle becomes
+    bounds-based)."""
+    feats = _doc_features(spark, sf_dir, buckets).persist()
+    tgt = (feats.filter(F.col("doc_id") < trusted_max)
+           .groupBy("f").agg(F.count(F.lit(1)).alias("cnt_t")))
+    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("cnt_r"))
+    totals = (
+        raw.agg(F.sum("cnt_r").alias("total_r"))
+        .join(tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("total_t")))
+    )
+    scores = (
+        raw.join(F.broadcast(tgt), "f", "left")
+        .na.fill({"cnt_t": 0})
+        .join(F.broadcast(totals))
+        .select("f", F.expr(
+            f"((cnt_t + 1) * (total_r + {buckets}) * 1000000) div "
+            f"((cnt_r + 1) * (total_t + {buckets})) - 1000000")
+            .alias("score_ppm"))
+    )
+    out = (
+        feats.join(F.broadcast(scores), "f")
+        .groupBy("doc_id")
+        .agg(F.sum("score_ppm").cast("long").alias("dsir_score_ppm"))
+    )
+    return out
+
+
+IMPORTANCE_WEIGHTS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(w) + 1),
+                 i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % {_DSIR_MOD})) AS hw
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST((hw[CAST(i AS INT)] * 31 + hw[CAST(i AS INT) + 1])
+              % {DSIR_BUCKETS} AS BIGINT) AS f
+  FROM h, LATERAL (SELECT unnest(range(1, len(hw))) AS i) r
+), raw AS (
+  SELECT f, COUNT(*) AS cnt_r FROM feats GROUP BY f
+), tgt AS (
+  SELECT f, COUNT(*) AS cnt_t FROM feats
+  WHERE doc_id < {DSIR_TRUSTED_MAX} GROUP BY f
+), totals AS (
+  SELECT (SELECT SUM(cnt_r) FROM raw) AS total_r,
+         (SELECT COALESCE(SUM(cnt_t), 0) FROM tgt) AS total_t
+), scores AS (
+  SELECT raw.f,
+         ((COALESCE(cnt_t, 0) + 1) * (total_r + {DSIR_BUCKETS}) * 1000000)
+           // ((cnt_r + 1) * (total_t + {DSIR_BUCKETS})) - 1000000
+           AS score_ppm
+  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN totals
+)
+SELECT feats.doc_id, CAST(SUM(score_ppm) AS BIGINT) AS dsir_score_ppm
+FROM feats JOIN scores ON feats.f = scores.f
+GROUP BY feats.doc_id
+"""
+
+
 QUERIES = {
+    "importance_weights_hashed": importance_weights_hashed,
     "sample_stratified": sample_stratified,
     "pack_token_budget": pack_token_budget,
     "shuffle_shards": shuffle_shards,
@@ -381,6 +505,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "importance_weights_hashed": IMPORTANCE_WEIGHTS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pack_token_budget": PACK_TOKEN_BUDGET_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,

@@ -141,6 +141,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # text fetch; fuzz corpora exercise window clamping at
                # doc edges (1-token docs) and absent-term LEAST/NULLIF
                "text_search_snippets",
+               # DSIR-style hashed-bigram importance weights: fuzz
+               # corpora exercise empty/1-word docs (no features → row
+               # absent in both engines) and bucket collisions
+               "importance_weights_hashed",
                # phrase default ('join','key') is two VOCAB tokens →
                # word salad plants real (and back-to-back) occurrences
                "text_search_phrase",
