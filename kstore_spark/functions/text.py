@@ -500,13 +500,18 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
 
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
-    # p1 = positional postings schema; m<N> = history slice (doc_id <
+    # p2 = positional postings schema + per-posting dl (the Lucene
+    # "norms" trick, denormalized at build time: BM25's length
+    # normalization needs dl per candidate, and carrying it on the
+    # posting row turns a corpus-sized query-time join into 8 bytes of
+    # prunable column — index path 4.17→2.30 s at 500k and flat 2.63 s at 5M, PERF.md);
+    # m<N> = history slice (doc_id <
     # max_doc only — the incremental search's already-indexed corpus).
     # The history slice versions over only the files that can hold
     # doc_id < max_doc (footer min stats), so appending a new crawl
     # does NOT invalidate the history index — the whole point of the
     # incremental path.
-    params = f"b{buckets}p1" + (f"m{max_doc}" if max_doc is not None else "")
+    params = f"b{buckets}p2" + (f"m{max_doc}" if max_doc is not None else "")
     if max_doc is not None:
         version = ArtifactStore.source_version_bounded(
             src, params, "doc_id", max_doc)
@@ -519,7 +524,8 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
             docs = docs.filter(F.col("doc_id") < max_doc)
         postings = (
             docs
-            .select("doc_id", F.posexplode("t").alias("p", "tok"))
+            .select("doc_id", F.size("t").cast("long").alias("dl"),
+                    F.posexplode("t").alias("p", "tok"))
             .groupBy("tok", "doc_id")
             .agg(
                 F.count(F.lit(1)).alias("tf"),
@@ -527,6 +533,9 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
                 # intersect shifted copies of these (column pruned away
                 # for the tf-only searches: ids+counts stay the scan)
                 F.sort_array(F.collect_list("p")).alias("positions"),
+                # doc length rides the posting (p2 schema) — pruned
+                # away by every non-BM25 consumer
+                F.first("dl").alias("dl"),
             )
             .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(buckets)))
         )
@@ -688,11 +697,13 @@ BM25_B_MILLI = 750    # b = 0.75 — the classic length-normalization knob
 
 
 def token_norms_dir(spark, sf_dir, max_doc: int | None = None) -> str:
-    """Build (once) and register the document-norms artifact BM25 needs:
-    ``dl/`` holds (doc_id, dl) — per-doc token count — and ``stats/``
-    holds the single (n_docs, total_tokens) row, both written at index
-    time so a query never aggregates (or even scans) the corpus for its
-    normalization constants. Same ArtifactStore contract as the token
+    """Build (once) and register the document-norms artifact:
+    ``stats/`` holds the single (n_docs, total_tokens) row BM25 needs
+    for its corpus constants, and ``dl/`` holds (doc_id, dl) — per-doc
+    token count — for consumers that want norms without postings (the
+    query-time dl itself rides each posting row since the p2 index
+    schema). Both are written at index time so a query never aggregates
+    (or even scans) the corpus for its normalization constants. Same ArtifactStore contract as the token
     index (crash-safe register-after-build, epoch GC, content-version
     key). At 100 TB this is the standard "norms file" of a search
     engine: N rows of two ints next to a corpus of full documents."""
@@ -727,10 +738,13 @@ def token_norms_dir(spark, sf_dir, max_doc: int | None = None) -> str:
     return store.get_or_build(f"toknorms:{src}:{params}", version, build, src=src)
 
 
-def _bm25_topk(hits, norms, stats, k):
-    """Score a (tok, doc_id, tf) hits relation with fixed-point BM25 and
-    return the top-k. All arithmetic is int64 with truncating div, so
-    the DuckDB mirror is exact:
+def _bm25_topk(hits, stats, k, norms=None):
+    """Score a (tok, doc_id, tf, dl) hits relation with fixed-point
+    BM25 and return the top-k; if ``norms`` is given, hits carries no
+    dl column and dl is joined from it instead (the scan-twin path —
+    the index path carries dl on the posting row, p2 schema). All
+    arithmetic is int64 with truncating div, so the DuckDB mirror is
+    exact:
 
       dl_ratio_ppk = dl·N·1000 div total_tokens          (≈ 1000·dl/avgdl)
       tfsat_ppm    = tf·(1000+k1)·10⁶ div
@@ -745,9 +759,11 @@ def _bm25_topk(hits, norms, stats, k):
     Overflow bound: idf_milli·tfsat_ppm ≤ 2N·1000·2.2·10⁶ — int64-safe
     to N ≈ 2·10⁹ docs per index shard (document-count, not bytes)."""
     df_t = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = hits.join(F.broadcast(df_t), "tok")
+    if norms is not None:
+        scored = scored.join(norms, "doc_id")
     scored = (
-        hits.join(F.broadcast(df_t), "tok")
-        .join(norms, "doc_id")
+        scored
         .join(F.broadcast(stats))
         .withColumn("dl_ratio_ppk",
                     F.expr("(dl * n_docs * 1000) div total_tokens"))
@@ -775,20 +791,20 @@ def text_search_bm25(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS,
     float-free (see _bm25_topk for the exact fixed-point formula and
     the documented no-log idf). Everything is index/artifact-resident:
     the postings scan prunes to the query terms' bucket partitions,
-    per-term df is the pruned postings count, dl comes from the norms
-    artifact (token_norms_dir — built once at index time), and the
-    corpus constants (N, total tokens) come from the artifact's 1-row
-    stats table, broadcast — a query never aggregates the corpus and
-    never touches document text. Global top-k is TakeOrderedAndProject.
-    Exact oracle: the scan-path SQL with the same integer formula."""
+    per-term df is the pruned postings count, dl rides each posting row
+    (p2 schema — the Lucene norms trick, so there is NO corpus-sized
+    join at query time), and the corpus constants (N, total tokens)
+    come from the norms artifact's 1-row stats table, broadcast — a
+    query never aggregates the corpus and never touches document text.
+    Global top-k is TakeOrderedAndProject. Exact oracle: the scan-path
+    SQL with the same integer formula."""
     hits = _index_postings(spark, sf_dir, terms, buckets).select(
-        "tok", "doc_id", "tf")
+        "tok", "doc_id", "tf", "dl")
     import os
 
     nd = token_norms_dir(spark, sf_dir)
-    norms = spark.read.parquet(os.path.join(nd, "dl"))
     stats = spark.read.parquet(os.path.join(nd, "stats"))
-    return _bm25_topk(hits, norms, stats, k)
+    return _bm25_topk(hits, stats, k)
 
 
 def text_search_bm25_incremental(spark, sf_dir,
@@ -810,21 +826,20 @@ def text_search_bm25_incremental(spark, sf_dir,
 
     hist = (
         _index_postings(spark, sf_dir, terms, buckets, max_doc=new_min)
-        .select("tok", "doc_id", "tf")
+        .select("tok", "doc_id", "tf", "dl")
     )
     inc_docs = _tok(spark, sf_dir).filter(F.col("doc_id") >= new_min)
     inc = (
         inc_docs
-        .select("doc_id", F.explode("t").alias("tok"))
+        .select("doc_id", F.size("t").cast("long").alias("dl"),
+                F.explode("t").alias("tok"))
         .filter(F.col("tok").isin(list(terms)))
         .groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     nd = token_norms_dir(spark, sf_dir, max_doc=new_min)
     inc_norms = inc_docs.select(
         "doc_id", F.size("t").cast("long").alias("dl"))
-    norms = (
-        spark.read.parquet(os.path.join(nd, "dl")).unionByName(inc_norms))
     stats = (
         spark.read.parquet(os.path.join(nd, "stats"))
         .join(F.broadcast(
@@ -836,7 +851,7 @@ def text_search_bm25_incremental(spark, sf_dir,
             (F.col("total_tokens") + F.col("inc_tokens"))
             .alias("total_tokens"))
     )
-    return _bm25_topk(hist.unionByName(inc), norms, stats, k)
+    return _bm25_topk(hist.unionByName(inc), stats, k)
 
 
 TEXT_SEARCH_BM25_SQL = f"""

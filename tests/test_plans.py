@@ -430,11 +430,11 @@ def test_hybrid_search_indexed_never_reads_text(spark):
 
 def test_text_search_bm25_is_artifact_resident(spark):
     """text_search_bm25 must (a) prune the index scan to the query
-    terms' bucket partitions, (b) broadcast the df table and the 1-row
-    corpus-stats table (norms artifact — N and total_tokens are never
-    re-aggregated from the corpus at query time), (c) run the global
-    top-k as TakeOrderedAndProject, and (d) never read document text —
-    dl comes from the norms artifact, not a tokenize pass."""
+    terms' bucket partitions, (b) read dl FROM THE POSTING ROW (p2
+    norms-on-posting schema — no corpus-sized dl join at query time;
+    the only other scan is the 1-row stats table), (c) broadcast the
+    df and stats tables, (d) run the global top-k as
+    TakeOrderedAndProject, and (e) never read document text."""
     from kstore_spark.functions.text import text_search_bm25
 
     df = text_search_bm25(spark, SF_DIR)
@@ -443,10 +443,15 @@ def test_text_search_bm25_is_artifact_resident(spark):
     assert part_lines and any(
         "bucket" in ln and "dynamic" not in ln for ln in part_lines
     ), txt
-    assert txt.count("BroadcastHashJoin") + txt.count("BroadcastNestedLoop") >= 2, txt
-    assert "TakeOrderedAndProject" in txt, txt
     read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
     assert read_lines and all("text" not in ln for ln in read_lines), txt
+    # dl comes off the pruned postings scan itself…
+    assert any("dl" in ln and "tf" in ln for ln in read_lines), read_lines
+    # …and no scan reads a corpus-sized (doc_id, dl) norms relation
+    assert not any("dl" in ln and "tf" not in ln and "total_tokens" not in ln
+                   for ln in read_lines), read_lines
+    assert txt.count("BroadcastHashJoin") + txt.count("BroadcastNestedLoop") >= 2, txt
+    assert "TakeOrderedAndProject" in txt, txt
 
 
 def test_text_search_snippets_fetch_is_point_gather(spark):

@@ -36,7 +36,7 @@ def scan_twin(spark, sf_dir, k):
     norms = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
     stats = norms.agg(F.count(F.lit(1)).alias("n_docs"),
                       F.sum("dl").alias("total_tokens"))
-    return _bm25_topk(hits, norms, stats, k)
+    return _bm25_topk(hits, stats, k, norms=norms)
 
 
 def main():
