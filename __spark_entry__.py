@@ -79,10 +79,11 @@ _PRIORITY = [
     # + hybrid_search_indexed + text_search_bm25
     # + text_search_bm25_incremental + text_search_snippets
     # + bpe_pair_counts (+ rows-only bpe_learn_merges/bpe_token_counts)
-    # + importance_weights_hashed
-    # (all verified green locally vs DuckDB / pinned in pytest) and the 11
+    # + importance_weights_hashed + text_search_min_should_match
+    # (all verified green locally vs DuckDB / pinned in pytest) and the 13
     # per-gate check_* splits, plus the re-changed
-    # approx_equivalence_checks (now 11 gates); then (b) the remaining
+    # approx_equivalence_checks (now 13 gates incl. the two BPE twins);
+    # then (b) the remaining
     # r4-green tail (q2/q5/q7-q12/q14, rollup/pivot/semi_join,
     # events_user_overlap/gapfill_locf/retention, text_rarity,
     # heavy_hitters, multimodal_dedup_exact, split_train_holdout,

@@ -223,6 +223,40 @@ def bpe_token_counts(spark, sf_dir, n_merges: int = N_MERGES):
     )
 
 
+def py_bpe_reference(word_freqs: dict, n_merges: int):
+    """Driver-side reference BPE (the equivalence-gate twin in
+    plans/checks.py — vocab-bounded input, same (count DESC, a, b)
+    tie-break and greedy left-to-right merge as the Spark loop).
+    Returns (merges, final word→symbols dict). tests/test_bpe.py keeps
+    its own independent copy on purpose."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, int(n)))
+        for w, s in syms.items():
+            out, pend = [], None
+            for c in s:
+                if pend == a and c == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = c
+            if pend is not None:
+                out.append(pend)
+            syms[w] = out
+    return merges, syms
+
+
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_learn_merges": bpe_learn_merges,

@@ -595,6 +595,43 @@ HAVING COUNT(DISTINCT tok) = {len(SEARCH_TERMS)}
 """
 
 
+MSM_TERMS = ("dup", "join", "scan", "merge")  # 4 terms, require any 2
+MSM_MIN = 2
+
+
+def text_search_min_should_match(spark, sf_dir,
+                                 terms: tuple[str, ...] = MSM_TERMS,
+                                 min_match: int = MSM_MIN,
+                                 buckets: int = TOKEN_BUCKETS):
+    """Boolean min-should-match retrieval (the Lucene `minimumShouldMatch`
+    operator — between pure AND and pure OR): docs matching at least
+    ``min_match`` of the query terms, with the distinct-term and total
+    occurrence counts. Same pruned-postings plan as the conjunctive
+    search — the boolean mode only changes the HAVING bound, not the
+    access path. Exact oracle: the scan SQL with the same bound."""
+    hits = _index_postings(spark, sf_dir, terms, buckets)
+    return (
+        hits
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("n_hits"))
+        .filter(F.col("n_terms") >= min_match)
+        .select("doc_id", F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
+TEXT_SEARCH_MSM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS n_hits
+FROM t
+WHERE tok IN ({", ".join("'" + t + "'" for t in MSM_TERMS)})
+GROUP BY doc_id
+HAVING COUNT(DISTINCT tok) >= {MSM_MIN}
+"""
+
+
 RANKED_TERMS = ("dup", "join", "scan")  # one rare + two common terms:
                                         # the low-df term dominates the
                                         # idf-weighted score, as it should
@@ -1036,6 +1073,7 @@ QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_gopher_quality": text_gopher_quality,
     "text_search_indexed": text_search_indexed,
+    "text_search_min_should_match": text_search_min_should_match,
     "text_search_ranked": text_search_ranked,
     "text_search_bm25": text_search_bm25,
     "text_search_bm25_incremental": text_search_bm25_incremental,
@@ -1058,6 +1096,8 @@ ORACLES = {
     # index path == scan path on the same corpus (postings are exact
     # per-doc term counts; conjunction = HAVING all terms)
     "text_search_indexed": TEXT_SEARCH_SQL,
+    # same index == scan identity; only the HAVING bound differs
+    "text_search_min_should_match": TEXT_SEARCH_MSM_SQL,
     # index path == scan path: per-term df over the pruned postings is
     # exactly COUNT(*) per tok of the scan-side tf relation
     "text_search_ranked": TEXT_SEARCH_RANKED_SQL,

@@ -198,6 +198,47 @@ def _gate_stream_hll(spark, sf_dir, ctx):
     )
 
 
+def _gate_bpe_merges(spark, sf_dir, ctx):
+    """Spark's vocab-sized BPE training loop == the driver-side Python
+    reference on the collected word-frequency table (vocab-bounded
+    collect — the same boundary the training loop's own 1-row-per-round
+    argmax uses; corpus size is irrelevant past the one word count)."""
+    from kstore_spark.functions.bpe import (
+        N_MERGES, _word_freqs, bpe_learn_merges, py_bpe_reference)
+
+    wf = _shared(ctx, "bpe_wf", lambda: _word_freqs(spark, sf_dir))
+    freqs = {r["word"]: r["f"] for r in wf.collect()}
+    merges, syms = py_bpe_reference(freqs, N_MERGES)
+    ctx["bpe_syms"] = syms
+    exp = spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, n long")
+    return _symdiff(bpe_learn_merges(spark, sf_dir, N_MERGES), exp)
+
+
+def _gate_bpe_token_counts(spark, sf_dir, ctx):
+    """bpe_token_counts == per-doc sums of the Python reference's
+    encoded word lengths (the per-word table is vocab-bounded and
+    broadcast; the per-doc summation stays a Spark plan)."""
+    from kstore_spark.functions.bpe import (
+        N_MERGES, _word_freqs, bpe_token_counts, py_bpe_reference)
+
+    if "bpe_syms" not in ctx:
+        wf = _shared(ctx, "bpe_wf", lambda: _word_freqs(spark, sf_dir))
+        _, ctx["bpe_syms"] = py_bpe_reference(
+            {r["word"]: r["f"] for r in wf.collect()}, N_MERGES)
+    enc = spark.createDataFrame(
+        [(w, len(s)) for w, s in ctx["bpe_syms"].items()],
+        "word string, enc_len long")
+    exp = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("enc_len").cast("long").alias("n_bpe_tokens"))
+    )
+    return _symdiff(bpe_token_counts(spark, sf_dir, N_MERGES), exp)
+
+
 GATES = {
     "dedup_simhash": lambda s, d, c: _gate_simhash(s, d, c, wide=False),
     "dedup_simhash_wide": lambda s, d, c: _gate_simhash(s, d, c, wide=True),
@@ -211,6 +252,8 @@ GATES = {
     "events_approx_distinct": _gate_approx_distinct,
     "events_approx_quantiles": _gate_approx_quantiles,
     "stream_hourly_approx_users": _gate_stream_hll,
+    "bpe_learn_merges": _gate_bpe_merges,
+    "bpe_token_counts": _gate_bpe_token_counts,
 }
 
 
@@ -272,12 +315,16 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     - stream_hourly_approx_users: the streaming HLL++ per-window
       estimate within max(2, 10%) of the exact batch distinct, with
       identical group keys.
+    - bpe_learn_merges / bpe_token_counts: the iterative (hence
+      non-SQL) BPE training loop == the driver-side Python reference
+      on the collected vocab (merge table row-for-row; per-doc subword
+      counts via the reference's encoded word lengths).
 
     The same gates are ALSO exposed one-per-entry as ``check_<name>``
     driver queries (r5 VERDICT item 6's optional half): the
     consolidated entry buys all gates in one window slot; the per-gate
     entries give the driver per-op rows so one flaky gate can't mask
-    the other nine. Both run the same GATES builders.
+    the rest. Both run the same GATES builders.
     """
     return _run_gates(spark, sf_dir, CHECK_NAMES)
 
@@ -297,6 +344,7 @@ CHECK_NAMES = (
     "sim_ann_pq", "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",
+    "bpe_learn_merges", "bpe_token_counts",
 )
 
 APPROX_CHECKS_SQL = "SELECT * FROM (VALUES " + ", ".join(

@@ -130,6 +130,8 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # conjunctive default is empty on this vocab — empty ==
                # empty is still a valid differential)
                "text_search_indexed", "text_search_ranked",
+               # min-should-match: 2-of-4 on VOCAB tokens → real rows
+               "text_search_min_should_match",
                # BM25 through the same index + the norms artifact: the
                # fuzz corpora's skewed dl distribution (1-token salad
                # docs vs long planted dups) exercises the length
