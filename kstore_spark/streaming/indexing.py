@@ -45,20 +45,25 @@ def _postings_expr():
 def stream_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain the inverted-index postings under streaming document
     ingestion: each arriving document emits its own (tok, doc_id, tf,
-    positions) rows — stateless append mode, so state is ZERO bytes and
-    a micro-batch's cost is proportional to the batch, never the
-    corpus. Driver output is (tok, doc_id, tf) for the SQL oracle;
-    positions equality vs the batch index is pinned in pytest."""
+    positions, dl) rows (dl = the p2 norms column, so a
+    stream-maintained index serves BM25 too) — stateless append mode,
+    so state is ZERO bytes and a micro-batch's cost is proportional to
+    the batch, never the corpus. Driver output is (tok, doc_id, tf)
+    for the SQL oracle; positions+dl equality vs the batch index is
+    pinned in pytest."""
     from kstore_spark.streaming.dedup import _doc_stream, _run_to_parquet
 
     stream = _doc_stream(spark, sf_dir)
     postings = (
         stream.select("doc_id", F.split("text", " ").alias("t"))
-        .select("doc_id", F.explode(_postings_expr()).alias("p"))
+        # dl rides the posting row exactly as in the batch p2 schema
+        # (BM25's norms) — row-local like everything else here
+        .select("doc_id", F.size("t").cast("long").alias("dl"),
+                F.explode(_postings_expr()).alias("p"))
         .select(
             "doc_id", F.col("p.tok").alias("tok"),
             F.col("p.tf").cast("long").alias("tf"),
-            F.col("p.positions").alias("positions"),
+            F.col("p.positions").alias("positions"), "dl",
         )
     )
     res = _run_to_parquet(postings, "stream_tokidx")

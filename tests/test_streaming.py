@@ -414,8 +414,9 @@ def test_run_to_memory_fixed_sink_reuse(spark):
 
 def test_stream_token_postings_equals_batch_index(spark):
     """The streamed postings (row-local, stateless append) must be
-    row-for-row equal — tf AND positions — to the batch-built
-    positional index, regardless of micro-batch boundaries."""
+    row-for-row equal — tf, positions, AND the p2 norms column dl — to
+    the batch-built positional index, regardless of micro-batch
+    boundaries (a stream-maintained index must be able to serve BM25)."""
     from kstore_spark.functions.text import token_index_dir
     from kstore_spark.streaming.dedup import _doc_stream, _run_to_parquet
     from kstore_spark.streaming.indexing import _postings_expr
@@ -424,15 +425,16 @@ def test_stream_token_postings_equals_batch_index(spark):
     stream = _doc_stream(spark, SF_DIR)
     postings = (
         stream.select("doc_id", F.split("text", " ").alias("t"))
-        .select("doc_id", F.explode(_postings_expr()).alias("p"))
+        .select("doc_id", F.size("t").cast("long").alias("dl"),
+                F.explode(_postings_expr()).alias("p"))
         .select("doc_id", F.col("p.tok").alias("tok"),
                 F.col("p.tf").cast("long").alias("tf"),
-                F.col("p.positions").alias("positions"))
+                F.col("p.positions").alias("positions"), "dl")
     )
     res = _run_to_parquet(postings, "stream_tokidx_pin")
-    got = sorted((r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]))
-                 for r in res.collect())
+    got = sorted((r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]),
+                  r["dl"]) for r in res.collect())
     batch = spark.read.parquet(token_index_dir(spark, SF_DIR))
-    want = sorted((r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]))
-                  for r in batch.collect())
+    want = sorted((r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]),
+                   r["dl"]) for r in batch.collect())
     assert got == want and got
