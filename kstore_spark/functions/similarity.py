@@ -1246,6 +1246,95 @@ def hybrid_search_indexed(spark, sf_dir, keyword: str = HYBRID_KEYWORD,
     return _hybrid_topk(spark, sf_dir, cand, k)
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def hybrid_search_rrf(spark, sf_dir, k: int = TOP_K, rrf_k: int = RRF_K):
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009
+    — the fusion Elasticsearch/Vespa ship as their hybrid default):
+    fuse the corpus BM25 keyword ranking (index+norms artifacts,
+    RANKED_TERMS query) with each query vector's exact cosine top-k;
+    rrf_ppm = Σ_lists 10⁶ div (rrf_k + rank), a doc absent from a list
+    contributes 0. Both input rankings are integer-exact here, so the
+    fused score — and the DuckDB oracle — are exact too (the usual
+    float-sum fusion headache disappears in fixed point). Plan shape:
+    the BM25 list is k rows (broadcast everywhere), the cosine side is
+    the blocked-BLAS top-k, the fusion is a k-bounded full-outer join
+    per query — nothing corpus-sized moves. The keyword side is
+    query-independent (one shared text query), so its cost is paid
+    once for all N_QUERIES vectors."""
+    from kstore_spark.functions.text import text_search_bm25
+
+    cos = sim_topk_matmul(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("cos_rank"))
+    bm = text_search_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm_rank"))
+    qids = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"))
+    bm_q = qids.join(F.broadcast(bm))
+    fused = (
+        cos.join(bm_q, ["query_id", "doc_id"], "full")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id", "doc_id",
+            (F.coalesce(F.expr(f"1000000 div ({rrf_k} + cos_rank)"), F.lit(0))
+             + F.coalesce(F.expr(f"1000000 div ({rrf_k} + bm_rank)"),
+                          F.lit(0))).cast("long").alias("rrf_ppm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_ppm",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from kstore_spark.functions.text import (
+        RANKED_K, TEXT_SEARCH_BM25_SQL)
+
+    head = TEXT_SEARCH_BM25_SQL.rpartition("SELECT CAST(ROW_NUMBER()")[0]
+    return f"""
+{head}, bmtop AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT)
+           AS bm_rank, doc_id
+  FROM s ORDER BY score_ppm DESC, doc_id LIMIT {RANKED_K}
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), cosr AS (
+  SELECT query_id, doc_id, rank AS cos_rank FROM (
+    SELECT query_id, e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY list_cosine_similarity(qv, v) DESC,
+                                       e.vec_id ASC) AS rank
+    FROM q, e WHERE e.vec_id <> q.query_id)
+  WHERE rank <= {TOP_K}
+), bmq AS (
+  SELECT query_id, doc_id, bm_rank FROM q, bmtop
+), fused AS (
+  SELECT COALESCE(cosr.query_id, bmq.query_id) AS query_id,
+         COALESCE(cosr.doc_id, bmq.doc_id) AS doc_id,
+         COALESCE(1000000 // ({RRF_K} + cos_rank), 0)
+           + COALESCE(1000000 // ({RRF_K} + bm_rank), 0) AS rrf_ppm
+  FROM cosr FULL JOIN bmq
+    ON cosr.query_id = bmq.query_id AND cosr.doc_id = bmq.doc_id
+)
+SELECT query_id, doc_id, rrf_ppm, rank FROM (
+  SELECT query_id, doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_ppm DESC, doc_id) AS INT)
+           AS rank
+  FROM fused WHERE doc_id <> query_id)
+WHERE rank <= {TOP_K}
+"""
+
+
 HYBRID_SEARCH_SQL = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1273,6 +1362,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "hybrid_search": hybrid_search,
     "hybrid_search_indexed": hybrid_search_indexed,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1298,6 +1388,8 @@ ORACLES = {
     "hybrid_search": HYBRID_SEARCH_SQL,
     # index path == scan path (postings are exact token membership)
     "hybrid_search_indexed": HYBRID_SEARCH_SQL,
+    # both fused rankings are integer-exact → so is the fusion
+    "hybrid_search_rrf": _hybrid_rrf_sql(),
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # embedding_neardup_lsh verifies candidates with EXACT cosine, so its
     # output ⊆ brute force; at sf0.01 the seeded bands attain 100% recall

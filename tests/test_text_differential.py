@@ -254,7 +254,9 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
     for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup",
                "cluster_balanced_sample", "knn_label_vote",
                "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search",
-               "hybrid_search_indexed"):
+               # RRF fuses this corpus's BM25 list (the 'scan' RANKED
+               # term lands in ~half the docs) with the cosine top-k
+               "hybrid_search_indexed", "hybrid_search_rrf"):
         df = similarity.QUERIES[op](spark, str(d))
         got = _rowset(df.columns, [tuple(r) for r in df.collect()])
         res = con.execute(similarity.ORACLES[op])
