@@ -185,6 +185,7 @@ def headline_queries():
         # search — all sublinear at 10× (PERF.md)
         "events_top_paths": analytics.events_top_paths,
         "corpus_trigrams": corpus.corpus_trigrams,
+        "corpus_collocations": corpus.corpus_collocations,
         "hybrid_search": similarity.hybrid_search,
         "text_ngram_novelty": corpus.text_ngram_novelty,
         # r6 fourth-session additions (keys above stay comparable):

@@ -420,6 +420,86 @@ GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT {TRIGRAM_K}
 """
 
 
+COLLOC_K = 20        # top-k collocations
+COLLOC_MIN_COUNT = 5  # bigram support floor (kills one-off noise)
+
+
+def corpus_collocations(spark, sf_dir, k: int = COLLOC_K,
+                        min_count: int = COLLOC_MIN_COUNT):
+    """Top-k collocations: adjacent word pairs ranked by PMI-style
+    lift in exact fixed point —
+
+      lift_ppm = ((c_ab·10⁶) div c_a) · N div c_b
+
+    where c_ab is the bigram count, c_a/c_b the unigram counts and N
+    the corpus token total (the true PMI argument c_ab·N²/(N_bi·c_a·c_b)
+    differs only by the pair-independent factor N_bi/N, so up to the
+    fixed-point truncation the ranking is PMI's; the log is dropped — monotone — and the two sequential
+    truncating divs keep every intermediate ≤ 10⁶·N, int64-safe to
+    ~10¹² tokens). Bigram expansion is row-local; the unigram and
+    bigram count tables shuffle once each on their keys; the join back
+    onto the (Zipf-tiny) bigram aggregate broadcasts the unigram side
+    only when AQE sees it small. Ties (lift DESC, w1, w2). Exact
+    DuckDB oracle with the same expression."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t"))
+    uni = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_tokens"))
+    bi = (
+        docs.filter(F.size("t") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.struct(F.col("t")[i].alias("w1"),
+                               F.col("t")[i + 1].alias("w2")),
+        )).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")),
+                "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")),
+              "w2")
+        .join(F.broadcast(n_uni))
+        .select(
+            "w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+            F.expr("((c_ab * 1000000) div c_a) * n_tokens div c_b")
+            .cast("long").alias("lift_ppm"))
+    )
+    return (
+        scored.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+CORPUS_COLLOCATIONS_SQL = f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS tok FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(tok) AS w FROM t) GROUP BY w
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM (
+    SELECT tok[CAST(i AS INT)] AS w1, tok[CAST(i AS INT) + 1] AS w2
+    FROM t, LATERAL (SELECT unnest(range(1, len(tok))) AS i) r
+    WHERE len(tok) >= 2)
+  GROUP BY w1, w2
+  HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(((c_ab * 1000000) // a.c) * n_tokens // b.c AS BIGINT)
+         AS lift_ppm
+FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w CROSS JOIN n
+ORDER BY lift_ppm DESC, w1 ASC, w2 ASC
+LIMIT {COLLOC_K}
+"""
+
+
 def text_ngram_novelty(spark, sf_dir):
     """Per-document trigram novelty (a memorization/duplication proxy
     finer than whole-doc dedup): the share of a doc's DISTINCT trigrams
@@ -489,6 +569,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents": chunk_documents,
     "corpus_trigrams": corpus_trigrams,
+    "corpus_collocations": corpus_collocations,
     "text_ngram_novelty": text_ngram_novelty,
 }
 
@@ -500,5 +581,6 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "corpus_trigrams": CORPUS_TRIGRAMS_SQL,
+    "corpus_collocations": CORPUS_COLLOCATIONS_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
 }

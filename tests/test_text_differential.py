@@ -125,6 +125,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # trigram novelty (1/2-token docs exercise the short-doc
                # guard; planted exact duplicates plant df>1 trigrams)
                "corpus_trigrams", "text_ngram_novelty",
+               # collocation lift: planted duplicate docs push real
+               # bigrams over the min-count floor; empty corpora at the
+               # floor are a valid empty==empty differential
+               "corpus_collocations",
                # r6 fifth session: the persisted-inverted-index search
                # paths ('join' is in VOCAB → ranked returns rows; the
                # conjunctive default is empty on this vocab — empty ==
