@@ -199,6 +199,7 @@ def headline_queries():
         "text_search_ranked": text.text_search_ranked,
         "text_search_bm25": text.text_search_bm25,
         "text_search_snippets": text.text_search_snippets,
+        "text_search_fuzzy": text.text_search_fuzzy,
         "bpe_pair_counts": bpe.bpe_pair_counts,
         "importance_weights_hashed": sampling.importance_weights_hashed,
         "bpe_token_counts": bpe.bpe_token_counts,

@@ -927,6 +927,105 @@ LIMIT {RANKED_K}
 """
 
 
+FUZZY_TERM = "joib"   # a 1-substitution typo of the common term 'join'
+FUZZY_BUCKETS = 64    # deletion-index hash partitions (tracks vocab)
+
+
+def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS) -> str:
+    """Build (once) and register the SymSpell deletion index: for every
+    DISTINCT corpus term, one row per 1-deletion variant (plus the term
+    itself) → (variant, term, df), written partitionBy(pmod(
+    xxhash64(variant), buckets)). Two terms are within edit distance 1
+    iff their {term} ∪ deletions sets intersect (Garbe's SymSpell
+    observation), so a fuzzy lookup reads only the query's own ~|q|+1
+    variants' partitions — vocab-sized build, k-partition probe. Same
+    ArtifactStore contract as the token/norms indexes."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    params = f"fz{buckets}d1"
+    version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        vocab = (
+            _tok(spark, sf_dir)
+            .select(F.explode("t").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        variants = vocab.select(
+            "term", "df",
+            F.explode(F.array_union(
+                F.array(F.col("term")),
+                F.expr("transform(sequence(1, length(term)),"
+                       " i -> concat(substring(term, 1, i - 1),"
+                       "             substring(term, i + 1, length(term))))"),
+            )).alias("variant"),
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("variant"), F.lit(buckets)))
+        variants.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+    return store.get_or_build(f"delidx:{src}:{params}", version, build,
+                              src=src)
+
+
+def text_search_fuzzy(spark, sf_dir, term: str = FUZZY_TERM,
+                      buckets: int = FUZZY_BUCKETS,
+                      tok_buckets: int = TOKEN_BUCKETS):
+    """Spelling-tolerant search: docs containing ANY vocabulary term
+    within edit distance 1 of ``term``, with per-doc occurrence counts.
+    Stage 1 (term resolution) is the SymSpell deletion index: the
+    query's own {term} ∪ 1-deletions become literal partition
+    predicates (|q|+1 partitions read), candidates are then verified
+    with EXACT levenshtein ≤ 1 — identical DP in Spark and DuckDB, so
+    the oracle needs no index: it brute-forces levenshtein over the
+    (vocab-sized) distinct-term relation. Stage 2 feeds the matched
+    terms (a bounded driver collect: the edit-1 neighborhood of one
+    word) into the token index's pruned OR search. Document text is
+    never scanned in either stage."""
+    import os
+
+    idx = spark.read.parquet(deletion_index_dir(spark, sf_dir, buckets))
+    q_vars = [term] + [term[:i] + term[i + 1:] for i in range(len(term))]
+    var_buckets = sorted({
+        r["b"] for r in spark.createDataFrame(
+            [(v,) for v in q_vars], "variant string"
+        ).select(F.pmod(F.xxhash64("variant"), F.lit(buckets)).alias("b"))
+        .collect()})
+    matched = (
+        idx.filter(F.col("bucket").isin(var_buckets))  # partition pruning
+        .filter(F.col("variant").isin(q_vars))
+        .select("term", "df").distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(term)) <= 1)  # exact
+    )
+    terms = tuple(sorted(r["term"] for r in matched.collect()))  # bounded
+    if not terms:  # empty neighborhood → empty (doc_id, n_hits) frame
+        return matched.select(
+            F.col("df").cast("long").alias("doc_id"),
+            F.col("df").cast("long").alias("n_hits")).limit(0)
+    hits = _index_postings(spark, sf_dir, terms, tok_buckets)
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_hits"))
+    )
+
+
+TEXT_SEARCH_FUZZY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), m AS (
+  SELECT DISTINCT tok AS term FROM t
+  WHERE levenshtein(tok, '{FUZZY_TERM}') <= 1
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM t JOIN m ON t.tok = m.term
+GROUP BY doc_id
+"""
+
+
 SNIPPET_WINDOW = 2  # tokens of context on each side of the first hit
 
 
@@ -1078,6 +1177,7 @@ QUERIES = {
     "text_search_bm25": text_search_bm25,
     "text_search_bm25_incremental": text_search_bm25_incremental,
     "text_search_snippets": text_search_snippets,
+    "text_search_fuzzy": text_search_fuzzy,
     "text_search_phrase": text_search_phrase,
     "text_search_incremental": text_search_incremental,
 }
@@ -1108,6 +1208,10 @@ ORACLES = {
     "text_search_bm25_incremental": TEXT_SEARCH_BM25_SQL,
     # index-ranked top-k + k-row text fetch == scan-path CTE + slice
     "text_search_snippets": TEXT_SEARCH_SNIPPETS_SQL,
+    # deletion-index candidates + exact levenshtein verify == the
+    # oracle's brute levenshtein over the distinct-term relation
+    # (SymSpell completeness at distance 1 is a set-intersection lemma)
+    "text_search_fuzzy": TEXT_SEARCH_FUZZY_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim

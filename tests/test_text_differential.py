@@ -129,6 +129,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # bigrams over the min-count floor; empty corpora at the
                # floor are a valid empty==empty differential
                "corpus_collocations",
+               # fuzzy term search: 'joib' resolves to VOCAB's 'join'
+               # through the deletion index; word-salad corpora also
+               # plant other distance-1 neighbors at random
+               "text_search_fuzzy",
                # r6 fifth session: the persisted-inverted-index search
                # paths ('join' is in VOCAB → ranked returns rows; the
                # conjunctive default is empty on this vocab — empty ==
