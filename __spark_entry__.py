@@ -81,6 +81,7 @@ _PRIORITY = [
     # + bpe_pair_counts (+ rows-only bpe_learn_merges/bpe_token_counts)
     # + importance_weights_hashed + text_search_min_should_match
     # + hybrid_search_rrf + corpus_collocations + text_search_fuzzy
+    # + rerank_cross_encoder
     # (all verified green locally vs DuckDB / pinned in pytest) and the 13
     # per-gate check_* splits, plus the re-changed
     # approx_equivalence_checks (now 13 gates incl. the two BPE twins);

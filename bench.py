@@ -207,6 +207,7 @@ def headline_queries():
         "text_search_incremental": text.text_search_incremental,
         "hybrid_search_indexed": similarity.hybrid_search_indexed,
         "hybrid_search_rrf": similarity.hybrid_search_rrf,
+        "rerank_cross_encoder": similarity.rerank_cross_encoder,
     }
 
 

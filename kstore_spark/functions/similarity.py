@@ -1246,6 +1246,95 @@ def hybrid_search_indexed(spark, sf_dir, keyword: str = HYBRID_KEYWORD,
     return _hybrid_topk(spark, sf_dir, cand, k)
 
 
+_CE_MOD = 2147483647   # portable char-fold base for the fake scorer
+_CE_SCALE = 1_000_000
+
+
+def _ce_fake_score(query: str, text: str) -> int:
+    """Deterministic stand-in for a cross-encoder forward pass: 31-ary
+    code-point fold of 'query text' mod 2³¹−1, folded to [0, 10⁶) —
+    portable (same value from Python ord() and DuckDB ascii()), so the
+    whole rerank stage stays exactly oracle-checkable. A real model
+    replaces THIS function only; the Spark-side plumbing (Arrow batch
+    shape, schema, k-bounded fetch) is what the op pins down."""
+    acc = 0
+    for ch in query + " " + text:
+        acc = (acc * 31 + ord(ch)) % _CE_MOD
+    return acc % _CE_SCALE
+
+
+def rerank_cross_encoder(spark, sf_dir, k: int = None):
+    """Cross-encoder reranking — the final stage of a production
+    retrieval stack (bi-encoder/BM25 recall → cross-encoder precision):
+    take the BM25 top-k, fetch the k texts via the pushed literal-IN
+    point-gather (same late-materialization boundary as
+    text_search_snippets), and score each (query, doc) PAIR in an
+    Arrow-batched ``mapInPandas`` — the model-shaped boundary: a real
+    cross-encoder would tokenize and run its forward pass per batch
+    right there (no such model ships in this environment, so the scorer
+    is the deterministic fake above — the environment-mandated stub
+    posture, same as multimodal's _fake_decode — which keeps the stage
+    exactly DuckDB-oracled instead of untestable). Python touches k
+    rows per query, never the corpus. Output re-ranked by
+    (rerank_score DESC, doc_id)."""
+    import pandas as pd
+
+    from kstore_spark.functions.text import (
+        RANKED_K, RANKED_TERMS, text_search_bm25)
+    from kstore_spark.tables import table
+
+    k = RANKED_K if k is None else k
+    query = " ".join(RANKED_TERMS)
+    top = text_search_bm25(spark, sf_dir)
+    ids = [r["doc_id"] for r in top.select("doc_id").collect()]  # k rows
+    fetched = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))  # literal IN → row-group skip
+        .select("doc_id", "text")
+    )
+
+    def score(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "rerank_score": [_ce_fake_score(query, t)
+                                 for t in b["text"]],
+            })
+
+    scored = fetched.mapInPandas(score, "doc_id long, rerank_score long")
+    w = Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))  # k rows only
+        .select("rank", "doc_id", "rerank_score")
+    )
+
+
+def _rerank_sql() -> str:
+    from kstore_spark.functions.text import (
+        RANKED_K, RANKED_TERMS, TEXT_SEARCH_BM25_SQL)
+
+    head = TEXT_SEARCH_BM25_SQL.rpartition("SELECT CAST(ROW_NUMBER()")[0]
+    q = " ".join(RANKED_TERMS)
+    folded = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len('{q} ' || text) + 1), "
+        f"i -> CAST(ascii(substr('{q} ' || text, CAST(i AS INT), 1)) "
+        f"AS BIGINT))), (acc, c) -> (acc * 31 + c) % {_CE_MOD}) "
+        f"% {_CE_SCALE}")
+    return f"""
+{head}, top AS (
+  SELECT doc_id FROM s ORDER BY score_ppm DESC, doc_id LIMIT {RANKED_K}
+), scored AS (
+  SELECT top.doc_id, CAST({folded} AS BIGINT) AS rerank_score
+  FROM top JOIN documents ON top.doc_id = documents.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rerank_score DESC, doc_id) AS INT)
+         AS rank, doc_id, rerank_score
+FROM scored
+ORDER BY rerank_score DESC, doc_id
+"""
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
 
@@ -1363,6 +1452,7 @@ QUERIES = {
     "hybrid_search": hybrid_search,
     "hybrid_search_indexed": hybrid_search_indexed,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "rerank_cross_encoder": rerank_cross_encoder,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1390,6 +1480,8 @@ ORACLES = {
     "hybrid_search_indexed": HYBRID_SEARCH_SQL,
     # both fused rankings are integer-exact → so is the fusion
     "hybrid_search_rrf": _hybrid_rrf_sql(),
+    # fake-scorer fold is code-point arithmetic → portable, exact
+    "rerank_cross_encoder": _rerank_sql(),
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     # embedding_neardup_lsh verifies candidates with EXACT cosine, so its
     # output ⊆ brute force; at sf0.01 the seeded bands attain 100% recall

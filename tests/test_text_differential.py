@@ -133,6 +133,9 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # through the deletion index; word-salad corpora also
                # plant other distance-1 neighbors at random
                "text_search_fuzzy",
+               # cross-encoder rerank boundary: unicode corpora pin the
+               # ord()/ascii() code-point equivalence of the fake scorer
+               "rerank_cross_encoder",
                # r6 fifth session: the persisted-inverted-index search
                # paths ('join' is in VOCAB → ranked returns rows; the
                # conjunctive default is empty on this vocab — empty ==
@@ -165,14 +168,22 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
 
 @pytest.mark.parametrize("seed", SEEDS[:2])
 def test_corpus_ops_differential(spark, tmp_path, seed):
-    from kstore_spark.functions import corpus, dedup, lm, multimodal, sampling, text
+    from kstore_spark.functions import (
+        corpus, dedup, lm, multimodal, sampling, similarity, text)
     from kstore_spark.plans import extended
 
+    # rerank_cross_encoder is the one similarity-module op that reads
+    # ONLY the documents table (BM25 recall + text point-gather), so it
+    # fuzzes with the corpus family rather than the embeddings one
     queries = {**dedup.QUERIES, **corpus.QUERIES, **sampling.QUERIES,
                **multimodal.QUERIES, **extended.QUERIES, **lm.QUERIES,
+               "rerank_cross_encoder":
+                   similarity.QUERIES["rerank_cross_encoder"],
                **text.QUERIES}
     oracles = {**dedup.ORACLES, **corpus.ORACLES, **sampling.ORACLES,
                **multimodal.ORACLES, **extended.ORACLES, **lm.ORACLES,
+               "rerank_cross_encoder":
+                   similarity.ORACLES["rerank_cross_encoder"],
                **text.ORACLES}
 
     rng = random.Random(seed * 7)
