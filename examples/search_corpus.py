@@ -1,0 +1,88 @@
+"""End-to-end retrieval stack: the engine's search access paths, start
+to finish, on one corpus.
+
+Composes the persisted-index search family into the request flow a
+production retrieval service runs:
+
+    documents
+      1. index build        positional inverted index (postings carry
+                            tf, positions, and the BM25 dl norm — p2
+                            schema) + the 1-row corpus-stats artifact
+                            + the SymSpell deletion index; all
+                            ArtifactStore-registered, built once,
+                            reused across every query below
+      2. term resolution    a misspelled query term resolves through
+                            the deletion index (exact levenshtein
+                            verify)
+      3. candidate recall   boolean (AND / min-should-match), ranked
+                            (TF-IDF, BM25), and exact-phrase retrieval
+                            — each reading only its terms' hash
+                            partitions, never document text
+      4. fusion             reciprocal-rank fusion of the BM25 list
+                            with each query vector's exact cosine
+                            top-k (hybrid retrieval)
+      5. precision rerank   cross-encoder boundary: the k winners'
+                            texts are point-gathered (pushed literal
+                            IN) and scored pairwise in an
+                            Arrow-batched mapInPandas
+      6. presentation       snippets extracted at the first hit
+                            position FROM THE INDEX, text fetched for
+                            k docs only
+
+Every stage is either index/artifact-resident or k-bounded — document
+text is read only by the point-gathers in stages 5-6. Run:
+
+    python examples/search_corpus.py [sf_dir]   # default sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from kstore_spark.functions.similarity import (
+        hybrid_search_rrf, rerank_cross_encoder)
+    from kstore_spark.functions.text import (
+        text_search_bm25, text_search_fuzzy, text_search_indexed,
+        text_search_min_should_match, text_search_phrase,
+        text_search_ranked, text_search_snippets)
+    from kstore_spark.session import get_spark
+
+    spark = get_spark("search-example")
+
+    print("== 2. fuzzy term resolution ('joib' → edit-distance-1 terms)")
+    text_search_fuzzy(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 3a. conjunctive AND")
+    text_search_indexed(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 3b. min-should-match (2 of 4)")
+    text_search_min_should_match(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 3c. ranked TF-IDF top-k")
+    text_search_ranked(spark, sf_dir).show(5)
+
+    print("== 3d. BM25 top-k (dl from the posting row)")
+    text_search_bm25(spark, sf_dir).show(5)
+
+    print("== 3e. exact phrase")
+    text_search_phrase(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 4. hybrid fusion (BM25 ⊕ cosine, RRF)")
+    hybrid_search_rrf(spark, sf_dir).orderBy("query_id", "rank").show(10)
+
+    print("== 5. cross-encoder rerank of the BM25 top-k")
+    rerank_cross_encoder(spark, sf_dir).show(5)
+
+    print("== 6. snippets (positions from the index, k-row text fetch)")
+    text_search_snippets(spark, sf_dir).show(5, truncate=60)
+
+
+if __name__ == "__main__":
+    main()
