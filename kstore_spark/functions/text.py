@@ -487,11 +487,11 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
     (ref src/server/storage.c:462-560 — pick the index when selectivity
     pays): a conjunctive term query READS only its terms' hash
     partitions, while the scan path reads every document's full text.
-    (Partition DISCOVERY still walks every bucket dir once per
-    relation — that's why b=1024 measured slower than b=64 on a tiny
-    vocabulary, PERF.md — so bucket count must track vocabulary size,
-    and at real scale the file listing should come from catalog
-    metadata, not a directory walk.) One batch write at ingest; Zipf makes the
+    (Partition discovery is O(|terms|) too: _index_postings hands the
+    probed buckets' paths to the reader directly, so bucket count no
+    longer penalizes the probe — b=1024 measured equal to b=64 after
+    the change, PERF.md; size buckets for write-side balance.)
+    One batch write at ingest; Zipf makes the
     bucket sizes uneven but bounded (the head token's postings list is
     ≤ |docs| ids — ids-only rows, not text)."""
     import os
@@ -547,16 +547,28 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
 def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
     """Pruned postings scan shared by the index-path searches: the
     terms' bucket ids are computed up front (|terms| rows —
-    driver-trivial) and reach the index scan as LITERAL partition
-    predicates, so only |terms| of the ``buckets`` partitions are
-    READ (PartitionFilters plan-pinned; discovery still lists every
-    bucket dir once — see token_index_dir)."""
-    idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets, max_doc))
+    driver-trivial) and ONLY those buckets' partition directories are
+    handed to the reader (``basePath`` keeps the bucket partition
+    column), so both discovery AND reading are O(|terms|) — the full
+    bucket-dir walk that made b=1024 slower than b=64 on a tiny
+    vocabulary (PERF.md) is gone; per probed path the cost is one
+    existence check (one HEAD request on an object store). The literal
+    bucket filter stays on top (PartitionFilters plan-pinned) and the
+    exact term filter runs in-partition."""
+    import os
+
+    base = token_index_dir(spark, sf_dir, buckets, max_doc)
     term_buckets = sorted({
         r["b"] for r in spark.createDataFrame(
             [(t,) for t in terms], "tok string"
         ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
     })
+    paths = [p for p in (os.path.join(base, f"bucket={b}")
+                         for b in term_buckets) if os.path.isdir(p)]
+    if paths:
+        idx = spark.read.option("basePath", base).parquet(*paths)
+    else:  # no probed bucket materialized (all query terms unseen) —
+        idx = spark.read.parquet(base)  # full listing, returns 0 rows
     return (
         idx.filter(F.col("bucket").isin(term_buckets))   # partition pruning
         .filter(F.col("tok").isin(list(terms)))          # exact, in-partition
