@@ -432,18 +432,23 @@ def importance_weights_hashed(spark, sf_dir, buckets: int = DSIR_BUCKETS,
     past that, shard the totals (the counts stay mergeable) or move
     the ratio to log-space doubles (ranking-only, oracle becomes
     bounds-based)."""
-    feats = _doc_features(spark, sf_dir, buckets).persist()
-    tgt = (feats.filter(F.col("doc_id") < trusted_max)
-           .groupBy("f").agg(F.count(F.lit(1)).alias("cnt_t")))
-    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("cnt_r"))
-    totals = (
-        raw.agg(F.sum("cnt_r").alias("total_r"))
-        .join(tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("total_t")))
-    )
+    # No persist (ADVICE r6: a cached corpus-scale relation that the
+    # returned frame reads lazily leaks across driver calls). Instead
+    # target and raw counts come from ONE conditional aggregation, so
+    # the corpus-scale feats relation appears exactly twice in the
+    # lineage — once under the B-bounded counts subtree, once for the
+    # final per-doc sum. Each occurrence is a row-local map over the
+    # documents scan: at scale that is two cheap passes, not a
+    # corpus-sized cache.
+    feats = _doc_features(spark, sf_dir, buckets)
+    counts = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.count(F.when(F.col("doc_id") < trusted_max, 1)).alias("cnt_t"))
+    totals = counts.agg(
+        F.coalesce(F.sum("cnt_r"), F.lit(0)).alias("total_r"),
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("total_t"))
     scores = (
-        raw.join(F.broadcast(tgt), "f", "left")
-        .na.fill({"cnt_t": 0})
-        .join(F.broadcast(totals))
+        counts.join(F.broadcast(totals))
         .select("f", F.expr(
             f"((cnt_t + 1) * (total_r + {buckets}) * 1000000) div "
             f"((cnt_r + 1) * (total_t + {buckets})) - 1000000")

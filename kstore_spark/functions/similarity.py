@@ -1263,7 +1263,7 @@ def _ce_fake_score(query: str, text: str) -> int:
     return acc % _CE_SCALE
 
 
-def rerank_cross_encoder(spark, sf_dir, k: int = None):
+def rerank_cross_encoder(spark, sf_dir, k: int | None = None):
     """Cross-encoder reranking — the final stage of a production
     retrieval stack (bi-encoder/BM25 recall → cross-encoder precision):
     take the BM25 top-k, fetch the k texts via the pushed literal-IN
@@ -1285,7 +1285,7 @@ def rerank_cross_encoder(spark, sf_dir, k: int = None):
 
     k = RANKED_K if k is None else k
     query = " ".join(RANKED_TERMS)
-    top = text_search_bm25(spark, sf_dir)
+    top = text_search_bm25(spark, sf_dir, k=k)
     ids = [r["doc_id"] for r in top.select("doc_id").collect()]  # k rows
     fetched = (
         table(spark, sf_dir, "documents")

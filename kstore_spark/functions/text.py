@@ -544,6 +544,23 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
     return store.get_or_build(f"tokidx:{src}:{params}", version, build, src=src)
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — one
+    getFileStatus RPC per path, which IS a HEAD request on object
+    stores (s3a/gs/abfs) and a stat on local/HDFS paths, so the
+    O(|terms|) probe contract in _index_postings holds on every
+    storage scheme, not just the driver's local filesystem. Local
+    os.path only as a last-resort fallback if the JVM gateway is
+    unreachable."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        import os
+        return os.path.isdir(path)
+
+
 def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
     """Pruned postings scan shared by the index-path searches: the
     terms' bucket ids are computed up front (|terms| rows —
@@ -552,7 +569,8 @@ def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
     column), so both discovery AND reading are O(|terms|) — the full
     bucket-dir walk that made b=1024 slower than b=64 on a tiny
     vocabulary (PERF.md) is gone; per probed path the cost is one
-    existence check (one HEAD request on an object store). The literal
+    existence check through the Hadoop FileSystem API (_fs_exists — a
+    HEAD request on an object store, a stat locally). The literal
     bucket filter stays on top (PartitionFilters plan-pinned) and the
     exact term filter runs in-partition."""
     import os
@@ -564,11 +582,18 @@ def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
         ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
     })
     paths = [p for p in (os.path.join(base, f"bucket={b}")
-                         for b in term_buckets) if os.path.isdir(p)]
+                         for b in term_buckets) if _fs_exists(spark, p)]
     if paths:
         idx = spark.read.option("basePath", base).parquet(*paths)
-    else:  # no probed bucket materialized (all query terms unseen) —
-        idx = spark.read.parquet(base)  # full listing, returns 0 rows
+    else:
+        # No probed bucket partition exists — a term's postings can
+        # only live in its own hash bucket, so the result is exactly
+        # empty; return it without any directory listing (also covers
+        # the zero-row index a max_doc=0 history slice writes, which
+        # has no part files to infer a schema from).
+        idx = spark.createDataFrame(
+            [], "tok string, doc_id bigint, tf bigint, "
+                "positions array<int>, dl bigint, bucket bigint")
     return (
         idx.filter(F.col("bucket").isin(term_buckets))   # partition pruning
         .filter(F.col("tok").isin(list(terms)))          # exact, in-partition
@@ -787,13 +812,12 @@ def token_norms_dir(spark, sf_dir, max_doc: int | None = None) -> str:
     return store.get_or_build(f"toknorms:{src}:{params}", version, build, src=src)
 
 
-def _bm25_topk(hits, stats, k, norms=None):
+def _bm25_topk(hits, stats, k):
     """Score a (tok, doc_id, tf, dl) hits relation with fixed-point
-    BM25 and return the top-k; if ``norms`` is given, hits carries no
-    dl column and dl is joined from it instead (the scan-twin path —
-    the index path carries dl on the posting row, p2 schema). All
-    arithmetic is int64 with truncating div, so the DuckDB mirror is
-    exact:
+    BM25 and return the top-k. dl rides on every hit row (p2 posting
+    schema — the Lucene norms trick), so scoring never joins a
+    corpus-sized norms relation. All arithmetic is int64 with
+    truncating div, so the DuckDB mirror is exact:
 
       dl_ratio_ppk = dl·N·1000 div total_tokens          (≈ 1000·dl/avgdl)
       tfsat_ppm    = tf·(1000+k1)·10⁶ div
@@ -808,11 +832,8 @@ def _bm25_topk(hits, stats, k, norms=None):
     Overflow bound: idf_milli·tfsat_ppm ≤ 2N·1000·2.2·10⁶ — int64-safe
     to N ≈ 2·10⁹ docs per index shard (document-count, not bytes)."""
     df_t = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = hits.join(F.broadcast(df_t), "tok")
-    if norms is not None:
-        scored = scored.join(norms, "doc_id")
     scored = (
-        scored
+        hits.join(F.broadcast(df_t), "tok")
         .join(F.broadcast(stats))
         .withColumn("dl_ratio_ppk",
                     F.expr("(dl * n_docs * 1000) div total_tokens"))
@@ -897,8 +918,11 @@ def text_search_bm25_incremental(spark, sf_dir,
                 F.coalesce(F.sum("dl"), F.lit(0)).alias("inc_tokens"))))
         .select(
             (F.col("n_docs") + F.col("inc_docs")).alias("n_docs"),
-            (F.col("total_tokens") + F.col("inc_tokens"))
-            .alias("total_tokens"))
+            # an EMPTY history slice (new_min ≤ min doc_id) writes its
+            # stats row as SUM over zero rows → NULL total_tokens;
+            # coalesce so the whole-corpus-as-increment case stays exact
+            (F.coalesce(F.col("total_tokens"), F.lit(0))
+             + F.col("inc_tokens")).alias("total_tokens"))
     )
     return _bm25_topk(hist.unionByName(inc), stats, k)
 

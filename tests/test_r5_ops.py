@@ -121,7 +121,10 @@ def test_incremental_bm25_matches_full_and_oracle(spark, con):
 
     full = _diff(text_search_bm25(spark, SF_DIR), con, TEXT_SEARCH_BM25_SQL)
     assert full
-    for new_min in (1, 25, 10**9):
+    # 0 = EMPTY history slice: the bounded norms artifact's stats row
+    # has NULL total_tokens (SUM over zero rows) — pins the coalesce
+    # guard in text_search_bm25_incremental (ADVICE r6)
+    for new_min in (0, 1, 25, 10**9):
         rows = sorted(
             tuple(r)
             for r in text_search_bm25_incremental(
