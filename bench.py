@@ -22,7 +22,6 @@ import json
 import os
 import time
 
-import numpy as np
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,39 +33,64 @@ SELRATER = 0.75
 def gen_perftest_frames(spark):
     """Same distributions as the reference's perftests/gen.py (seed 42):
     ra/sa uniform join keys in [0, amax]; rc selective in [1,9] for 75%
-    of rows else 10; sf in [31,99]; rd negative / sg positive payloads."""
-    rng = np.random.RandomState(SEED)
+    of rows else 10; sf in [31,99]; rd negative / sg positive payloads.
+
+    Generated cluster-side (VERDICT r6 item 7): spark.range partitions
+    the id space across executors and every column is a deterministic
+    xxhash64(pos, seed, tag) derivation — no driver-side numpy array and
+    no 600k-row createDataFrame upload, so the generator itself scales
+    with the cluster (at numr=10⁹ the old path would serialize 16 GB
+    through the driver). Same uniform distributions and selectivities as
+    before; values differ from the numpy stream (hash- vs MT-derived),
+    which changes no timing — the operators see identical cardinalities,
+    key ranges, and join fan-out."""
+    def u(tag: str, lo: int, hi: int):
+        # uniform integer in [lo, hi] derived from (pos, SEED, tag)
+        return (F.pmod(F.xxhash64(F.col("pos"), F.lit(SEED), F.lit(tag)),
+                       F.lit(hi - lo + 1)) + lo).cast("int")
+
     n_sel = int(NUMR * SELRATER)
-    rc = np.concatenate([rng.randint(1, 10, n_sel), np.full(NUMR - n_sel, 10)])
-    r = {
-        "pos": np.arange(NUMR, dtype=np.int64),
-        "ra": rng.randint(0, AMAX + 1, NUMR).astype(np.int32),
-        "rc": rc.astype(np.int32),
-        "rd": (-rng.randint(0, 2**30, NUMR)).astype(np.int32),
-    }
-    s = {
-        "pos": np.arange(NUMS, dtype=np.int64),
-        "sa": rng.randint(0, AMAX + 1, NUMS).astype(np.int32),
-        "sf": rng.randint(31, 100, NUMS).astype(np.int32),
-        "sg": rng.randint(0, 2**30, NUMS).astype(np.int32),
-    }
-    import pandas as pd
-
-    return (
-        spark.createDataFrame(pd.DataFrame(r)),
-        spark.createDataFrame(pd.DataFrame(s)),
+    r = spark.range(NUMR).withColumnRenamed("id", "pos").select(
+        "pos",
+        u("ra", 0, AMAX).alias("ra"),
+        F.when(F.col("pos") < n_sel, u("rc", 1, 9))
+         .otherwise(F.lit(10)).cast("int").alias("rc"),
+        (-u("rd", 0, 2**30 - 1)).cast("int").alias("rd"),
     )
+    s = spark.range(NUMS).withColumnRenamed("id", "pos").select(
+        "pos",
+        u("sa", 0, AMAX).alias("sa"),
+        u("sf", 31, 99).alias("sf"),
+        u("sg", 0, 2**30 - 1).alias("sg"),
+    )
+    return r, s
 
 
-def perftest_query(spark, algorithm: str):
+def write_perftest_tables(spark, base: str) -> tuple[str, str]:
+    """Materialize the generated r/s tables to parquet ONCE (untimed) —
+    the reference's perftests/gen.py writes files and its 9.86/9.88 s
+    baseline includes loading them, so the timed region here is
+    load-from-parquet + query, the same shape."""
+    r, s = gen_perftest_frames(spark)
+    rp, sp = os.path.join(base, "r"), os.path.join(base, "s")
+    r.write.mode("overwrite").parquet(rp)
+    s.write.mode("overwrite").parquet(sp)
+    return rp, sp
+
+
+def perftest_query(spark, algorithm: str, r_df=None, s_df=None):
     """select(rc,1,9) → fetch(ra) ; select(sf,31,99) → fetch(sa) ;
-    join ; fetch(rd), fetch(sg) ; max/min/count/count → one row."""
+    join ; fetch(rd), fetch(sg) ; max/min/count/count → one row.
+    r_df/s_df default to in-memory generation (plan-dump tooling); the
+    bench passes parquet-backed frames so load cost is in the timing,
+    like the reference's."""
     from kstore_spark.operators import equijoin, fetch
     from kstore_spark.operators.output import zip_vectors
     from kstore_spark.operators.select import select_range
     from kstore_spark.operators.types import Prov
 
-    r_df, s_df = gen_perftest_frames(spark)
+    if r_df is None or s_df is None:
+        r_df, s_df = gen_perftest_frames(spark)
     # late-materialization provenance: selects/fetches/join compose into
     # ONE shuffle join over the two frames (see operators/types.Prov)
     r_prov = Prov(frame=r_df, cols={c: c for c in ("ra", "rc", "rd")})
@@ -223,13 +247,25 @@ def main():
     # was min-of-2; VERDICT r5 item 5 flagged two rounds of sort drift
     # as likely host noise) damps shared-infra noise spikes (observed
     # ±2× run-to-run on a loaded host) without changing the workload.
-    for algo in ("hash", "sort"):
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            perftest_query(spark, algo)
-            runs.append(time.time() - t0)
-        times[f"kstore_perftest_{algo}"] = round(min(runs), 3)
+    # r7 (VERDICT r6 item 7): input tables are generated cluster-side
+    # and written to parquet once (untimed); each timed run loads them
+    # from parquet — the reference shape (gen.py writes, perftest loads).
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="kstore_perftest_")
+    try:
+        rp, sp = write_perftest_tables(spark, base)
+        for algo in ("hash", "sort"):
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                perftest_query(spark, algo,
+                               spark.read.parquet(rp), spark.read.parquet(sp))
+                runs.append(time.time() - t0)
+            times[f"kstore_perftest_{algo}"] = round(min(runs), 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
     # min-of-2 on every headline key too (VERDICT r2 item 7): shared-host
     # load inflates identical workloads up to 3× run-to-run, and the
@@ -241,9 +277,18 @@ def main():
     # the first run's cache, silently skipping the join/agg stages the
     # benchmark exists to measure (confirmed: dedup_substring run 2
     # drops to cache-read cost). Each timed run is cold-cache/warm-JVM.
+    # Drift hygiene (VERDICT r6 item 2): keys whose min-of-2 is ≥2 s get
+    # a third run — BENCH_r6 showed one shared-host spike can shift a
+    # whole family +29-53% with unchanged code/plans, and the expensive
+    # keys are exactly where a single bad run dominates the min.
     for name, fn in headline_queries().items():
         runs = []
         for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            runs.append(time.time() - t0)
+        if min(runs) >= 2.0:
             spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, SF_DIR).count()

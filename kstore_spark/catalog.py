@@ -560,6 +560,21 @@ class ArtifactStore:
       stay readable for the rest of their session).
     - CONCURRENT BUILDERS both build; the loser's finished dir is
       deleted under the lock and the winner's registered dir returned.
+
+    COORDINATION BOUNDARY (VERDICT r6 item 6): the *versioning* story —
+    content-derived versions from the (relpath, bytes) listing — is
+    exactly what an object store serves and carries over unchanged. The
+    *locking* story does not: registry mutations serialize on
+    fcntl.flock + os.replace, which are SINGLE-HOST POSIX primitives
+    shared only by drivers on one filesystem (the sandbox, one driver
+    node, or NFS with working flock). A multi-driver object-store
+    deployment would swap exactly one seam — the _locked()+_save()
+    critical section — for a conditional-put on the registry manifest
+    (S3 If-Match / GCS generation preconditions / DynamoDB-style CAS, as
+    in Delta/Iceberg commit protocols), retrying the read-modify-write
+    on precondition failure. Everything else (anonymous build dirs,
+    register-after-build, tombstone GC) already assumes no shared mutable
+    state beyond the registry document itself.
     """
 
     def __init__(self, base_dir: str | None = None):
@@ -716,6 +731,21 @@ class ArtifactStore:
                                       "created": time.time()}
             self._save(reg)
             return os.path.join(self.base, final)
+
+    def retire(self, name: str) -> None:
+        """Tombstone a registered artifact by name (e.g. a superseded
+        history-boundary index after compaction folds its rows into the
+        next boundary's artifact). The dir is NOT deleted here — it goes
+        onto the tombstone list and is swept behind the same
+        session-epoch barrier as stale versions, so live DataFrames
+        over it stay readable for the rest of their session. Retiring
+        an unknown name is a no-op (a concurrent compactor won)."""
+        with self._locked():
+            reg = self._load()
+            ent = reg["artifacts"].pop(name, None)
+            if ent:
+                reg["tombstones"].append([ent["dir"], time.time()])
+                self._save(reg)
 
     def _gc(self, reg: dict) -> None:
         """Sweep (a) artifacts whose recorded source path vanished

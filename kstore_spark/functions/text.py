@@ -519,29 +519,109 @@ def token_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS,
         version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
-        docs = _tok(spark, sf_dir)
-        if max_doc is not None:
-            docs = docs.filter(F.col("doc_id") < max_doc)
-        postings = (
-            docs
-            .select("doc_id", F.size("t").cast("long").alias("dl"),
-                    F.posexplode("t").alias("p", "tok"))
-            .groupBy("tok", "doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                # 0-based in-doc positions, sorted — phrase queries
-                # intersect shifted copies of these (column pruned away
-                # for the tf-only searches: ids+counts stay the scan)
-                F.sort_array(F.collect_list("p")).alias("positions"),
-                # doc length rides the posting (p2 schema) — pruned
-                # away by every non-BM25 consumer
-                F.first("dl").alias("dl"),
-            )
-            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(buckets)))
-        )
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        _postings_frame(spark, sf_dir, buckets, hi=max_doc).write.mode(
+            "overwrite").partitionBy("bucket").parquet(out_dir)
 
     return store.get_or_build(f"tokidx:{src}:{params}", version, build, src=src)
+
+
+def _postings_frame(spark, sf_dir, buckets, lo=None, hi=None):
+    """The postings relation for documents with lo ≤ doc_id < hi (either
+    bound optional): (tok, doc_id, tf, positions, dl, bucket). Shared by
+    the full/history index build and the compaction's increment leg."""
+    docs = _tok(spark, sf_dir)
+    if lo is not None:
+        docs = docs.filter(F.col("doc_id") >= lo)
+    if hi is not None:
+        docs = docs.filter(F.col("doc_id") < hi)
+    return (
+        docs
+        .select("doc_id", F.size("t").cast("long").alias("dl"),
+                F.posexplode("t").alias("p", "tok"))
+        .groupBy("tok", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            # 0-based in-doc positions, sorted — phrase queries
+            # intersect shifted copies of these (column pruned away
+            # for the tf-only searches: ids+counts stay the scan)
+            F.sort_array(F.collect_list("p")).alias("positions"),
+            # doc length rides the posting (p2 schema) — pruned
+            # away by every non-BM25 consumer
+            F.first("dl").alias("dl"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(buckets)))
+    )
+
+
+def compact_token_index(spark, sf_dir, old_min: int, new_min: int,
+                        buckets: int = TOKEN_BUCKETS) -> tuple[str, str]:
+    """Fold the increment into the index (VERDICT r6 item 5): advance
+    the history boundary from ``old_min`` to ``new_min`` by MERGING the
+    existing boundary artifacts with freshly-indexed postings/norms for
+    old_min ≤ doc_id < new_min, registered as the m{new_min} artifacts.
+    After compaction the steady-state query cost of the *_incremental
+    searches (called with new_min) returns to the indexed floor — the
+    increment leg is empty — matching the reference's b+tree, which
+    stays query-fast because inserts maintain the index (ref
+    src/server/storage.c:1624-1626).
+
+    Cost contract: compaction tokenizes ONLY the increment's text; the
+    history contributes its already-built postings/dl rows (ids+counts,
+    not text — a Lucene-style segment merge). Both merged artifacts go
+    through the standard ArtifactStore build contract (anonymous build
+    dir, atomic register-after-build, crash mid-fold leaves an orphan
+    that is never reused and the old boundary fully serviceable —
+    pinned in test_artifacts.py), and the same content-derived bounded
+    version a from-scratch m{new_min} build would get, so later
+    token_index_dir/token_norms_dir calls at new_min reuse it verbatim.
+    The superseded m{old_min} artifacts are retired (tombstone +
+    session-epoch GC; live readers finish their session on them)."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    old_idx = token_index_dir(spark, sf_dir, buckets, max_doc=old_min)
+    old_norms = token_norms_dir(spark, sf_dir, max_doc=old_min)
+
+    params = f"b{buckets}p2m{new_min}"
+    version = ArtifactStore.source_version_bounded(
+        src, params, "doc_id", new_min)
+
+    def build_idx(out_dir: str) -> None:
+        hist = (spark.read.option("basePath", old_idx).parquet(old_idx)
+                .withColumn("bucket", F.col("bucket").cast("long")))
+        inc = _postings_frame(spark, sf_dir, buckets, lo=old_min, hi=new_min)
+        (hist.unionByName(inc).write.mode("overwrite")
+         .partitionBy("bucket").parquet(out_dir))
+
+    idx_dir = store.get_or_build(
+        f"tokidx:{src}:{params}", version, build_idx, src=src)
+
+    nparams = "norms1" + f"m{new_min}"
+    nversion = ArtifactStore.source_version_bounded(
+        src, nparams, "doc_id", new_min)
+
+    def build_norms(out_dir: str) -> None:
+        hist_dl = spark.read.parquet(os.path.join(old_norms, "dl"))
+        inc_dl = (
+            _tok(spark, sf_dir)
+            .filter((F.col("doc_id") >= old_min) & (F.col("doc_id") < new_min))
+            .select("doc_id", F.size("t").cast("long").alias("dl")))
+        (hist_dl.unionByName(inc_dl).write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "dl")))
+        (spark.read.parquet(os.path.join(out_dir, "dl"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("dl").alias("total_tokens"))
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "stats")))
+
+    norms_dir = store.get_or_build(
+        f"toknorms:{src}:{nparams}", nversion, build_norms, src=src)
+
+    store.retire(f"tokidx:{src}:b{buckets}p2m{old_min}")
+    store.retire(f"toknorms:{src}:norms1m{old_min}")
+    return idx_dir, norms_dir
 
 
 def _fs_exists(spark, path: str) -> bool:
@@ -1008,45 +1088,80 @@ def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS) -> str:
                               src=src)
 
 
-def text_search_fuzzy(spark, sf_dir, term: str = FUZZY_TERM,
-                      buckets: int = FUZZY_BUCKETS,
-                      tok_buckets: int = TOKEN_BUCKETS):
-    """Spelling-tolerant search: docs containing ANY vocabulary term
-    within edit distance 1 of ``term``, with per-doc occurrence counts.
-    Stage 1 (term resolution) is the SymSpell deletion index: the
-    query's own {term} ∪ 1-deletions become literal partition
-    predicates (|q|+1 partitions read), candidates are then verified
-    with EXACT levenshtein ≤ 1 — identical DP in Spark and DuckDB, so
-    the oracle needs no index: it brute-forces levenshtein over the
-    (vocab-sized) distinct-term relation. Stage 2 feeds the matched
-    terms (a bounded driver collect: the edit-1 neighborhood of one
-    word) into the token index's pruned OR search. Document text is
-    never scanned in either stage."""
-    import os
-
+def _fuzzy_neighborhood(spark, sf_dir, q_terms: tuple[str, ...],
+                        buckets: int) -> tuple[str, ...]:
+    """Resolve the union of the query terms' edit-distance-1 vocabulary
+    neighborhoods through the SymSpell deletion index in ONE probe:
+    every query term's {term} ∪ 1-deletions become literal partition
+    predicates (Σ(|q|+1) partitions read, vocabulary never scanned),
+    candidates are verified with EXACT levenshtein ≤ 1 against ANY
+    query term. Returns the matched vocabulary terms (bounded driver
+    collect: a union of edit-1 neighborhoods)."""
     idx = spark.read.parquet(deletion_index_dir(spark, sf_dir, buckets))
-    q_vars = [term] + [term[:i] + term[i + 1:] for i in range(len(term))]
+    q_vars = sorted({v for t in q_terms
+                     for v in [t] + [t[:i] + t[i + 1:] for i in range(len(t))]})
     var_buckets = sorted({
         r["b"] for r in spark.createDataFrame(
             [(v,) for v in q_vars], "variant string"
         ).select(F.pmod(F.xxhash64("variant"), F.lit(buckets)).alias("b"))
         .collect()})
+    lev_min = F.least(*[F.levenshtein(F.col("term"), F.lit(t))
+                        for t in q_terms]) if len(q_terms) > 1 else \
+        F.levenshtein(F.col("term"), F.lit(q_terms[0]))
     matched = (
         idx.filter(F.col("bucket").isin(var_buckets))  # partition pruning
         .filter(F.col("variant").isin(q_vars))
-        .select("term", "df").distinct()
-        .filter(F.levenshtein(F.col("term"), F.lit(term)) <= 1)  # exact
+        .select("term").distinct()
+        .filter(lev_min <= 1)  # exact verification
     )
-    terms = tuple(sorted(r["term"] for r in matched.collect()))  # bounded
+    return tuple(sorted(r["term"] for r in matched.collect()))  # bounded
+
+
+def _fuzzy_search(spark, sf_dir, q_terms: tuple[str, ...],
+                  buckets: int, tok_buckets: int):
+    """Shared OR-search over the resolved fuzzy neighborhood: per-doc
+    total occurrences of any matched term, via the token index's
+    pruned postings. Document text is never scanned in either stage."""
+    terms = _fuzzy_neighborhood(spark, sf_dir, q_terms, buckets)
     if not terms:  # empty neighborhood → empty (doc_id, n_hits) frame
-        return matched.select(
-            F.col("df").cast("long").alias("doc_id"),
-            F.col("df").cast("long").alias("n_hits")).limit(0)
+        return spark.createDataFrame([], "doc_id bigint, n_hits bigint")
     hits = _index_postings(spark, sf_dir, terms, tok_buckets)
     return (
         hits.groupBy("doc_id")
         .agg(F.sum("tf").cast("long").alias("n_hits"))
     )
+
+
+def text_search_fuzzy(spark, sf_dir, term: str = FUZZY_TERM,
+                      buckets: int = FUZZY_BUCKETS,
+                      tok_buckets: int = TOKEN_BUCKETS):
+    """Spelling-tolerant search: docs containing ANY vocabulary term
+    within edit distance 1 of ``term``, with per-doc occurrence counts.
+    Stage 1 (term resolution) is the SymSpell deletion index
+    (_fuzzy_neighborhood); stage 2 the token index's pruned OR search.
+    The oracle needs no index: it brute-forces levenshtein over the
+    (vocab-sized) distinct-term relation — identical DP in Spark and
+    DuckDB."""
+    return _fuzzy_search(spark, sf_dir, (term,), buckets, tok_buckets)
+
+
+FUZZY_TERMS = ("joib", "scam")  # two 1-edit typos ('join', 'scan') —
+                                # the multi-term query shape real fuzzy
+                                # retrieval sends (VERDICT r6 item 8)
+
+
+def text_search_fuzzy_multi(spark, sf_dir,
+                            terms: tuple[str, ...] = FUZZY_TERMS,
+                            buckets: int = FUZZY_BUCKETS,
+                            tok_buckets: int = TOKEN_BUCKETS):
+    """Multi-term fuzzy retrieval (VERDICT r6 item 8): per-term edit-1
+    neighborhood resolution over the WHOLE query list in one deletion-
+    index probe, then one OR search over the union neighborhood —
+    Σ(|qᵢ|+1) variant partitions + |matched terms| token partitions
+    read, independent of corpus size. n_hits counts every occurrence
+    of any neighborhood term (a doc matching both typos' neighborhoods
+    counts both)."""
+    return _fuzzy_search(spark, sf_dir, tuple(terms), buckets, tok_buckets)
 
 
 TEXT_SEARCH_FUZZY_SQL = f"""
@@ -1055,6 +1170,19 @@ WITH t AS (
 ), m AS (
   SELECT DISTINCT tok AS term FROM t
   WHERE levenshtein(tok, '{FUZZY_TERM}') <= 1
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM t JOIN m ON t.tok = m.term
+GROUP BY doc_id
+"""
+
+
+TEXT_SEARCH_FUZZY_MULTI_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), m AS (
+  SELECT DISTINCT tok AS term FROM t
+  WHERE {" OR ".join(f"levenshtein(tok, '{q}') <= 1" for q in FUZZY_TERMS)}
 )
 SELECT doc_id, COUNT(*) AS n_hits
 FROM t JOIN m ON t.tok = m.term
@@ -1214,6 +1342,7 @@ QUERIES = {
     "text_search_bm25_incremental": text_search_bm25_incremental,
     "text_search_snippets": text_search_snippets,
     "text_search_fuzzy": text_search_fuzzy,
+    "text_search_fuzzy_multi": text_search_fuzzy_multi,
     "text_search_phrase": text_search_phrase,
     "text_search_incremental": text_search_incremental,
 }
@@ -1248,6 +1377,7 @@ ORACLES = {
     # oracle's brute levenshtein over the distinct-term relation
     # (SymSpell completeness at distance 1 is a set-intersection lemma)
     "text_search_fuzzy": TEXT_SEARCH_FUZZY_SQL,
+    "text_search_fuzzy_multi": TEXT_SEARCH_FUZZY_MULTI_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim

@@ -25,21 +25,52 @@ from pyspark.sql import functions as F
 def _postings_expr():
     """Row-local postings of the token array `t`: one struct per
     DISTINCT token with its occurrence count and ascending 0-based
-    positions — the same values the batch groupBy produces (positions
-    ascend because F.filter preserves sequence order, matching the
-    batch sort_array(collect_list(p)))."""
-    toks = F.array_distinct("t")
-    return F.transform(
-        toks,
-        lambda tk: F.struct(
-            tk.alias("tok"),
-            F.size(F.filter(F.col("t"), lambda x: x == tk)).alias("tf"),
-            F.filter(
-                F.sequence(F.lit(0), F.size("t") - 1),
-                lambda i: F.col("t")[i] == tk,
-            ).cast("array<long>").alias("positions"),
-        ),
-    )
+    positions — the same values the batch groupBy produces.
+
+    LINEAR in document length (VERDICT r6 item 4 — the old
+    per-distinct-token F.filter over the full array was
+    O(len·distinct), quadratic on a natural-text MB-scale document):
+    sort (tok, pos) pairs once — O(n log n) — find the group
+    boundaries in one pass, then slice each group out, total work Σ
+    group sizes = n. Still one codegen'd expression, zero state, no
+    shuffle. Intermediates are let-bound via transform-over-singleton
+    (transform(array(X), x -> body) evaluates X exactly once and binds
+    it as a lambda variable — Spark's CSE does not hoist subtrees out
+    of lambda bodies, so naming them is the only way to avoid
+    re-evaluating the sort per group). Positions ascend because the
+    sort orders (tok, pos) lexicographically, matching the batch
+    sort_array(collect_list(p))."""
+    pairs0 = F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.size("t") - 1),
+        lambda i: F.struct(F.get("t", i).alias("tok"), i.alias("pos")),
+    ))
+
+    def with_pairs(pairs):
+        # group starts in the sorted pair array; F.get(pairs, -1) is
+        # NULL, and TRUE OR NULL = TRUE, so i=0 is always a boundary
+        bnd0 = F.filter(
+            F.sequence(F.lit(0), F.size(pairs) - 1),
+            lambda i: (i == F.lit(0))
+            | (F.get(pairs, i)["tok"] != F.get(pairs, i - 1)["tok"]),
+        )
+
+        def with_bnd(bnd):
+            def group(j):
+                start = F.get(bnd, j)
+                # last group ends at n (F.get past the end is NULL)
+                end = F.coalesce(F.get(bnd, j + 1), F.size(pairs))
+                return F.struct(
+                    F.get(pairs, start)["tok"].alias("tok"),
+                    (end - start).alias("tf"),
+                    F.transform(F.sequence(start, end - 1),
+                                lambda k: F.get(pairs, k)["pos"])
+                    .cast("array<long>").alias("positions"),
+                )
+            return F.transform(F.sequence(F.lit(0), F.size(bnd) - 1), group)
+
+        return F.element_at(F.transform(F.array(bnd0), with_bnd), 1)
+
+    return F.element_at(F.transform(F.array(pairs0), with_pairs), 1)
 
 
 def stream_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

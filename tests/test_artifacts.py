@@ -291,3 +291,128 @@ def test_incremental_search_survives_append_without_reindex(spark, tmp_path):
     exp = sorted(tuple(r) for r in
                  text_search_ranked(spark, str(sf)).collect())
     assert got and got == exp
+
+
+def _mk_corpus(docs_dir, n0=40, n1=15):
+    """Tiny two-file corpus: part-0 holds doc_id < n0 (history),
+    part-1 holds the increment [n0, n0+n1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(docs_dir)
+    words = ["dup", "join", "scan", "key", "data"]
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table({"doc_id": [i for i, _ in rows],
+                      "text": [t for _, t in rows],
+                      "lang": ["en"] * len(rows),
+                      "source": ["s"] * len(rows),
+                      "n_chars": [len(t) for _, t in rows]}),
+            os.path.join(str(docs_dir), name))
+
+    write("part-0.parquet",
+          [(i, " ".join(words[(i + j) % 5] for j in range(6)))
+           for i in range(n0)])
+    write("part-1.parquet",
+          [(i, " ".join(words[(i * 2 + j) % 5] for j in range(6)))
+           for i in range(n0, n0 + n1)])
+
+
+def _read_postings(spark, d):
+    rows = spark.read.parquet(d).collect()
+    return sorted((r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]),
+                   r["dl"]) for r in rows)
+
+
+def test_compaction_folds_increment_and_retires_old_boundary(spark, tmp_path):
+    """compact_token_index(old→new) must (a) produce postings/norms
+    byte-equal (as relations) to a from-scratch m{new} build, (b) be
+    reused verbatim by later token_index_dir(new) calls, (c) retire the
+    m{old} boundary artifacts from the registry, and (d) leave the
+    incremental searches exact with an empty increment leg."""
+    from kstore_spark.functions.text import (
+        compact_token_index, text_search_bm25, text_search_bm25_incremental,
+        token_index_dir, token_norms_dir)
+
+    sf = tmp_path / "sf"
+    _mk_corpus(sf / "documents.parquet")
+    src = str(sf / "documents.parquet")
+
+    old_idx = token_index_dir(spark, str(sf), max_doc=40)
+    token_norms_dir(spark, str(sf), max_doc=40)
+    idx_dir, norms_dir = compact_token_index(spark, str(sf), 40, 55)
+
+    # (a) relation-equal to a from-scratch build of the same boundary:
+    # build it from scratch in an isolated store so names can't collide
+    iso = ArtifactStore(str(tmp_path / "iso_store"))
+    from kstore_spark.functions.text import _postings_frame
+    scratch = str(tmp_path / "scratch_idx")
+    _postings_frame(spark, str(sf), 64, hi=55).write.partitionBy(
+        "bucket").parquet(scratch)
+    assert _read_postings(spark, idx_dir) == _read_postings(spark, scratch)
+    iso.close()
+
+    # norms: stats row equals the full recount
+    stats = spark.read.parquet(os.path.join(norms_dir, "stats")).collect()[0]
+    assert stats["n_docs"] == 55 and stats["total_tokens"] == 55 * 6
+
+    # (b) a later boundary-55 request reuses the compacted artifact
+    assert token_index_dir(spark, str(sf), max_doc=55) == idx_dir
+    assert token_norms_dir(spark, str(sf), max_doc=55) == norms_dir
+
+    # (c) the old boundary is retired (tombstoned, not deleted: live
+    # readers finish their session)
+    store = ArtifactStore()
+    reg = store._load()
+    assert f"tokidx:{src}:b64p2m40" not in reg["artifacts"]
+    assert os.path.isdir(old_idx)  # epoch barrier protects the dir
+
+    # (d) incremental search at the new boundary = full search, served
+    # entirely from the compacted artifacts (empty increment)
+    full = sorted(tuple(r) for r in text_search_bm25(spark, str(sf)).collect())
+    after = sorted(tuple(r) for r in text_search_bm25_incremental(
+        spark, str(sf), new_min=55).collect())
+    assert after == full and after
+
+
+def test_crash_mid_fold_leaves_old_boundary_serviceable(spark, tmp_path,
+                                                        monkeypatch):
+    """A compaction killed mid-merge must register NOTHING: the
+    m{new} name stays absent, the m{old} artifacts stay registered and
+    the incremental search keeps working off them; a retry then
+    completes the fold."""
+    import kstore_spark.functions.text as text
+
+    sf = tmp_path / "sf"
+    _mk_corpus(sf / "documents.parquet")
+    src = str(sf / "documents.parquet")
+
+    token_index_dir = text.token_index_dir
+    before = token_index_dir(spark, str(sf), max_doc=40)
+    text.token_norms_dir(spark, str(sf), max_doc=40)
+
+    real = text._postings_frame
+
+    def boom(*a, **kw):
+        if kw.get("lo") is not None:  # only the compaction's merge leg
+            raise RuntimeError("killed mid-fold")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(text, "_postings_frame", boom)
+    with pytest.raises(RuntimeError, match="mid-fold"):
+        text.compact_token_index(spark, str(sf), 40, 55)
+    monkeypatch.setattr(text, "_postings_frame", real)
+
+    reg = ArtifactStore()._load()
+    assert f"tokidx:{src}:b64p2m55" not in reg["artifacts"]
+    assert f"tokidx:{src}:b64p2m40" in reg["artifacts"]
+    # old boundary still serves the incremental search exactly
+    got = sorted(tuple(r) for r in text.text_search_bm25_incremental(
+        spark, str(sf), new_min=40).collect())
+    full = sorted(tuple(r) for r in text.text_search_bm25(
+        spark, str(sf)).collect())
+    assert got == full and got
+    # retry completes and is picked up
+    idx_dir, _ = text.compact_token_index(spark, str(sf), 40, 55)
+    assert token_index_dir(spark, str(sf), max_doc=55) == idx_dir

@@ -133,6 +133,12 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # through the deletion index; word-salad corpora also
                # plant other distance-1 neighbors at random
                "text_search_fuzzy",
+               # multi-term fuzzy (r7): 'joib'+'scam' resolve per-term
+               # neighborhoods in one deletion-index probe; on corpora
+               # where 'scam' has no edit-1 neighbor the result equals
+               # the single-term search — mirrored exactly by the OR in
+               # the oracle
+               "text_search_fuzzy_multi",
                # cross-encoder rerank boundary: unicode corpora pin the
                # ord()/ascii() code-point equivalence of the fake scorer
                "rerank_cross_encoder",
@@ -281,3 +287,30 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         res = con.execute(similarity.ORACLES[op])
         exp = _rowset([c[0] for c in res.description], res.fetchall())
         assert got == exp, f"{op} diverged at seed {seed}"
+
+
+def test_fuzzy_multi_unions_both_neighborhoods(spark):
+    """VERDICT r6 item 8 pin: the 2-typo query ('joib','scam') must
+    cover BOTH terms' edit-1 neighborhoods — its doc set is exactly the
+    union of the single-term searches' doc sets, and on docs hit by
+    only one neighborhood the occurrence counts agree (testdata corpus,
+    where both typos resolve: joib→join, scam→scan)."""
+    from kstore_spark.functions.text import (
+        text_search_fuzzy, text_search_fuzzy_multi)
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r["n_hits"]
+         for r in text_search_fuzzy(spark, sf, term="joib").collect()}
+    b = {r["doc_id"]: r["n_hits"]
+         for r in text_search_fuzzy(spark, sf, term="scam").collect()}
+    multi = {r["doc_id"]: r["n_hits"]
+             for r in text_search_fuzzy_multi(spark, sf).collect()}
+    assert a and b, "both typos must resolve on the testdata vocabulary"
+    assert set(multi) == set(a) | set(b)
+    for d, n in multi.items():
+        if d in a and d not in b:
+            assert n == a[d]
+        elif d in b and d not in a:
+            assert n == b[d]
+        else:  # hit by both neighborhoods: counts add unless overlap
+            assert n <= a[d] + b[d]

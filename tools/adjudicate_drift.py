@@ -1,0 +1,85 @@
+"""Drift adjudication harness (VERDICT r6 item 2): for each named
+driver key, run min-of-3 cold-cache timings at the bench sf AND save /
+diff its EXPLAIN FORMATTED plan snapshot under tools/plans/.
+
+Plans are normalized (expression ids #123, plan ids, artifact hash dirs,
+temp paths stripped) so a byte-diff means a REAL plan change, not an id
+reshuffle — the same normalization the r6 perftest_sort adjudication
+used. If a snapshot exists, the tool diffs against it and reports
+identical/changed; if not, it writes one (the baseline for next round).
+
+Usage: python tools/adjudicate_drift.py <key> [key ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import difflib
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PLANS = os.path.join(os.path.dirname(__file__), "plans")
+
+
+def normalize(plan: str) -> str:
+    plan = re.sub(r"#\d+[A-Za-z]*", "#N", plan)          # expression ids
+    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+    plan = re.sub(r"\[id=#?\d+\]", "[id=N]", plan)
+    plan = re.sub(r"[0-9a-f]{16,}", "HASH", plan)        # artifact versions
+    plan = re.sub(r"/tmp/[^\s,\]）)]*", "/tmp/X", plan)
+    plan = re.sub(r"Statistics\([^)]*\)", "Statistics(X)", plan)
+    plan = re.sub(r"size=[\d.]+ *[KMGT]?i?B", "size=X", plan)
+    return plan
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = "/root/testdata/sf0.1"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf = args[i + 1]
+        args = args[:i] + args[i + 2:]
+
+    import __spark_entry__ as entry
+    from kstore_spark.session import get_spark
+
+    spark = get_spark("drift-adjudicate")
+    spark.range(1).count()
+    qs = entry.queries()
+
+    for name in args:
+        fn = qs[name]
+        plan = normalize(
+            fn(spark, sf)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")))
+        snap = os.path.join(PLANS, f"{name}.txt")
+        if os.path.exists(snap):
+            old = open(snap).read()
+            if old == plan:
+                verdict = "plan IDENTICAL to snapshot"
+            else:
+                d = list(difflib.unified_diff(
+                    old.splitlines(), plan.splitlines(), lineterm=""))[:40]
+                verdict = "plan CHANGED:\n" + "\n".join(d)
+                with open(snap + ".new", "w") as f:
+                    f.write(plan)
+        else:
+            with open(snap, "w") as f:
+                f.write(plan)
+            verdict = "snapshot written (new baseline)"
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf).count()
+            runs.append(round(time.time() - t0, 3))
+        print(f"{name}: min={min(runs)} runs={runs}  {verdict}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

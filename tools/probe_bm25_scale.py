@@ -36,7 +36,9 @@ def scan_twin(spark, sf_dir, k):
     norms = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
     stats = norms.agg(F.count(F.lit(1)).alias("n_docs"),
                       F.sum("dl").alias("total_tokens"))
-    return _bm25_topk(hits, stats, k, norms=norms)
+    # dl joined onto the hits (what the p2 index schema denormalizes
+    # away) — this join is exactly the scan path's extra cost
+    return _bm25_topk(hits.join(norms, "doc_id"), stats, k)
 
 
 def main():
@@ -74,6 +76,18 @@ def main():
                    lambda: text_search_bm25_incremental(
                        spark, sf_dir, new_min=new_min), 2)
     assert inc_rows == idx_rows, "incremental != full"
+
+    # compaction (VERDICT r6 item 5): fold the 10% increment into the
+    # boundary artifacts, then the incremental query at the new
+    # boundary must return to the indexed floor (empty increment leg)
+    from kstore_spark.functions.text import compact_token_index
+    t0 = time.monotonic()
+    compact_token_index(spark, sf_dir, new_min, n_docs)
+    print(f"compaction fold {new_min}->{n_docs}: {time.monotonic()-t0:.2f} s")
+    post_rows = run(f"incremental AFTER fold (history<{n_docs}, 2nd = steady)",
+                    lambda: text_search_bm25_incremental(
+                        spark, sf_dir, new_min=n_docs), 2)
+    assert post_rows == idx_rows, "post-compaction != full"
 
     import duckdb
     con = duckdb.connect()
