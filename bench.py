@@ -232,6 +232,13 @@ def headline_queries():
         "hybrid_search_indexed": similarity.hybrid_search_indexed,
         "hybrid_search_rrf": similarity.hybrid_search_rrf,
         "rerank_cross_encoder": similarity.rerank_cross_encoder,
+        # round-7 additions (keys above stay comparable round-over-round):
+        # multi-term fuzzy (2-typo neighborhood resolution + OR search)
+        # and incremental BM25 (history artifacts + query-side increment
+        # — the pre-compaction steady state; the post-fold floor is
+        # text_search_bm25 above)
+        "text_search_fuzzy_multi": text.text_search_fuzzy_multi,
+        "text_search_bm25_incremental": text.text_search_bm25_incremental,
     }
 
 

@@ -28,6 +28,11 @@ production retrieval service runs:
       6. presentation       snippets extracted at the first hit
                             position FROM THE INDEX, text fetched for
                             k docs only
+      7. ingest lifecycle   incremental BM25 (history artifacts +
+                            query-side increment), then
+                            compact_token_index folds the increment
+                            into the boundary artifacts — query cost
+                            returns to the indexed floor
 
 Every stage is either index/artifact-resident or k-bounded — document
 text is read only by the point-gathers in stages 5-6. Run:
@@ -49,7 +54,9 @@ def main() -> None:
     from kstore_spark.functions.similarity import (
         hybrid_search_rrf, rerank_cross_encoder)
     from kstore_spark.functions.text import (
-        text_search_bm25, text_search_fuzzy, text_search_indexed,
+        INCR_DOC_MIN, compact_token_index, text_search_bm25,
+        text_search_bm25_incremental, text_search_fuzzy,
+        text_search_fuzzy_multi, text_search_indexed,
         text_search_min_should_match, text_search_phrase,
         text_search_ranked, text_search_snippets)
     from kstore_spark.session import get_spark
@@ -58,6 +65,9 @@ def main() -> None:
 
     print("== 2. fuzzy term resolution ('joib' → edit-distance-1 terms)")
     text_search_fuzzy(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 2b. multi-term fuzzy ('joib','scam' → union neighborhood)")
+    text_search_fuzzy_multi(spark, sf_dir).orderBy("doc_id").show(5)
 
     print("== 3a. conjunctive AND")
     text_search_indexed(spark, sf_dir).orderBy("doc_id").show(5)
@@ -82,6 +92,18 @@ def main() -> None:
 
     print("== 6. snippets (positions from the index, k-row text fetch)")
     text_search_snippets(spark, sf_dir).show(5, truncate=60)
+
+    print("== 7. ingest lifecycle: incremental query, then fold")
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).count()
+    print("   7a. BM25 over history index + query-side increment "
+          f"(history<{INCR_DOC_MIN}):")
+    text_search_bm25_incremental(spark, sf_dir).show(5)
+    print(f"   7b. compact_token_index({INCR_DOC_MIN} -> {n_docs}): "
+          "merge boundary artifacts + increment postings/norms")
+    compact_token_index(spark, sf_dir, INCR_DOC_MIN, n_docs)
+    print("   7c. same query served entirely from the folded index:")
+    text_search_bm25_incremental(spark, sf_dir, new_min=n_docs).show(5)
 
 
 if __name__ == "__main__":

@@ -416,3 +416,33 @@ def test_crash_mid_fold_leaves_old_boundary_serviceable(spark, tmp_path,
     # retry completes and is picked up
     idx_dir, _ = text.compact_token_index(spark, str(sf), 40, 55)
     assert token_index_dir(spark, str(sf), max_doc=55) == idx_dir
+
+
+def test_repeated_compaction_keeps_one_live_boundary(spark, tmp_path):
+    """Fold twice (40→48→55): each fold retires the previous boundary,
+    the registry holds exactly ONE live tokidx boundary artifact for
+    this source afterwards, and search results stay exact at every
+    boundary — the steady-state lifecycle (ingest → fold → ingest)."""
+    from kstore_spark.functions.text import (
+        compact_token_index, text_search_bm25, text_search_bm25_incremental,
+        token_norms_dir, token_index_dir)
+
+    sf = tmp_path / "sf"
+    _mk_corpus(sf / "documents.parquet")
+    src = str(sf / "documents.parquet")
+
+    token_index_dir(spark, str(sf), max_doc=40)
+    token_norms_dir(spark, str(sf), max_doc=40)
+    compact_token_index(spark, str(sf), 40, 48)
+    idx2, _ = compact_token_index(spark, str(sf), 48, 55)
+
+    reg = ArtifactStore()._load()
+    live = [n for n in reg["artifacts"]
+            if n.startswith(f"tokidx:{src}:") and "m" in n.split(":")[-1]]
+    assert live == [f"tokidx:{src}:b64p2m55"]
+    assert token_index_dir(spark, str(sf), max_doc=55) == idx2
+
+    full = sorted(tuple(r) for r in text_search_bm25(spark, str(sf)).collect())
+    got = sorted(tuple(r) for r in text_search_bm25_incremental(
+        spark, str(sf), new_min=55).collect())
+    assert got == full and got
