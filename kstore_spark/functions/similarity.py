@@ -492,6 +492,56 @@ def ivf_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
     return store.get_or_build(f"ivf:{src}:{params}", version, build, src=src)
 
 
+def compact_ivf_store(spark, sf_dir, old_min: int, new_min: int,
+                      n_cells: int = N_CELLS) -> str:
+    """Fold the embeddings increment into the IVF history store — the
+    ANN twin of text.compact_token_index (VERDICT r6 item 5 generalized
+    to the whole incremental family): advance the boundary from
+    ``old_min`` to ``new_min`` by MERGING the existing cell-partitioned
+    history store with the increment's query-kernel cell assignments
+    (only old_min ≤ vec_id < new_min is read and assigned — history
+    vectors are never re-assigned, re-read from source, or re-scored),
+    registered as the d{new_min} store under the standard ArtifactStore
+    contract with the SAME content-derived bounded version a
+    from-scratch build gets — so sim_ann_ivf_incremental(new_min) is
+    then served entirely from the folded store (empty increment branch)
+    and later ivf_store_dir(max_vec=new_min) calls reuse it verbatim.
+    Centroids are the first-n_cells ids (inside any history slice with
+    new_min ≥ n_cells), so the merged assignment is bit-identical to a
+    from-scratch build (pinned in tests). The superseded d{old_min}
+    store is retired (tombstone + session-epoch GC)."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    assert new_min >= n_cells, "centroid ids must lie inside history"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    store = ArtifactStore()
+    old_store = ivf_store_dir(spark, sf_dir, n_cells, max_vec=old_min)
+
+    params = f"c{n_cells}:d{new_min}"
+    version = ArtifactStore.source_version_bounded(
+        src, params, "vec_id", new_min)
+
+    def build(out_dir: str) -> None:
+        emb = _emb(spark, sf_dir).filter(F.col("vec_id") < new_min)
+        cents = _centroids(emb, n_cells)
+        inc = (
+            emb.filter(F.col("vec_id") >= old_min)
+            .withColumn("cell",
+                        _nearest_cells(F.col("v"), cents, 1)[0]["cell"]))
+        hist = spark.read.parquet(old_store)
+        hist = hist.withColumn(
+            "cell", F.col("cell").cast(dict(inc.dtypes)["cell"]))
+        (hist.unionByName(inc).write.mode("overwrite")
+         .partitionBy("cell").parquet(out_dir))
+
+    new_store = store.get_or_build(
+        f"ivf:{src}:{params}", version, build, src=src)
+    store.retire(f"ivf:{src}:c{n_cells}:d{old_min}")
+    return new_store
+
+
 def sim_ann_ivf_stored(spark, sf_dir, n_probe: int = N_PROBE,
                        n_cells: int = N_CELLS):
     """sim_ann_ivf against the cell-PARTITIONED store (ivf_store_dir):

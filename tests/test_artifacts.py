@@ -446,3 +446,61 @@ def test_repeated_compaction_keeps_one_live_boundary(spark, tmp_path):
     got = sorted(tuple(r) for r in text_search_bm25_incremental(
         spark, str(sf), new_min=55).collect())
     assert got == full and got
+
+
+def _mk_embeddings(emb_dir, n=80, dim=8):
+    """Deterministic float vectors: v[i][j] = hash-ish derivation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(emb_dir)
+    vecs = [[((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(dim)]
+            for i in range(n)]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([i % 3 for i in range(n)],
+                                    pa.int32())}),
+        os.path.join(str(emb_dir), "part-0.parquet"))
+
+
+def test_ivf_compaction_folds_and_matches_scratch(spark, tmp_path):
+    """compact_ivf_store(old→new) must produce a store relation equal
+    to a from-scratch d{new} build (same centroids: first-n_cells ids
+    are inside any history), be reused by later ivf_store_dir calls,
+    retire the old boundary, and leave sim_ann_ivf_incremental at the
+    new boundary equal to the full-corpus IVF (empty increment)."""
+    from kstore_spark.functions.similarity import (
+        _centroids, _emb, _nearest_cells, compact_ivf_store, ivf_store_dir,
+        sim_ann_ivf, sim_ann_ivf_incremental)
+    from pyspark.sql import functions as F
+
+    sf = tmp_path / "sf"
+    _mk_embeddings(sf / "embeddings.parquet")
+    src = str(sf / "embeddings.parquet")
+
+    ivf_store_dir(spark, str(sf), max_vec=60)
+    folded = compact_ivf_store(spark, str(sf), 60, 80)
+
+    # relation-equal to a from-scratch assignment of the same boundary
+    emb = _emb(spark, str(sf)).filter(F.col("vec_id") < 80)
+    cents = _centroids(emb, 16)
+    scratch = emb.withColumn(
+        "cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
+    got = sorted((r["vec_id"], int(r["cell"]))
+                 for r in spark.read.parquet(folded).collect())
+    want = sorted((r["vec_id"], int(r["cell"]))
+                  for r in scratch.collect())
+    assert got == want and len(got) == 80
+
+    # reuse + retirement
+    assert ivf_store_dir(spark, str(sf), max_vec=80) == folded
+    reg = ArtifactStore()._load()
+    assert f"ivf:{src}:c16:d60" not in reg["artifacts"]
+    assert f"ivf:{src}:c16:d80" in reg["artifacts"]
+
+    # incremental at the folded boundary == full-corpus IVF
+    full = {tuple(r) for r in sim_ann_ivf(spark, str(sf)).collect()}
+    post = {tuple(r) for r in
+            sim_ann_ivf_incremental(spark, str(sf), new_min=80).collect()}
+    assert post == full and post

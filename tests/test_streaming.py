@@ -438,3 +438,37 @@ def test_stream_token_postings_equals_batch_index(spark):
     want = sorted((r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]),
                    r["dl"]) for r in batch.collect())
     assert got == want and got
+
+
+def test_postings_expr_linear_long_document(spark):
+    """The r7 linear postings expression (sort + boundary split) must
+    match the posexplode+groupBy derivation on a LONG document with
+    heavy token repetition — group boundaries, tf, and ascending
+    positions at a length/distinct ratio the corpus never shows (and
+    where the old per-distinct-token shape was quadratic)."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.indexing import _postings_expr
+
+    # 30k tokens over a 500-word vocab, deterministic
+    doc = spark.range(1).select(
+        F.lit(0).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29_999)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(i), F.lit(500)).cast("string")),
+        ).alias("t"))
+    got = sorted(
+        (r["p"]["tok"], r["p"]["tf"], tuple(r["p"]["positions"]))
+        for r in doc.select(F.explode(_postings_expr()).alias("p")).collect())
+    want = sorted(
+        (r["tok"], r["tf"], tuple(r["positions"]))
+        for r in (
+            doc.select("doc_id", F.posexplode("t").alias("p", "tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.sort_array(F.collect_list("p")).cast("array<long>")
+                 .alias("positions"))
+        ).collect())
+    assert got == want and len(got) == 500
