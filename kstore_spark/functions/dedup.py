@@ -1023,6 +1023,44 @@ def lsh_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN) -> str:
     return store.get_or_build(f"lsh:{src}:d{max_doc}", version, build, src=src)
 
 
+def compact_lsh_index(spark, sf_dir, old_min: int, new_min: int) -> str:
+    """Fold the increment into the banded MinHash index — the near-dup
+    twin of text.compact_token_index: advance the history boundary from
+    ``old_min`` to ``new_min`` by merging the existing band-partitioned
+    index with the increment's bands (only old_min ≤ doc_id < new_min
+    is shingled/hashed — history text never re-read), registered under
+    the same content-derived bounded version a from-scratch d{new_min}
+    build gets (band hashes are per-row, so the merge is bit-identical
+    to a from-scratch build — pinned); the superseded boundary is
+    retired. After the fold, dedup_minhash_incremental(new_min) joins
+    the folded index and pays only new-crawl work."""
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    old_idx = lsh_index_dir(spark, sf_dir, old_min)
+    version = ArtifactStore.source_version_bounded(
+        src, f"d{new_min}", "doc_id", new_min)
+
+    def build(out_dir: str) -> None:
+        inc = (
+            minhash_signatures(
+                _shingle_arrays(spark, sf_dir)
+                .filter((F.col("doc_id") >= old_min)
+                        & (F.col("doc_id") < new_min)))
+            .select("doc_id", F.posexplode(band_hashes()).alias("band", "bh")))
+        hist = spark.read.parquet(old_idx)
+        hist = hist.withColumn(
+            "band", F.col("band").cast(dict(inc.dtypes)["band"]))
+        (hist.unionByName(inc).write.mode("overwrite")
+         .partitionBy("band").parquet(out_dir))
+
+    new_idx = store.get_or_build(
+        f"lsh:{src}:d{new_min}", version, build, src=src)
+    store.retire(f"lsh:{src}:d{old_min}")
+    return new_idx
+
+
 def dedup_minhash_incremental(spark, sf_dir,
                               new_min: int = INCR_NEW_MIN) -> DataFrame:
     """Incremental near-dup dedup — the production ingestion shape:
@@ -1120,6 +1158,40 @@ def span_index_dir(spark, sf_dir, max_doc: int = INCR_NEW_MIN,
         sp.select("h").distinct().write.mode("overwrite").parquet(out_dir)
 
     return store.get_or_build(f"span:{src}:w{width}:d{max_doc}", version, build, src=src)
+
+
+def compact_span_index(spark, sf_dir, old_min: int, new_min: int,
+                       width: int = None) -> str:
+    """Fold the increment's span digests into the history digest set —
+    the substring-dedup fold: history digests union the increment's
+    distinct digests (only old_min ≤ doc_id < new_min is tokenized and
+    digested), distinct'd, registered under the from-scratch bounded
+    version for d{new_min}; old boundary retired. Set-equal to a
+    from-scratch build by construction (digest sets are
+    order-insensitive — pinned)."""
+    from kstore_spark.catalog import ArtifactStore
+
+    width = SPAN_WIDTH if width is None else width
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    old_idx = span_index_dir(spark, sf_dir, old_min, width)
+    version = ArtifactStore.source_version_bounded(
+        src, f"w{width}:d{new_min}", "doc_id", new_min)
+
+    def build(out_dir: str) -> None:
+        inc = _span_positions(
+            _tokens(spark, sf_dir)
+            .filter((F.col("doc_id") >= old_min)
+                    & (F.col("doc_id") < new_min)), width
+        ).select("h").distinct()
+        hist = spark.read.parquet(old_idx)
+        (hist.unionByName(inc).distinct()
+         .write.mode("overwrite").parquet(out_dir))
+
+    new_idx = store.get_or_build(
+        f"span:{src}:w{width}:d{new_min}", version, build, src=src)
+    store.retire(f"span:{src}:w{width}:d{old_min}")
+    return new_idx
 
 
 def dedup_substring_incremental(spark, sf_dir, new_min: int = INCR_NEW_MIN,

@@ -374,16 +374,17 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id", "span_pos")
 
 
-def _stream_dedup_spans_sql() -> str:
+def _stream_dedup_spans_sql(width: int | None = None) -> str:
     from kstore_spark.functions.dedup import SPAN_WIDTH
 
+    width = SPAN_WIDTH if width is None else width
     return f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
-  WHERE len(string_split(text, ' ')) >= {SPAN_WIDTH}
+  WHERE len(string_split(text, ' ')) >= {width}
 ), sp AS (
-  SELECT doc_id, i AS span_pos, array_to_string(t[i:i+{SPAN_WIDTH}-1], ' ') AS s
-  FROM tok, LATERAL unnest(generate_series(1, len(t)-{SPAN_WIDTH}+1)) u(i)
+  SELECT doc_id, i AS span_pos, array_to_string(t[i:i+{width}-1], ' ') AS s
+  FROM tok, LATERAL unnest(generate_series(1, len(t)-{width}+1)) u(i)
 ), mins AS (
   SELECT s, MIN(doc_id) AS m FROM sp GROUP BY s
 )

@@ -293,7 +293,7 @@ def test_incremental_search_survives_append_without_reindex(spark, tmp_path):
     assert got and got == exp
 
 
-def _mk_corpus(docs_dir, n0=40, n1=15):
+def _mk_corpus(docs_dir, n0=40, n1=15, doc_len=6):
     """Tiny two-file corpus: part-0 holds doc_id < n0 (history),
     part-1 holds the increment [n0, n0+n1)."""
     import pyarrow as pa
@@ -312,10 +312,10 @@ def _mk_corpus(docs_dir, n0=40, n1=15):
             os.path.join(str(docs_dir), name))
 
     write("part-0.parquet",
-          [(i, " ".join(words[(i + j) % 5] for j in range(6)))
+          [(i, " ".join(words[(i + j) % 5] for j in range(doc_len)))
            for i in range(n0)])
     write("part-1.parquet",
-          [(i, " ".join(words[(i * 2 + j) % 5] for j in range(6)))
+          [(i, " ".join(words[(i * 2 + j) % 5] for j in range(doc_len)))
            for i in range(n0, n0 + n1)])
 
 
@@ -504,3 +504,68 @@ def test_ivf_compaction_folds_and_matches_scratch(spark, tmp_path):
     post = {tuple(r) for r in
             sim_ann_ivf_incremental(spark, str(sf), new_min=80).collect()}
     assert post == full and post
+
+
+def test_lsh_and_span_compaction_fold_and_match_scratch(spark, tmp_path):
+    """The dedup-family folds (VERDICT r6 item 5 generalized): the
+    compacted LSH band index and span digest set must equal from-scratch
+    builds of the same boundary, be reused by later *_index_dir calls,
+    retire the old boundary, and leave both incremental dedup ops exact
+    afterwards (vs the streaming keep-first SQL for spans; candidate ⊆
+    exact pair graph + touches-increment for minhash)."""
+    import duckdb
+
+    from kstore_spark.functions.dedup import (
+        _shingle_arrays, _span_positions, _tokens, band_hashes,
+        compact_lsh_index, compact_span_index, dedup_minhash_incremental,
+        dedup_substring_incremental, lsh_index_dir, minhash_signatures,
+        span_index_dir)
+    from kstore_spark.streaming.dedup import _stream_dedup_spans_sql
+    from pyspark.sql import functions as F
+
+    sf = tmp_path / "sf"
+    # 20-token docs: long enough for 3-gram shingles AND width-5 spans
+    _mk_corpus(sf / "documents.parquet", doc_len=20)
+    src = str(sf / "documents.parquet")
+
+    # --- LSH fold ---
+    lsh_index_dir(spark, str(sf), 40)
+    folded = compact_lsh_index(spark, str(sf), 40, 48)
+    got = sorted((r["doc_id"], int(r["band"]), r["bh"])
+                 for r in spark.read.parquet(folded).collect())
+    scratch = (
+        minhash_signatures(
+            _shingle_arrays(spark, str(sf)).filter(F.col("doc_id") < 48))
+        .select("doc_id", F.posexplode(band_hashes()).alias("band", "bh")))
+    want = sorted((r["doc_id"], int(r["band"]), r["bh"])
+                  for r in scratch.collect())
+    assert got == want and got
+    assert lsh_index_dir(spark, str(sf), 48) == folded
+    reg = ArtifactStore()._load()
+    assert f"lsh:{src}:d40" not in reg["artifacts"]
+    pairs = dedup_minhash_incremental(spark, str(sf), new_min=48).collect()
+    assert all(max(r["doc_a"], r["doc_b"]) >= 48 for r in pairs)
+
+    # --- span fold (width=5 so 20-token docs carry spans) ---
+    span_index_dir(spark, str(sf), 40, width=5)
+    sfolded = compact_span_index(spark, str(sf), 40, 48, width=5)
+    sgot = sorted(r["h"] for r in spark.read.parquet(sfolded).collect())
+    swant = sorted(
+        r["h"] for r in _span_positions(
+            _tokens(spark, str(sf)).filter(F.col("doc_id") < 48), 5)
+        .select("h").distinct().collect())
+    assert sgot == swant and sgot
+    assert span_index_dir(spark, str(sf), 48, width=5) == sfolded
+    reg = ArtifactStore()._load()
+    assert f"span:{src}:w5:d40" not in reg["artifacts"]
+
+    cuts = sorted(
+        tuple(r) for r in dedup_substring_incremental(
+            spark, str(sf), new_min=48, width=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{src}/*.parquet')")
+    exp = sorted(tuple(r) for r in con.execute(
+        f"SELECT * FROM ({_stream_dedup_spans_sql(width=5)}) "
+        "WHERE doc_id >= 48").fetchall())
+    assert cuts == exp
