@@ -56,7 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # source_quota_cap, sample_weighted, corpus_temperature_*,
 # text_lm_score/_buckets, keep_best, substring_spans/_strip), the r5
 # remainder, the 3 suites again, the r7-new `text_search_fuzzy_multi`
-# (local DuckDB green + fuzzed + union-pinned this round), and the
+# and `text_search_fuzzy2` (both local DuckDB green + fuzzed + property-
+# pinned this round), and the
 # entries whose code changed in r7 (text_search_bm25_incremental's
 # empty-history guard, stream_token_postings' linear postings fold,
 # compaction-backed incremental search).

@@ -239,6 +239,9 @@ def headline_queries():
         # text_search_bm25 above)
         "text_search_fuzzy_multi": text.text_search_fuzzy_multi,
         "text_search_bm25_incremental": text.text_search_bm25_incremental,
+        # distance-2 fuzzy: first run pays the one-time depth-2 deletion
+        # index build; min-of-2 reports the pruned-probe steady state
+        "text_search_fuzzy2": text.text_search_fuzzy2,
     }
 
 

@@ -1047,22 +1047,42 @@ FUZZY_TERM = "joib"   # a 1-substitution typo of the common term 'join'
 FUZZY_BUCKETS = 64    # deletion-index hash partitions (tracks vocab)
 
 
-def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS) -> str:
+# depth-1 deletions of `term`, as a SQL array expression
+_DEL1_EXPR = ("transform(sequence(1, length(term)),"
+              " i -> concat(substring(term, 1, i - 1),"
+              "             substring(term, i + 1, length(term))))")
+# depth-2 deletions (delete positions i < j, both 1-based): keep
+# [1..i-1] ∪ [i+1..j-1] ∪ [j+1..n]. Guarded: sequence(a, b) with a > b
+# generates a DESCENDING range in Spark, so both loops are clamped.
+_DEL2_EXPR = (
+    "CASE WHEN length(term) >= 2 THEN flatten("
+    " transform(sequence(1, length(term) - 1),"
+    "  i -> transform(sequence(i + 1, length(term)),"
+    "   j -> concat(substring(term, 1, i - 1),"
+    "               substring(term, i + 1, j - i - 1),"
+    "               substring(term, j + 1, length(term))))))"
+    " ELSE CAST(array() AS array<string>) END")
+
+
+def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS,
+                       depth: int = 1) -> str:
     """Build (once) and register the SymSpell deletion index: for every
-    DISTINCT corpus term, one row per 1-deletion variant (plus the term
-    itself) → (variant, term, df), written partitionBy(pmod(
-    xxhash64(variant), buckets)). Two terms are within edit distance 1
-    iff their {term} ∪ deletions sets intersect (Garbe's SymSpell
-    observation), so a fuzzy lookup reads only the query's own ~|q|+1
-    variants' partitions — vocab-sized build, k-partition probe. Same
+    DISTINCT corpus term, one row per ≤``depth``-deletion variant (plus
+    the term itself) → (variant, term, df), written partitionBy(pmod(
+    xxhash64(variant), buckets)). Two terms are within edit distance d
+    iff their ≤d-deletion sets intersect (Garbe's SymSpell
+    observation), so a fuzzy lookup reads only the query's own
+    variants' partitions — vocab-sized build (×~|t|²/2 rows at
+    depth 2, still vocab-bounded), k-partition probe. Same
     ArtifactStore contract as the token/norms indexes."""
     import os
 
     from kstore_spark.catalog import ArtifactStore
 
+    assert depth in (1, 2)
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
-    params = f"fz{buckets}d1"
+    params = f"fz{buckets}d{depth}"
     version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
@@ -1072,14 +1092,12 @@ def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS) -> str:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )
+        var_expr = F.array_union(
+            F.array(F.col("term")), F.expr(_DEL1_EXPR))
+        if depth == 2:
+            var_expr = F.array_union(var_expr, F.expr(_DEL2_EXPR))
         variants = vocab.select(
-            "term", "df",
-            F.explode(F.array_union(
-                F.array(F.col("term")),
-                F.expr("transform(sequence(1, length(term)),"
-                       " i -> concat(substring(term, 1, i - 1),"
-                       "             substring(term, i + 1, length(term))))"),
-            )).alias("variant"),
+            "term", "df", F.explode(var_expr).alias("variant"),
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("variant"), F.lit(buckets)))
         variants.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
@@ -1088,18 +1106,27 @@ def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS) -> str:
                               src=src)
 
 
+def _del_variants(t: str, depth: int) -> set[str]:
+    """{t} ∪ all strings reachable by ≤depth single-char deletions."""
+    out, frontier = {t}, {t}
+    for _ in range(depth):
+        frontier = {v[:i] + v[i + 1:] for v in frontier for i in range(len(v))}
+        out |= frontier
+    return out
+
+
 def _fuzzy_neighborhood(spark, sf_dir, q_terms: tuple[str, ...],
-                        buckets: int) -> tuple[str, ...]:
-    """Resolve the union of the query terms' edit-distance-1 vocabulary
-    neighborhoods through the SymSpell deletion index in ONE probe:
-    every query term's {term} ∪ 1-deletions become literal partition
-    predicates (Σ(|q|+1) partitions read, vocabulary never scanned),
-    candidates are verified with EXACT levenshtein ≤ 1 against ANY
-    query term. Returns the matched vocabulary terms (bounded driver
-    collect: a union of edit-1 neighborhoods)."""
-    idx = spark.read.parquet(deletion_index_dir(spark, sf_dir, buckets))
-    q_vars = sorted({v for t in q_terms
-                     for v in [t] + [t[:i] + t[i + 1:] for i in range(len(t))]})
+                        buckets: int, max_dist: int = 1) -> tuple[str, ...]:
+    """Resolve the union of the query terms' edit-distance-≤max_dist
+    vocabulary neighborhoods through the SymSpell deletion index in ONE
+    probe: every query term's ≤max_dist-deletion variants become
+    literal partition predicates (vocabulary never scanned), candidates
+    are verified with EXACT levenshtein ≤ max_dist against ANY query
+    term. Returns the matched vocabulary terms (bounded driver collect:
+    a union of edit-≤max_dist neighborhoods)."""
+    idx = spark.read.parquet(
+        deletion_index_dir(spark, sf_dir, buckets, depth=max_dist))
+    q_vars = sorted({v for t in q_terms for v in _del_variants(t, max_dist)})
     var_buckets = sorted({
         r["b"] for r in spark.createDataFrame(
             [(v,) for v in q_vars], "variant string"
@@ -1112,17 +1139,17 @@ def _fuzzy_neighborhood(spark, sf_dir, q_terms: tuple[str, ...],
         idx.filter(F.col("bucket").isin(var_buckets))  # partition pruning
         .filter(F.col("variant").isin(q_vars))
         .select("term").distinct()
-        .filter(lev_min <= 1)  # exact verification
+        .filter(lev_min <= max_dist)  # exact verification
     )
     return tuple(sorted(r["term"] for r in matched.collect()))  # bounded
 
 
 def _fuzzy_search(spark, sf_dir, q_terms: tuple[str, ...],
-                  buckets: int, tok_buckets: int):
+                  buckets: int, tok_buckets: int, max_dist: int = 1):
     """Shared OR-search over the resolved fuzzy neighborhood: per-doc
     total occurrences of any matched term, via the token index's
     pruned postings. Document text is never scanned in either stage."""
-    terms = _fuzzy_neighborhood(spark, sf_dir, q_terms, buckets)
+    terms = _fuzzy_neighborhood(spark, sf_dir, q_terms, buckets, max_dist)
     if not terms:  # empty neighborhood → empty (doc_id, n_hits) frame
         return spark.createDataFrame([], "doc_id bigint, n_hits bigint")
     hits = _index_postings(spark, sf_dir, terms, tok_buckets)
@@ -1164,12 +1191,47 @@ def text_search_fuzzy_multi(spark, sf_dir,
     return _fuzzy_search(spark, sf_dir, tuple(terms), buckets, tok_buckets)
 
 
+FUZZY2_TERM = "jion"  # a transposition typo of 'join' — levenshtein 2
+                      # (one deletion + one insertion), invisible to the
+                      # distance-1 search: the case depth 2 exists for
+
+
+def text_search_fuzzy2(spark, sf_dir, term: str = FUZZY2_TERM,
+                       buckets: int = FUZZY_BUCKETS,
+                       tok_buckets: int = TOKEN_BUCKETS):
+    """Distance-2 fuzzy search — SymSpell's standard operating point
+    (Garbe: deletion depth = max edit distance): candidates are terms
+    whose ≤2-deletion sets intersect the query's ≤2-deletion set
+    (depth-2 deletion index, ~|t|²/2 variants per vocab term — still
+    vocab-bounded; the probe reads only the query's own
+    1+|q|+C(|q|,2) variants' partitions), verified with EXACT
+    levenshtein ≤ 2. Catches transpositions ('jion'→'join'), which are
+    distance 2 under plain edit distance and invisible to the
+    distance-1 search. Oracle: brute-force levenshtein ≤ 2 over the
+    distinct-term relation."""
+    return _fuzzy_search(spark, sf_dir, (term,), buckets, tok_buckets,
+                         max_dist=2)
+
+
 TEXT_SEARCH_FUZZY_SQL = f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), m AS (
   SELECT DISTINCT tok AS term FROM t
   WHERE levenshtein(tok, '{FUZZY_TERM}') <= 1
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM t JOIN m ON t.tok = m.term
+GROUP BY doc_id
+"""
+
+
+TEXT_SEARCH_FUZZY2_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), m AS (
+  SELECT DISTINCT tok AS term FROM t
+  WHERE levenshtein(tok, '{FUZZY2_TERM}') <= 2
 )
 SELECT doc_id, COUNT(*) AS n_hits
 FROM t JOIN m ON t.tok = m.term
@@ -1343,6 +1405,7 @@ QUERIES = {
     "text_search_snippets": text_search_snippets,
     "text_search_fuzzy": text_search_fuzzy,
     "text_search_fuzzy_multi": text_search_fuzzy_multi,
+    "text_search_fuzzy2": text_search_fuzzy2,
     "text_search_phrase": text_search_phrase,
     "text_search_incremental": text_search_incremental,
 }
@@ -1378,6 +1441,7 @@ ORACLES = {
     # (SymSpell completeness at distance 1 is a set-intersection lemma)
     "text_search_fuzzy": TEXT_SEARCH_FUZZY_SQL,
     "text_search_fuzzy_multi": TEXT_SEARCH_FUZZY_MULTI_SQL,
+    "text_search_fuzzy2": TEXT_SEARCH_FUZZY2_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim

@@ -139,6 +139,12 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # the single-term search — mirrored exactly by the OR in
                # the oracle
                "text_search_fuzzy_multi",
+               # distance-2 fuzzy (r7): depth-2 deletion index; word
+               # salad plants distance-2 neighbors of 'jion' at random
+               # (e.g. 'join' itself); completeness of the deletion
+               # lemma at d=2 is exactly what the oracle's brute-force
+               # levenshtein cross-checks
+               "text_search_fuzzy2",
                # cross-encoder rerank boundary: unicode corpora pin the
                # ord()/ascii() code-point equivalence of the fake scorer
                "rerank_cross_encoder",
@@ -314,3 +320,22 @@ def test_fuzzy_multi_unions_both_neighborhoods(spark):
             assert n == b[d]
         else:  # hit by both neighborhoods: counts add unless overlap
             assert n <= a[d] + b[d]
+
+
+def test_fuzzy2_catches_transpositions_distance1_misses(spark):
+    """'jion' is levenshtein-2 from 'join' (transposition): the
+    distance-1 search must NOT resolve it, the depth-2 deletion index
+    must; and the distance-2 neighborhood is a superset of the
+    distance-1 one for the same query term."""
+    from kstore_spark.functions.text import (
+        _fuzzy_neighborhood, text_search_fuzzy, text_search_fuzzy2)
+
+    sf = "/root/testdata/sf0.001"
+    n1 = _fuzzy_neighborhood(spark, sf, ("jion",), 64, max_dist=1)
+    n2 = _fuzzy_neighborhood(spark, sf, ("jion",), 64, max_dist=2)
+    assert "join" not in n1 and "join" in n2
+    assert set(n1) <= set(n2)
+    d1 = {r["doc_id"] for r in
+          text_search_fuzzy(spark, sf, term="jion").collect()}
+    d2 = {r["doc_id"] for r in text_search_fuzzy2(spark, sf).collect()}
+    assert d1 <= d2 and d2  # strictly more reachable docs at distance 2
