@@ -266,7 +266,9 @@ def main():
     base = tempfile.mkdtemp(prefix="kstore_perftest_")
     try:
         rp, sp = write_perftest_tables(spark, base)
-        for algo in ("hash", "sort"):
+        # all four reference join keywords — BASELINE.md gates each
+        # (hash 9.86 / sort 9.88 / tree 72.32 / loop 22.08 s)
+        for algo in ("hash", "sort", "tree", "loop"):
             runs = []
             for _ in range(3):
                 t0 = time.time()

@@ -32,6 +32,23 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"/tmp/[^\s,\]）)]*", "/tmp/X", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(X)", plan)
     plan = re.sub(r"size=[\d.]+ *[KMGT]?i?B", "size=X", plan)
+    # giant literal blobs (e.g. minhash permutation tables) blow the
+    # snapshot to MBs; collapse any very long line to its md5 — a
+    # byte-diff still detects any change, the file stays reviewable
+    import hashlib
+    plan = "\n".join(
+        ln if len(ln) <= 2000 else
+        f"<long-line md5={hashlib.md5(ln.encode()).hexdigest()} len={len(ln)}>"
+        for ln in plan.splitlines())
+    # some plans (cached-subtree expansion at every InMemoryRelation
+    # reference) are tens of MB of SHORT lines; past 250 KB store the
+    # digest + structural head — "identical vs changed" stays a
+    # byte-diff, and the head shows where a change begins
+    if len(plan) > 250_000:
+        lines = plan.splitlines()
+        plan = (f"<plan md5={hashlib.md5(plan.encode()).hexdigest()}"
+                f" lines={len(lines)} (digest snapshot; head below)>\n"
+                + "\n".join(lines[:300]))
     return plan
 
 
