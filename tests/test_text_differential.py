@@ -339,3 +339,57 @@ def test_fuzzy2_catches_transpositions_distance1_misses(spark):
           text_search_fuzzy(spark, sf, term="jion").collect()}
     d2 = {r["doc_id"] for r in text_search_fuzzy2(spark, sf).collect()}
     assert d1 <= d2 and d2  # strictly more reachable docs at distance 2
+
+
+def test_symspell_deletion_lemma_distance2():
+    """The completeness lemma fuzzy2's candidate generation rests on
+    (Garbe): if levenshtein(a, b) <= 2 then the <=2-deletion variant
+    sets of a and b intersect — so the deletion-index probe can never
+    miss a true distance-2 neighbor (false candidates are killed by the
+    exact verify). Property-tested over random strings with <=2 random
+    edits applied (insert / delete / substitute / adjacent transpose)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kstore_spark.functions.text import _del_variants
+
+    alphabet = "abcdefg"
+
+    def edit(rng, s):
+        ops = ["ins", "sub", "tr"] + (["del"] if s else [])
+        op = rng.choice(ops)
+        if op == "ins":
+            i = rng.randrange(len(s) + 1)
+            return s[:i] + rng.choice(alphabet) + s[i:]
+        if op == "del":
+            i = rng.randrange(len(s))
+            return s[:i] + s[i + 1:]
+        if op == "sub" and s:
+            i = rng.randrange(len(s))
+            return s[:i] + rng.choice(alphabet) + s[i + 1:]
+        if op == "tr" and len(s) >= 2:  # transposition = 2 edits
+            i = rng.randrange(len(s) - 1)
+            return s[:i] + s[i + 1] + s[i] + s[i + 2:]
+        return s
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=1, max_size=10),
+           st.integers(0, 2**31), st.integers(0, 2))
+    def check(a, seed, n_edits):
+        rng = random.Random(seed)
+        b = a
+        budget = n_edits
+        while budget > 0:
+            nxt = edit(rng, b)
+            # a transposition spends both remaining edits
+            cost = 2 if (len(nxt) == len(b) and nxt != b
+                         and sorted(nxt) == sorted(b)
+                         and sum(x != y for x, y in zip(nxt, b)) == 2) else 1
+            if cost > budget:
+                break
+            b, budget = nxt, budget - cost
+        assert _del_variants(a, 2) & _del_variants(b, 2), (a, b)
+
+    check()
