@@ -534,6 +534,28 @@ class Catalog:
         return self.meta(column)["next_pos"]
 
 
+@contextmanager
+def artifact_base(base_dir: str):
+    """Scope newly-constructed ArtifactStores to ``base_dir`` for the
+    duration of the block (sets KSTORE_ARTIFACTS_DIR, the constructor's
+    default). Used by driver entries that exercise the index LIFECYCLE
+    (build → fold → retire): running those against the shared store
+    would churn boundaries other queries' artifacts depend on — the
+    fold retires the old boundary, so the next run of any old-boundary
+    consumer silently rebuilds it from scratch. A session-scoped base
+    keeps the lifecycle demo hermetic; the dir lives under the system
+    tempdir and is reclaimed by ordinary tempdir hygiene."""
+    prev = os.environ.get("KSTORE_ARTIFACTS_DIR")
+    os.environ["KSTORE_ARTIFACTS_DIR"] = base_dir
+    try:
+        yield base_dir
+    finally:
+        if prev is None:
+            os.environ.pop("KSTORE_ARTIFACTS_DIR", None)
+        else:
+            os.environ["KSTORE_ARTIFACTS_DIR"] = prev
+
+
 class ArtifactStore:
     """Durable, locked registry for derived index artifacts — the IVF
     cell-partitioned store, the MinHash band index, the span-digest set
@@ -731,6 +753,17 @@ class ArtifactStore:
                                       "created": time.time()}
             self._save(reg)
             return os.path.join(self.base, final)
+
+    def is_registered(self, name: str, version: str | None = None) -> bool:
+        """True iff ``name`` is registered (at ``version``, when given)
+        with its artifact dir present. Lets a compaction fold decide
+        whether the old boundary actually EXISTS before asking for it —
+        get_or_build would silently build it from scratch, violating the
+        fold's increment-only cost contract (ADVICE r7)."""
+        ent = self._load()["artifacts"].get(name)
+        if not ent or (version is not None and ent["version"] != version):
+            return False
+        return os.path.isdir(os.path.join(self.base, ent["dir"]))
 
     def retire(self, name: str) -> None:
         """Tombstone a registered artifact by name (e.g. a superseded

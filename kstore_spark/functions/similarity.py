@@ -515,6 +515,13 @@ def compact_ivf_store(spark, sf_dir, old_min: int, new_min: int,
     from kstore_spark.catalog import ArtifactStore
 
     assert new_min >= n_cells, "centroid ids must lie inside history"
+    # ADVICE r7: the OLD boundary must satisfy the same bound — a
+    # history store built at old_min < n_cells used a truncated
+    # centroid set, so folding its assignments forward would silently
+    # register a store that is NOT from-scratch-equal at new_min.
+    assert old_min >= n_cells, (
+        "history store predates a full centroid set — rebuild from "
+        "scratch at new_min instead of folding")
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
     old_store = ivf_store_dir(spark, sf_dir, n_cells, max_vec=old_min)

@@ -575,13 +575,38 @@ def compact_token_index(spark, sf_dir, old_min: int, new_min: int,
     version a from-scratch m{new_min} build would get, so later
     token_index_dir/token_norms_dir calls at new_min reuse it verbatim.
     The superseded m{old_min} artifacts are retired (tombstone +
-    session-epoch GC; live readers finish their session on them)."""
+    session-epoch GC; live readers finish their session on them).
+
+    If the old boundary was never built (or its source changed), the
+    increment-only cost contract cannot hold — asking for it would
+    silently tokenize ALL history text (ADVICE r7). In that case the
+    fold skips straight to a from-scratch m{new_min} build, which costs
+    the same tokenization but says so (one warning) and registers the
+    identical artifacts."""
     import os
+    import warnings
 
     from kstore_spark.catalog import ArtifactStore
 
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
+    old_params = f"b{buckets}p2m{old_min}"
+    old_nparams = f"norms1m{old_min}"
+    old_registered = store.is_registered(
+        f"tokidx:{src}:{old_params}",
+        ArtifactStore.source_version_bounded(src, old_params, "doc_id",
+                                             old_min),
+    ) and store.is_registered(
+        f"toknorms:{src}:{old_nparams}",
+        ArtifactStore.source_version_bounded(src, old_nparams, "doc_id",
+                                             old_min))
+    if not old_registered:
+        warnings.warn(
+            f"compact_token_index: no m{old_min} boundary registered — "
+            f"falling back to a from-scratch m{new_min} build (full "
+            "history tokenization, not increment-only)", stacklevel=2)
+        return (token_index_dir(spark, sf_dir, buckets, max_doc=new_min),
+                token_norms_dir(spark, sf_dir, max_doc=new_min))
     old_idx = token_index_dir(spark, sf_dir, buckets, max_doc=old_min)
     old_norms = token_norms_dir(spark, sf_dir, max_doc=old_min)
 
@@ -825,12 +850,17 @@ def text_search_incremental(spark, sf_dir, terms: tuple[str, ...] = RANKED_TERMS
     return _ranked_topk(hist.unionByName(inc), k)
 
 
-TEXT_SEARCH_RANKED_SQL = f"""
+def _ranked_sql(terms: tuple[str, ...], k: int) -> str:
+    """Full-corpus ranked-search oracle SQL (float-free TF-IDF top-k) —
+    shared by text_search_ranked, the incremental search (whose
+    history ∪ increment postings ARE the full-corpus postings for the
+    query terms) and the lifecycle-fold entry."""
+    return f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM t
-  WHERE tok IN ({", ".join("'" + t + "'" for t in RANKED_TERMS)})
+  WHERE tok IN ({", ".join("'" + t + "'" for t in terms)})
   GROUP BY doc_id, tok
 ), df AS (
   SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
@@ -842,8 +872,66 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank,
        doc_id, score_ppm
 FROM s
 ORDER BY score_ppm DESC, doc_id
-LIMIT {RANKED_K}
+LIMIT {k}
 """
+
+
+TEXT_SEARCH_RANKED_SQL = _ranked_sql(RANKED_TERMS, RANKED_K)
+
+
+FOLD_OLD_MIN = 300  # the lifecycle entry's pre-fold history boundary
+FOLD_TERMS = ("dup", "merge", "scan")  # distinct from RANKED_TERMS so
+                                       # the entry is not a duplicate
+                                       # row of text_search_ranked
+
+
+def lifecycle_fold_search(spark, sf_dir, terms: tuple[str, ...] = FOLD_TERMS,
+                          k: int = RANKED_K, buckets: int = TOKEN_BUCKETS):
+    """The index LIFECYCLE as one driver-visible op (VERDICT r7 item
+    4): build the history boundary at doc_id < FOLD_OLD_MIN, answer a
+    ranked query incrementally off it, FOLD the increment into the
+    boundary (compact_token_index — the maintenance unit matching the
+    reference's b+tree, which stays query-fast because inserts maintain
+    the index, ref src/server/storage.c:1624-1626), and answer the same
+    query at the advanced boundary: the returned result is served off
+    the FOLDED m{INCR_DOC_MIN} artifacts (same content version a
+    from-scratch build gets — from-scratch-equality pinned in
+    test_artifacts.py). Scores are corpus-exact at every boundary, so
+    the oracle is the plain full-corpus ranked SQL.
+
+    Runs inside a session-scoped artifact base (catalog.artifact_base):
+    the fold RETIRES its old boundary, and retiring a SHARED boundary
+    from a repeatable driver entry would churn artifacts other queries
+    reuse (r7 ROADMAP candidate #2). Within one session repeat calls
+    re-register the folded boundary instantly (content-version hit)."""
+    import os
+    import tempfile
+
+    from kstore_spark.catalog import artifact_base
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"kstore_fold_{spark.sparkContext.applicationId}")
+    with artifact_base(base):
+        # 1. the history boundary's artifacts (postings index + norms)
+        token_index_dir(spark, sf_dir, buckets, max_doc=FOLD_OLD_MIN)
+        token_norms_dir(spark, sf_dir, max_doc=FOLD_OLD_MIN)
+        # 2. pre-fold: the increment (doc_id >= FOLD_OLD_MIN) is
+        #    resolved query-side against the history index
+        text_search_incremental(
+            spark, sf_dir, terms, k, buckets, new_min=FOLD_OLD_MIN).count()
+        # 3. the fold advances the boundary to INCR_DOC_MIN: history
+        #    contributes built postings (never re-tokenized), only
+        #    FOLD_OLD_MIN <= doc_id < INCR_DOC_MIN text is indexed
+        compact_token_index(spark, sf_dir, FOLD_OLD_MIN, INCR_DOC_MIN,
+                            buckets)
+        # 4. post-fold: the same query now reads the folded artifacts
+        #    with a small steady-state increment leg
+        return text_search_incremental(
+            spark, sf_dir, terms, k, buckets, new_min=INCR_DOC_MIN)
+
+
+LIFECYCLE_FOLD_SEARCH_SQL = _ranked_sql(FOLD_TERMS, RANKED_K)
 
 
 BM25_K1_MILLI = 1200  # k1 = 1.2 — the classic tf-saturation knob
@@ -1045,6 +1133,18 @@ LIMIT {RANKED_K}
 
 FUZZY_TERM = "joib"   # a 1-substitution typo of the common term 'join'
 FUZZY_BUCKETS = 64    # deletion-index hash partitions (tracks vocab)
+# Deletion-variant expansion cap (VERDICT r7 item 6): a term longer
+# than this emits ONLY itself into the index (no deletion variants) —
+# one 1,000-char garbage token (URL, base64 blob — normal in crawl
+# corpora) would otherwise explode into ~|t|²/2 ≈ 500k depth-2 variant
+# rows. The cap is LOSSLESS for any query term with
+# len(q) <= FUZZY_MAX_TERM_LEN - max_dist: levenshtein(a, b) >=
+# abs(len(a) - len(b)), so a capped term could only match a query
+# within distance d if len(q) >= cap - d; _fuzzy_neighborhood enforces
+# that bound on query terms, making the exact-recall guarantee a
+# precondition rather than a hope. (SymSpell practice is a prefix cap
+# with approximate recall; the length filter keeps recall exact.)
+FUZZY_MAX_TERM_LEN = 32
 
 
 # depth-1 deletions of `term`, as a SQL array expression
@@ -1082,7 +1182,7 @@ def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS,
     assert depth in (1, 2)
     src = os.path.join(sf_dir, "documents.parquet")
     store = ArtifactStore()
-    params = f"fz{buckets}d{depth}"
+    params = f"fz{buckets}d{depth}L{FUZZY_MAX_TERM_LEN}"
     version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
@@ -1096,6 +1196,11 @@ def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS,
             F.array(F.col("term")), F.expr(_DEL1_EXPR))
         if depth == 2:
             var_expr = F.array_union(var_expr, F.expr(_DEL2_EXPR))
+        # over-length terms stay findable at distance 0 only — lossless
+        # for bounded query lengths (see FUZZY_MAX_TERM_LEN)
+        var_expr = F.when(
+            F.length("term") <= FUZZY_MAX_TERM_LEN, var_expr
+        ).otherwise(F.array(F.col("term")))
         variants = vocab.select(
             "term", "df", F.explode(var_expr).alias("variant"),
         ).withColumn(
@@ -1124,6 +1229,13 @@ def _fuzzy_neighborhood(spark, sf_dir, q_terms: tuple[str, ...],
     are verified with EXACT levenshtein ≤ max_dist against ANY query
     term. Returns the matched vocabulary terms (bounded driver collect:
     a union of edit-≤max_dist neighborhoods)."""
+    too_long = [t for t in q_terms
+                if len(t) > FUZZY_MAX_TERM_LEN - max_dist]
+    if too_long:  # outside the index's exact-recall precondition
+        raise ValueError(
+            f"fuzzy query terms exceed {FUZZY_MAX_TERM_LEN - max_dist} "
+            f"chars (deletion index caps variant expansion at "
+            f"{FUZZY_MAX_TERM_LEN}): {too_long}")
     idx = spark.read.parquet(
         deletion_index_dir(spark, sf_dir, buckets, depth=max_dist))
     q_vars = sorted({v for t in q_terms for v in _del_variants(t, max_dist)})
@@ -1213,6 +1325,28 @@ def text_search_fuzzy2(spark, sf_dir, term: str = FUZZY2_TERM,
                          max_dist=2)
 
 
+FUZZY2_TERMS = ("jion", "scna")  # transposition typos of 'join' and
+                                 # 'scan' — both levenshtein 2, so a
+                                 # distance-1 multi search finds neither
+
+
+def text_search_fuzzy2_multi(spark, sf_dir,
+                             terms: tuple[str, ...] = FUZZY2_TERMS,
+                             buckets: int = FUZZY_BUCKETS,
+                             tok_buckets: int = TOKEN_BUCKETS):
+    """The combined shape (VERDICT r7 item 8): MULTI-term fuzzy
+    retrieval at distance 2 — `_fuzzy_search` was always
+    (terms tuple × max_dist)-general; this entry exercises both axes at
+    once. All query terms' ≤2-deletion variant sets resolve in ONE
+    depth-2 index probe (Σᵢ (1+|qᵢ|+C(|qᵢ|,2)) variants' partitions
+    read), exact levenshtein ≤ 2 vs ANY query term verifies, then one
+    OR search over the union neighborhood through the token index.
+    Oracle: brute-force min-levenshtein ≤ 2 over the distinct-term
+    relation (identical DP both engines)."""
+    return _fuzzy_search(spark, sf_dir, tuple(terms), buckets, tok_buckets,
+                         max_dist=2)
+
+
 TEXT_SEARCH_FUZZY_SQL = f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1232,6 +1366,19 @@ WITH t AS (
 ), m AS (
   SELECT DISTINCT tok AS term FROM t
   WHERE levenshtein(tok, '{FUZZY2_TERM}') <= 2
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM t JOIN m ON t.tok = m.term
+GROUP BY doc_id
+"""
+
+
+TEXT_SEARCH_FUZZY2_MULTI_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), m AS (
+  SELECT DISTINCT tok AS term FROM t
+  WHERE {" OR ".join(f"levenshtein(tok, '{q}') <= 2" for q in FUZZY2_TERMS)}
 )
 SELECT doc_id, COUNT(*) AS n_hits
 FROM t JOIN m ON t.tok = m.term
@@ -1406,8 +1553,10 @@ QUERIES = {
     "text_search_fuzzy": text_search_fuzzy,
     "text_search_fuzzy_multi": text_search_fuzzy_multi,
     "text_search_fuzzy2": text_search_fuzzy2,
+    "text_search_fuzzy2_multi": text_search_fuzzy2_multi,
     "text_search_phrase": text_search_phrase,
     "text_search_incremental": text_search_incremental,
+    "lifecycle_fold_search": lifecycle_fold_search,
 }
 
 ORACLES = {
@@ -1442,8 +1591,10 @@ ORACLES = {
     "text_search_fuzzy": TEXT_SEARCH_FUZZY_SQL,
     "text_search_fuzzy_multi": TEXT_SEARCH_FUZZY_MULTI_SQL,
     "text_search_fuzzy2": TEXT_SEARCH_FUZZY2_SQL,
+    "text_search_fuzzy2_multi": TEXT_SEARCH_FUZZY2_MULTI_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim
     "text_search_incremental": TEXT_SEARCH_RANKED_SQL,
+    "lifecycle_fold_search": LIFECYCLE_FOLD_SEARCH_SQL,
 }

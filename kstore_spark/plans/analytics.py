@@ -417,8 +417,9 @@ WITH firsts AS (
   SELECT day, COUNT(*) AS n_new_users FROM firsts GROUP BY day
 )
 SELECT day, n_new_users,
-       SUM(n_new_users) OVER (ORDER BY day
-                              ROWS UNBOUNDED PRECEDING) AS n_cumulative_users
+       CAST(SUM(n_new_users) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_cumulative_users
 FROM daily
 """
 

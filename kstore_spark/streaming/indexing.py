@@ -70,7 +70,18 @@ def _postings_expr():
 
         return F.element_at(F.transform(F.array(bnd0), with_bnd), 1)
 
-    return F.element_at(F.transform(F.array(pairs0), with_pairs), 1)
+    # Empty-array guard (ADVICE r7): size(t) = 0 makes sequence(0, -1)
+    # a DESCENDING [0, -1] range (same clamp rationale as _DEL2_EXPR in
+    # functions/text.py), which would emit a bogus null-token posting
+    # where the batch posexplode path emits nothing. Unreachable via
+    # split() today, but the expression must match batch on EVERY
+    # input, not just the ones the current tokenizer produces.
+    return F.when(
+        F.size("t") > 0,
+        F.element_at(F.transform(F.array(pairs0), with_pairs), 1),
+    ).otherwise(F.expr(
+        "CAST(array() AS "
+        "array<struct<tok:string,tf:int,positions:array<bigint>>>)"))
 
 
 def stream_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -448,6 +448,46 @@ def test_repeated_compaction_keeps_one_live_boundary(spark, tmp_path):
     assert got == full and got
 
 
+def test_compaction_fallback_when_old_boundary_absent(spark, tmp_path):
+    """A fold whose old boundary was never built cannot honor the
+    increment-only cost contract (ADVICE r7): it must WARN and register
+    the same from-scratch m{new} artifacts a direct boundary build
+    would — never silently tokenize all history behind the fold's
+    'history contributes built postings' docstring."""
+    import kstore_spark.functions.text as text
+
+    sf = tmp_path / "sf"
+    _mk_corpus(sf / "documents.parquet")
+    with pytest.warns(UserWarning, match="falling back"):
+        idx_dir, norms_dir = text.compact_token_index(spark, str(sf), 40, 55)
+    assert text.token_index_dir(spark, str(sf), max_doc=55) == idx_dir
+    assert text.token_norms_dir(spark, str(sf), max_doc=55) == norms_dir
+    got = sorted(tuple(r) for r in text.text_search_bm25_incremental(
+        spark, str(sf), new_min=55).collect())
+    full = sorted(tuple(r) for r in
+                  text.text_search_bm25(spark, str(sf)).collect())
+    assert got == full and got
+
+
+def test_lifecycle_fold_search_matches_ranked(spark):
+    """The lifecycle driver entry (build → incremental query → fold →
+    query again) returns exactly the full-corpus ranked search for its
+    terms, and leaves the process pointed back at the shared store
+    (artifact_base restores the env var)."""
+    import os
+
+    from kstore_spark.functions.text import (
+        FOLD_TERMS, lifecycle_fold_search, text_search_ranked)
+
+    sf = "/root/testdata/sf0.001"
+    env_before = os.environ.get("KSTORE_ARTIFACTS_DIR")
+    got = [tuple(r) for r in lifecycle_fold_search(spark, sf).collect()]
+    assert os.environ.get("KSTORE_ARTIFACTS_DIR") == env_before
+    exp = [tuple(r) for r in
+           text_search_ranked(spark, sf, terms=FOLD_TERMS).collect()]
+    assert got == exp and got
+
+
 def _mk_embeddings(emb_dir, n=80, dim=8):
     """Deterministic float vectors: v[i][j] = hash-ish derivation."""
     import pyarrow as pa

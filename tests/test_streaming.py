@@ -440,6 +440,25 @@ def test_stream_token_postings_equals_batch_index(spark):
     assert got == want and got
 
 
+def test_postings_expr_empty_token_array(spark):
+    """ADVICE r7: an EMPTY token array must emit zero postings — the
+    batch posexplode path emits nothing for it, and the unguarded
+    sequence(0, size-1) would generate the descending [0, -1] range and
+    a bogus null-token posting. Unreachable via split() today; the
+    expression must match batch on every input regardless."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.streaming.indexing import _postings_expr
+
+    df = spark.createDataFrame(
+        [(0, []), (1, ["a"])], "doc_id int, t array<string>")
+    got = sorted(
+        (r["doc_id"], r["p"]["tok"], r["p"]["tf"], tuple(r["p"]["positions"]))
+        for r in df.select(
+            "doc_id", F.explode(_postings_expr()).alias("p")).collect())
+    assert got == [(1, "a", 1, (0,))]
+
+
 def test_postings_expr_linear_long_document(spark):
     """The r7 linear postings expression (sort + boundary split) must
     match the posexplode+groupBy derivation on a LONG document with

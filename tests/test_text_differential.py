@@ -145,6 +145,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # lemma at d=2 is exactly what the oracle's brute-force
                # levenshtein cross-checks
                "text_search_fuzzy2",
+               # combined shape (r8): ≥2 terms at distance 2 — both
+               # depth-2 neighborhoods resolve in one probe; word salad
+               # plants distance-≤2 neighbors of 'jion'/'scna' at random
+               "text_search_fuzzy2_multi",
                # cross-encoder rerank boundary: unicode corpora pin the
                # ord()/ascii() code-point equivalence of the fake scorer
                "rerank_cross_encoder",
@@ -339,6 +343,74 @@ def test_fuzzy2_catches_transpositions_distance1_misses(spark):
           text_search_fuzzy(spark, sf, term="jion").collect()}
     d2 = {r["doc_id"] for r in text_search_fuzzy2(spark, sf).collect()}
     assert d1 <= d2 and d2  # strictly more reachable docs at distance 2
+
+
+def test_fuzzy2_multi_unions_both_neighborhoods(spark):
+    """VERDICT r7 item 8 pin — the combined shape: ≥2 query terms at
+    distance 2. The 2-transposition query ('jion','scna') must cover
+    the union of the single-term distance-2 searches' doc sets with
+    agreeing counts on single-neighborhood docs."""
+    from kstore_spark.functions.text import (
+        text_search_fuzzy2, text_search_fuzzy2_multi)
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r["n_hits"]
+         for r in text_search_fuzzy2(spark, sf, term="jion").collect()}
+    b = {r["doc_id"]: r["n_hits"]
+         for r in text_search_fuzzy2(spark, sf, term="scna").collect()}
+    multi = {r["doc_id"]: r["n_hits"]
+             for r in text_search_fuzzy2_multi(spark, sf).collect()}
+    assert a and b, "both transpositions must resolve on the testdata vocab"
+    assert set(multi) == set(a) | set(b)
+    for d, n in multi.items():
+        if d in a and d not in b:
+            assert n == a[d]
+        elif d in b and d not in a:
+            assert n == b[d]
+        else:
+            assert n <= a[d] + b[d]
+
+
+def test_deletion_index_caps_pathological_tokens(spark, tmp_path):
+    """VERDICT r7 item 6 pin: one 1,000-char garbage token (URL /
+    base64 blob — normal in crawl corpora) must NOT blow up the depth-2
+    deletion-index build (~|t|²/2 ≈ 500k variant rows from a single
+    explode). The cap keeps over-length terms findable at distance 0
+    only — lossless for query terms within the enforced length bound —
+    and the query side REJECTS terms outside that bound instead of
+    silently losing recall."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.text import (
+        FUZZY_MAX_TERM_LEN, _fuzzy_neighborhood, deletion_index_dir,
+        text_search_fuzzy2)
+
+    blob = "x" * 1000  # pathological crawl token
+    d = tmp_path / "pathocorpus"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": [f"join the {blob}", "scan it"],
+                  "lang": ["en", "en"], "source": ["s0", "s0"],
+                  "n_chars": [10 + len(blob), 7]}),
+        str(d / "documents.parquet"))
+
+    idx = spark.read.parquet(deletion_index_dir(spark, str(d), 64, depth=2))
+    per_term = {r["term"]: r["n"] for r in
+                idx.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    assert per_term[blob] == 1  # the blob emits ONLY itself
+    # short terms keep their full depth-2 expansion: 1 + |t| + C(|t|,2)
+    assert per_term["join"] == 1 + 4 + 6
+    # resolution through the capped index is still exact for in-bound
+    # queries ('jion' → 'join'), and the blob never appears
+    n2 = _fuzzy_neighborhood(spark, str(d), ("jion",), 64, max_dist=2)
+    assert "join" in n2 and blob not in n2
+    assert {r["doc_id"] for r in
+            text_search_fuzzy2(spark, str(d), term="jion").collect()} == {0}
+    # out-of-bound query terms are rejected, not silently degraded
+    with pytest.raises(ValueError, match="exceed"):
+        _fuzzy_neighborhood(
+            spark, str(d), ("y" * (FUZZY_MAX_TERM_LEN + 1),), 64, max_dist=2)
 
 
 def test_symspell_deletion_lemma_distance2():
