@@ -242,6 +242,9 @@ def headline_queries():
         # distance-2 fuzzy: first run pays the one-time depth-2 deletion
         # index build; min-of-2 reports the pruned-probe steady state
         "text_search_fuzzy2": text.text_search_fuzzy2,
+        # round-8: the combined shape — >=2 terms at distance 2, one
+        # depth-2 index probe (shares fuzzy2's index build above)
+        "text_search_fuzzy2_multi": text.text_search_fuzzy2_multi,
     }
 
 

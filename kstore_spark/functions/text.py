@@ -1373,6 +1373,52 @@ GROUP BY doc_id
 """
 
 
+def text_search_fuzzy_ranked(spark, sf_dir, term: str = FUZZY_TERM,
+                             k: int = RANKED_K,
+                             buckets: int = FUZZY_BUCKETS,
+                             tok_buckets: int = TOKEN_BUCKETS):
+    """Fuzzy retrieval with RANKING (r8): the query term's edit-1
+    vocabulary neighborhood (SymSpell deletion-index probe + exact
+    levenshtein verify) feeds the float-free TF-IDF top-k instead of
+    the flat OR search — what a search box actually wants back for a
+    typo ('joib' ranks docs by tf·idf over {{join, ...}}). Access path
+    is the composition of two already-pinned pieces: |q|+1 deletion
+    partitions + |neighborhood| token partitions read, document text
+    never scanned, top-k as TakeOrderedAndProject. Oracle: brute-force
+    levenshtein neighborhood + the ranked SQL, both engine-exact."""
+    terms = _fuzzy_neighborhood(spark, sf_dir, (term,), buckets, 1)
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank int, doc_id bigint, score_ppm bigint")
+    hits = _index_postings(spark, sf_dir, terms, tok_buckets).select(
+        "tok", "doc_id", "tf")
+    return _ranked_topk(hits, k)
+
+
+TEXT_SEARCH_FUZZY_RANKED_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), m AS (
+  SELECT DISTINCT tok AS term FROM t
+  WHERE levenshtein(tok, '{FUZZY_TERM}') <= 1
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM t
+  JOIN m ON t.tok = m.term
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), s AS (
+  SELECT doc_id, CAST(SUM((tf * 1000000) // df) AS BIGINT) AS score_ppm
+  FROM tf JOIN df USING (tok) GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank,
+       doc_id, score_ppm
+FROM s
+ORDER BY score_ppm DESC, doc_id
+LIMIT {RANKED_K}
+"""
+
+
 TEXT_SEARCH_FUZZY2_MULTI_SQL = f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1554,6 +1600,7 @@ QUERIES = {
     "text_search_fuzzy_multi": text_search_fuzzy_multi,
     "text_search_fuzzy2": text_search_fuzzy2,
     "text_search_fuzzy2_multi": text_search_fuzzy2_multi,
+    "text_search_fuzzy_ranked": text_search_fuzzy_ranked,
     "text_search_phrase": text_search_phrase,
     "text_search_incremental": text_search_incremental,
     "lifecycle_fold_search": lifecycle_fold_search,
@@ -1592,6 +1639,7 @@ ORACLES = {
     "text_search_fuzzy_multi": TEXT_SEARCH_FUZZY_MULTI_SQL,
     "text_search_fuzzy2": TEXT_SEARCH_FUZZY2_SQL,
     "text_search_fuzzy2_multi": TEXT_SEARCH_FUZZY2_MULTI_SQL,
+    "text_search_fuzzy_ranked": TEXT_SEARCH_FUZZY_RANKED_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim

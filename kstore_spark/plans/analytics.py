@@ -700,6 +700,67 @@ SELECT 3, 'purchase_within_window', COUNT(*) FROM s3
 """
 
 
+ATTR_TOUCH_TYPES = ("click", "view")  # marketing touches; purchases
+                                      # with no preceding touch fall in
+                                      # the 'direct' bucket
+
+
+def events_attribution(spark, sf_dir):
+    """Last-touch conversion attribution — the standard marketing-
+    analytics credit model: every ``purchase`` is credited to the
+    user's latest preceding touch event (click/view in (ts, event_id)
+    order — event_id makes the tie-break total, so the answer is
+    deterministic), purchases with no preceding touch to 'direct'.
+    Output (touch_type, n_conversions, attributed_cents).
+
+    Determinism discipline: events.value is a double with an arbitrary
+    mantissa, so it is truncated to cents ROW-LOCALLY (floor(value*100)
+    — the same IEEE multiply+floor in both engines) and summed as
+    int64, which is order-independent; no float aggregation anywhere.
+    Scale shape: ONE user_id shuffle for the window (running last-touch
+    state is O(1) per row), then a |touch types|-row aggregate — the
+    same single-pass formulation as events_sessionize, linear at any
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))  # strictly before
+    touch = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES),
+               F.col("event_type")),
+        ignorenulls=True).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch_type"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("direct"))
+                 .alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"),
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .cast("long").alias("attributed_cents"))
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN
+                         ({", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)})
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM events
+)
+SELECT COALESCE(touch_type, 'direct') AS touch_type,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS attributed_cents
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 EVENTS_FUNNEL_SQL = """
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
@@ -767,6 +828,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_funnel_windowed": events_funnel_windowed,
     "events_ab_conversion": events_ab_conversion,
+    "events_attribution": events_attribution,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
     "events_cumulative_users": events_cumulative_users,
@@ -791,6 +853,7 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_funnel_windowed": EVENTS_FUNNEL_WINDOWED_SQL,
     "events_ab_conversion": EVENTS_AB_CONVERSION_SQL,
+    "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,

@@ -122,11 +122,63 @@ GROUP BY tok, doc_id
 """
 
 
+def stream_deletion_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the SymSpell deletion index under streaming document
+    ingestion — the fuzzy twin of stream_token_postings, closing the
+    fuzzy-search lifecycle (build → probe → STREAMING maintenance):
+    each micro-batch's NEW vocabulary terms emit their ≤1-deletion
+    variants as (term, variant) rows. The only state is the stateful
+    ``dropDuplicates`` on the term — VOCAB-bounded, the same bound the
+    batch index (functions/text.deletion_index_dir) carries by
+    construction — and variant generation is row-local, so a
+    micro-batch costs its own new-term count, never the corpus. The
+    over-length cap mirrors the batch build (FUZZY_MAX_TERM_LEN: blobs
+    emit only themselves). ``df`` is intentionally absent: the probe
+    (_fuzzy_neighborhood) filters on variant and reads term — df is
+    build-side bookkeeping, and maintaining a count under append mode
+    would need update-mode state for no query-path consumer."""
+    from kstore_spark.functions.text import _DEL1_EXPR, FUZZY_MAX_TERM_LEN
+    from kstore_spark.streaming.dedup import _doc_stream, _run_to_parquet
+
+    stream = _doc_stream(spark, sf_dir)
+    terms = (
+        stream.select(F.explode(F.split("text", " ")).alias("term"))
+        .dropDuplicates(["term"])  # vocab-bounded state
+    )
+    var_expr = F.array_union(F.array(F.col("term")), F.expr(_DEL1_EXPR))
+    var_expr = F.when(
+        F.length("term") <= FUZZY_MAX_TERM_LEN, var_expr
+    ).otherwise(F.array(F.col("term")))
+    out = terms.select("term", F.explode(var_expr).alias("variant"))
+    res = _run_to_parquet(out, "stream_delidx")
+    return res.select("term", "variant")
+
+
+STREAM_DELETION_VARIANTS_SQL = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), v AS (
+  SELECT DISTINCT term FROM t
+), d AS (
+  SELECT term, unnest(CASE WHEN length(term) <= 32
+    THEN list_prepend(term, list_transform(range(1, length(term) + 1),
+                        i -> substr(term, 1, i - 1) || substr(term, i + 1)))
+    ELSE [term] END) AS variant
+  FROM v
+)
+SELECT DISTINCT term, variant FROM d
+"""
+
+
 QUERIES = {
     "stream_token_postings": stream_token_postings,
+    "stream_deletion_variants": stream_deletion_variants,
 }
 
 ORACLES = {
     # each doc's streamed postings == the batch per-doc term counts
     "stream_token_postings": STREAM_TOKEN_POSTINGS_SQL,
+    # streamed (term, variant) pairs == the batch deletion expansion
+    # (the 32-char cap literal mirrors text.FUZZY_MAX_TERM_LEN)
+    "stream_deletion_variants": STREAM_DELETION_VARIANTS_SQL,
 }

@@ -81,7 +81,12 @@ _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         "events_cumulative_users", "events_funnel_windowed",
         # "{}" props (~30% of rows) exercise the NULL-arm bucket and
         # the null-safe join
-        "events_ab_conversion")
+        "events_ab_conversion",
+        # last-touch attribution (r8): planted 0-gap timestamp ties
+        # exercise the (ts, event_id) tie-break; 1-event users exercise
+        # the 'direct' bucket; random doubles pin the row-local
+        # cents truncation
+        "events_attribution")
 
 
 @pytest.mark.parametrize("seed", SEEDS)

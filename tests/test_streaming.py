@@ -440,6 +440,22 @@ def test_stream_token_postings_equals_batch_index(spark):
     assert got == want and got
 
 
+def test_stream_deletion_variants_equals_batch_index(spark):
+    """The stream-maintained deletion expansion must equal the batch
+    deletion index's (term, variant) relation exactly (df/bucket are
+    build-side bookkeeping the probe never reads), regardless of
+    micro-batch boundaries — a stream-maintained fuzzy vocabulary
+    serves the same neighborhood resolution as the batch artifact."""
+    from kstore_spark.functions.text import deletion_index_dir
+    from kstore_spark.streaming.indexing import stream_deletion_variants
+
+    got = sorted({(r["term"], r["variant"]) for r in
+                  stream_deletion_variants(spark, SF_DIR).collect()})
+    batch = spark.read.parquet(deletion_index_dir(spark, SF_DIR))
+    want = sorted({(r["term"], r["variant"]) for r in batch.collect()})
+    assert got == want and got
+
+
 def test_postings_expr_empty_token_array(spark):
     """ADVICE r7: an EMPTY token array must emit zero postings — the
     batch posexplode path emits nothing for it, and the unguarded

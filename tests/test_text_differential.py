@@ -149,6 +149,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # depth-2 neighborhoods resolve in one probe; word salad
                # plants distance-≤2 neighbors of 'jion'/'scna' at random
                "text_search_fuzzy2_multi",
+               # fuzzy + ranking composition (r8): the resolved
+               # neighborhood feeds the TF-IDF top-k; word salad plants
+               # multi-term neighborhoods so idf differentiates ranks
+               "text_search_fuzzy_ranked",
                # cross-encoder rerank boundary: unicode corpora pin the
                # ord()/ascii() code-point equivalence of the fake scorer
                "rerank_cross_encoder",
