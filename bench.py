@@ -208,6 +208,8 @@ def headline_queries():
         # path mining, the corpus n-gram table, and pre-filtered vector
         # search — all sublinear at 10× (PERF.md)
         "events_top_paths": analytics.events_top_paths,
+        # round-8: last-touch attribution (one user-window pass)
+        "events_attribution": analytics.events_attribution,
         "corpus_trigrams": corpus.corpus_trigrams,
         "corpus_collocations": corpus.corpus_collocations,
         "hybrid_search": similarity.hybrid_search,
@@ -245,6 +247,8 @@ def headline_queries():
         # round-8: the combined shape — >=2 terms at distance 2, one
         # depth-2 index probe (shares fuzzy2's index build above)
         "text_search_fuzzy2_multi": text.text_search_fuzzy2_multi,
+        # round-8: fuzzy neighborhood feeding the TF-IDF top-k
+        "text_search_fuzzy_ranked": text.text_search_fuzzy_ranked,
     }
 
 

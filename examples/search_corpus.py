@@ -56,9 +56,10 @@ def main() -> None:
     from kstore_spark.functions.text import (
         INCR_DOC_MIN, compact_token_index, text_search_bm25,
         text_search_bm25_incremental, text_search_fuzzy,
-        text_search_fuzzy_multi, text_search_fuzzy2, text_search_indexed,
-        text_search_min_should_match, text_search_phrase,
-        text_search_ranked, text_search_snippets)
+        text_search_fuzzy_multi, text_search_fuzzy2,
+        text_search_fuzzy2_multi, text_search_fuzzy_ranked,
+        text_search_indexed, text_search_min_should_match,
+        text_search_phrase, text_search_ranked, text_search_snippets)
     from kstore_spark.session import get_spark
 
     spark = get_spark("search-example")
@@ -72,6 +73,12 @@ def main() -> None:
     print("== 2c. distance-2 fuzzy ('jion' → 'join': a transposition,"
           " invisible at distance 1)")
     text_search_fuzzy2(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 2d. multi-term distance-2 ('jion','scna' in one probe)")
+    text_search_fuzzy2_multi(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 2e. fuzzy RANKED ('joib' neighborhood → TF-IDF top-k)")
+    text_search_fuzzy_ranked(spark, sf_dir).show(5)
 
     print("== 3a. conjunctive AND")
     text_search_indexed(spark, sf_dir).orderBy("doc_id").show(5)
