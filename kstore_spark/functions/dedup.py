@@ -310,6 +310,37 @@ def dedup_keep_best(spark, sf_dir, max_iter: int = 20,
     return best.unionByName(singletons)
 
 
+def dedup_soft_weights(spark, sf_dir, max_iter: int = 20,
+                       pairs: DataFrame | None = None):
+    """SOFT deduplication (r8): instead of dropping near-duplicates,
+    every document gets a training weight of 1e6 div cluster_size ppm
+    (singletons keep 1e6) — the down-weighting policy (He et al. 2024,
+    "SoftDedup"; also the FineWeb ablation alternative to hard removal)
+    that preserves the corpus while normalizing the effective epoch
+    count of duplicated content. Exact + deterministic: same pair
+    engine and component core as dedup_clusters, so the DuckDB
+    recursive-CTE oracle extends with one cluster-size aggregate.
+    Scale shape: cluster sizes live on the SPARSE pair-graph node set
+    (never the corpus); the corpus-side left join broadcasts that node
+    set at any realistic duplication rate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    if pairs is None:
+        pairs = dedup_ngram_prefix(spark, sf_dir)
+    clusters = cluster_pairs(pairs, max_iter)
+    sz = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    weighted = (
+        clusters.join(sz, "cluster_id")
+        .select("doc_id",
+                F.expr("1000000 div sz").cast("long").alias("weight_ppm"))
+    )
+    return (
+        docs.join(F.broadcast(weighted), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("weight_ppm", F.lit(1_000_000))
+                .cast("long").alias("weight_ppm"))
+    )
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS (
   SELECT * FROM ({DEDUP_NGRAM_SQL}) AS p
@@ -342,6 +373,21 @@ UNION ALL
 SELECT d.doc_id, 0 AS n_dropped
 FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 WHERE c.doc_id IS NULL
+"""
+
+DEDUP_SOFT_WEIGHTS_SQL = f"""
+WITH clusters AS (
+  {DEDUP_CLUSTERS_SQL}
+),
+sz AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+),
+w AS (
+  SELECT c.doc_id, CAST(1000000 // sz AS BIGINT) AS weight_ppm
+  FROM clusters c JOIN sz USING (cluster_id)
+)
+SELECT d.doc_id, CAST(COALESCE(w.weight_ppm, 1000000) AS BIGINT) AS weight_ppm
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
 """
 
 
@@ -1272,6 +1318,7 @@ QUERIES = {
     "dedup_ngram_prefix": dedup_ngram_prefix,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_soft_weights": dedup_soft_weights,
     "dedup_keep_best_lsh": dedup_keep_best_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1294,6 +1341,7 @@ ORACLES = {
     "dedup_ngram_prefix": DEDUP_NGRAM_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_soft_weights": DEDUP_SOFT_WEIGHTS_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
     "dedup_substring_strip": DEDUP_SUBSTRING_STRIP_SQL,

@@ -498,3 +498,38 @@ def test_text_search_ranked_is_index_resident_topk(spark):
     assert "TakeOrderedAndProject" in txt, txt
     read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
     assert read_lines and all("text" not in ln for ln in read_lines)
+
+
+def test_events_attribution_two_exchanges_no_python(spark):
+    """events_attribution must be exactly TWO exchanges — the user_id
+    hash partitioning for the window (corpus-scale) and the final
+    |touch types|-row aggregate — with no Python anywhere and the
+    unused props column pruned from the scan. An extra shuffle here
+    (e.g. a sort-based re-partition between window and agg) would
+    double the corpus-scale data movement at 100 TB."""
+    from kstore_spark.plans.analytics import events_attribution
+
+    df = events_attribution(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    n_ex = sum(1 for ln in txt.splitlines()
+               if ln.strip().startswith("(") and ") Exchange" in ln)
+    assert n_ex == 2, txt
+    assert "Python" not in txt
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("props" not in ln for ln in read_lines)
+
+
+def test_fuzzy_ranked_never_reads_text(spark):
+    """text_search_fuzzy_ranked composes the deletion-index probe with
+    the ranked postings path — the final query plan must keep both
+    index properties: bucket partition pruning on the postings scan,
+    TakeOrderedAndProject for the top-k, and NO document-text read."""
+    from kstore_spark.functions.text import text_search_fuzzy_ranked
+
+    df = text_search_fuzzy_ranked(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any("bucket" in ln for ln in part_lines), txt
+    assert "TakeOrderedAndProject" in txt, txt
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines)

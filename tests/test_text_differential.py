@@ -107,6 +107,9 @@ def test_text_ops_differential(spark, tmp_path, seed):
 # documents an ASCII-only equivalence and this corpus plants unicode)
 _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "dedup_clusters", "dedup_keep_best",
+               # soft dedup (r8): planted duplicate clusters give
+               # 1e6 div sz weights; salad docs stay singleton 1e6
+               "dedup_soft_weights",
                "dedup_substring", "dedup_substring_spans",
                "dedup_substring_strip",
                "decontaminate_ngram", "decontaminate_bloom",
