@@ -1060,6 +1060,55 @@ def _semantic_prune(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate_semantic(spark, sf_dir, threshold: float = NEAR_DUP_COS,
+                           eval_max: int = N_QUERIES):
+    """SEMANTIC decontamination (r8): remove training vectors whose
+    embedding is cosine-≥ ``threshold`` to ANY eval/benchmark vector —
+    the paraphrase-robust complement of the lexical
+    decontaminate_ngram/bloom (a reworded test question shares no
+    13-gram but keeps its embedding). Eval set = vec_id < eval_max
+    (the repo's query-role convention). Output: surviving corpus
+    vec_ids.
+
+    Scale shape — the same broadcast posture as decontaminate_ngram:
+    the eval set is the SMALL side (a benchmark suite: 10²-10⁵
+    vectors), broadcast once; the corpus streams through one row-local
+    max-cosine filter pass (no corpus shuffle; the distinct on
+    contaminated ids is over the small kill set). At very large eval
+    sets swap the fold for the _nearest_cells-style BLAS batch kernel —
+    the seam is the same _cosine expression. The 0.47 threshold sits in
+    the testdata's pinned empirical sim gap, so the float comparison is
+    engine-stable (same guarantee embedding_neardup rides; fuzzer
+    re-checks on random Gaussians where DuckDB's
+    list_cosine_similarity matches bit-for-bit)."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") < eval_max).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev"))
+    corpus = emb.filter(F.col("vec_id") >= eval_max)
+    contaminated = (
+        corpus.join(F.broadcast(ev))
+        .filter(_cosine(F.col("v"), F.col("ev")) >= threshold)
+        .select("vec_id").distinct()
+    )
+    return corpus.join(contaminated, "vec_id", "left_anti").select("vec_id")
+
+
+DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), ev AS (
+  SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}
+), hits AS (
+  SELECT DISTINCT c.vec_id FROM c, ev
+  WHERE list_cosine_similarity(c.v, ev.evv) >= {NEAR_DUP_COS}
+)
+SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+"""
+
+
 def dedup_semantic(spark, sf_dir, threshold: float = NEAR_DUP_COS):
     """Semantic deduplication: connected components over the
     embedding-cosine near-dup graph; the minimum vec_id of each
@@ -1518,6 +1567,7 @@ QUERIES = {
     "knn_graph_ivf": knn_graph_ivf,
     "sim_ann_pq": sim_ann_pq,
     "dedup_semantic": dedup_semantic,
+    "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
     "cluster_balanced_sample": cluster_balanced_sample,
 }
@@ -1547,6 +1597,7 @@ ORACLES = {
     # dedup_semantic builds on the LSH pairs, which equal brute force at
     # the default threshold (recall 1.0 at sf0.01) — exact oracle
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
     # strong-gap variant: recall 1.0 BY CONSTRUCTION (planted scaled
     # copies share their source's hyperplane signature) + exact-cosine
     # verify + 0.3 cosine margin ⇒ brute-force SQL is the exact oracle

@@ -796,3 +796,42 @@ def test_knn_graph_full_probe_matches_bruteforce(spark):
     }
     truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
     assert full == truth
+
+
+def test_decontaminate_semantic_kills_planted_paraphrase(spark, tmp_path):
+    """A scaled copy of an eval vector (cosine exactly 1 — the
+    'reworded test question' whose embedding survives) must be killed;
+    orthogonal basis vectors survive; the eval rows themselves are
+    never in the output. Planted geometry makes the kill path a
+    certainty, not an accident of the corpus (the fixed testdata has
+    ~1 contaminated vector at sf0.01)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kstore_spark.functions.similarity import decontaminate_semantic
+
+    dim = 8
+    rows = []
+    # eval set: vec_id 0/1 = e0, e1 basis vectors (eval_max=2)
+    rows.append((0, [1.0] + [0.0] * (dim - 1)))
+    rows.append((1, [0.0, 1.0] + [0.0] * (dim - 2)))
+    # corpus: 10 = 3*e0 (contaminated, cos=1 with eval 0),
+    # 11 = e2 (orthogonal, survives), 12 = e0+e1 mix (cos≈0.707 ≥ τ
+    # with both — contaminated), 13 = mostly-e3 with tiny e0 (survives)
+    rows.append((10, [3.0] + [0.0] * (dim - 1)))
+    rows.append((11, [0.0, 0.0, 1.0] + [0.0] * (dim - 3)))
+    rows.append((12, [1.0, 1.0] + [0.0] * (dim - 2)))
+    rows.append((13, [0.1, 0.0, 0.0, 1.0] + [0.0] * (dim - 4)))
+    d = tmp_path / "semdecon"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }),
+        str(d / "embeddings.parquet"))
+    got = sorted(r["vec_id"] for r in decontaminate_semantic(
+        spark, str(d), eval_max=2).collect())
+    assert got == [11, 13]

@@ -294,6 +294,10 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         f"read_parquet('{d}/documents.parquet')"
     )
     for op in ("sim_topk_bruteforce", "sim_topk_matmul", "embedding_neardup",
+               # semantic decontamination (r8): random Gaussians make
+               # the eval-vs-corpus cosine filter a real bit-equality
+               # test (same guarantee embedding_neardup rides)
+               "decontaminate_semantic",
                "cluster_balanced_sample", "knn_label_vote",
                "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search",
                # RRF fuses this corpus's BM25 list (the 'scan' RANKED
