@@ -120,3 +120,112 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "return a silently-partial result"
         )
     return spark.table(name)
+
+
+# -- streaming last-touch attribution ----------------------------------
+
+ATTR_OUT_SCHEMA = T.StructType([
+    T.StructField("touch_type", T.StringType()),
+    T.StructField("cents", T.LongType()),
+])
+
+_ATTR_STATE_SCHEMA = T.StructType([
+    T.StructField("touch", T.StringType()),
+])
+
+
+def _attribute(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user streaming last-touch fold: walk this micro-batch's
+    events in (ts, event_id) order, carrying the latest click/view in
+    state (ONE string per user — O(#users) state total); every purchase
+    emits its credited touch and row-local cents immediately. With the
+    ts-range-chunked replay, cross-batch order is event-time order, so
+    the emitted multiset equals the batch window formulation exactly."""
+    import math
+
+    from kstore_spark.plans.analytics import ATTR_TOUCH_TYPES
+
+    rows: list[tuple[int, int, str, float]] = []
+    for pdf in pdf_iter:
+        rows.extend(
+            (int(t.value // 1000), int(e), str(k), float(v))
+            for t, e, k, v in zip(pd.to_datetime(pdf["ts"]),
+                                  pdf["event_id"], pdf["event_type"],
+                                  pdf["value"]))
+    rows.sort(key=lambda r: (r[0], r[1]))  # total order: event_id unique
+    touch = state.get[0] if state.exists else ""
+    out_t: list[str] = []
+    out_c: list[int] = []
+    for _ts, _eid, etype, value in rows:
+        if etype in ATTR_TOUCH_TYPES:
+            touch = etype
+        elif etype == "purchase":
+            out_t.append(touch or "direct")
+            # row-local cents truncation — the same IEEE multiply+floor
+            # the batch twin and the DuckDB oracle apply
+            out_c.append(int(math.floor(value * 100)))
+    state.update((touch,))
+    if out_t:
+        yield pd.DataFrame({"touch_type": out_t, "cents": out_c})
+
+
+ATTR_CHUNKS = 4  # micro-batches in the backfill replay (state crosses 3
+                 # boundaries — the cross-batch carry is really exercised)
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str,
+                       n_chunks: int = ATTR_CHUNKS) -> DataFrame:
+    """Streaming twin of plans/analytics.events_attribution: per-user
+    last-touch state (one string) folded over a ts-range-chunked
+    replay, purchases credited AT ARRIVAL — the production shape where
+    attribution rows feed a live dashboard rather than a nightly batch.
+    Output aggregated to the same (touch_type, n_conversions,
+    attributed_cents) table; the ts-ordered replay makes it equal to
+    the batch window formulation row-for-row, so the oracle is
+    EVENTS_ATTRIBUTION_SQL verbatim. State is O(#users) strings, hash-
+    partitioned by the groupBy — executors scale it linearly."""
+    from kstore_spark.streaming.windows import _events_stream_chunked
+
+    stream = _events_stream_chunked(spark, sf_dir, n_chunks)
+    credited = stream.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=ATTR_OUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        credited.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s — refusing to "
+            "return a silently-partial result"
+        )
+    return (
+        spark.table(name)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_conversions"),
+             F.sum("cents").cast("long").alias("attributed_cents"))
+    )
+
+
+QUERIES = {
+    "stream_attribution": stream_attribution,
+}
+
+
+def _oracles() -> dict[str, str]:
+    from kstore_spark.plans.analytics import EVENTS_ATTRIBUTION_SQL
+
+    # ts-ordered replay ⇒ stream == batch exactly; oracle shared verbatim
+    return {"stream_attribution": EVENTS_ATTRIBUTION_SQL}
+
+
+ORACLES = _oracles()

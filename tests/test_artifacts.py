@@ -546,6 +546,20 @@ def test_ivf_compaction_folds_and_matches_scratch(spark, tmp_path):
     assert post == full and post
 
 
+def test_ivf_fold_rejects_pre_centroid_history(spark, tmp_path):
+    """ADVICE r7: a history store built at old_min < n_cells used a
+    TRUNCATED centroid set — folding its assignments forward would
+    silently register a store that is not from-scratch-equal at
+    new_min. The fold must refuse up front (the caller rebuilds from
+    scratch at new_min instead)."""
+    from kstore_spark.functions.similarity import compact_ivf_store
+
+    sf = tmp_path / "sf"
+    _mk_embeddings(sf / "embeddings.parquet")
+    with pytest.raises(AssertionError, match="predates a full centroid"):
+        compact_ivf_store(spark, str(sf), old_min=8, new_min=40)
+
+
 def test_lsh_and_span_compaction_fold_and_match_scratch(spark, tmp_path):
     """The dedup-family folds (VERDICT r6 item 5 generalized): the
     compacted LSH band index and span digest set must equal from-scratch

@@ -440,6 +440,21 @@ def test_stream_token_postings_equals_batch_index(spark):
     assert got == want and got
 
 
+def test_stream_attribution_matches_batch(spark):
+    """Last-touch credited at arrival over the 4-chunk ts-ordered
+    replay (state carries the touch across 3 micro-batch boundaries)
+    must equal the batch window formulation exactly — same credited
+    counts AND the same row-locally-truncated cents sums."""
+    from kstore_spark.plans.analytics import events_attribution
+    from kstore_spark.streaming.sessions import stream_attribution
+
+    got = sorted(tuple(r) for r in
+                 stream_attribution(spark, SF_DIR).collect())
+    want = sorted(tuple(r) for r in
+                  events_attribution(spark, SF_DIR).collect())
+    assert got == want and got
+
+
 def test_stream_deletion_variants_equals_batch_index(spark):
     """The stream-maintained deletion expansion must equal the batch
     deletion index's (term, variant) relation exactly (df/bucket are
