@@ -1090,7 +1090,13 @@ def decontaminate_semantic(spark, sf_dir, threshold: float = NEAR_DUP_COS,
         .filter(_cosine(F.col("v"), F.col("ev")) >= threshold)
         .select("vec_id").distinct()
     )
-    return corpus.join(contaminated, "vec_id", "left_anti").select("vec_id")
+    # broadcast the kill set too (bounded by contamination, tiny by
+    # assumption): without the hint the anti-join statically plans as
+    # SortMergeJoin and SHUFFLES THE CORPUS — the exact shuffle this
+    # op's design avoids (map-side anti, same posture as
+    # decontaminate_ngram's broadcast kill set; plan-pinned)
+    return corpus.join(F.broadcast(contaminated), "vec_id",
+                       "left_anti").select("vec_id")
 
 
 DECONTAMINATE_SEMANTIC_SQL = f"""

@@ -533,3 +533,24 @@ def test_fuzzy_ranked_never_reads_text(spark):
     assert "TakeOrderedAndProject" in txt, txt
     read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
     assert read_lines and all("text" not in ln for ln in read_lines)
+
+
+def test_decontaminate_semantic_no_corpus_shuffle(spark):
+    """decontaminate_semantic must move ZERO corpus rows through a
+    shuffle: the eval set broadcasts into the cosine filter (BNLJ — the
+    small side is the build side), the contaminated-id distinct shuffles
+    only the kill set, and the final anti-join broadcasts that kill set
+    back (without the hint it statically planned as SortMergeJoin and
+    shuffled the corpus). No Python anywhere — the cosine is the
+    codegen'd zip_with/aggregate fold."""
+    from kstore_spark.functions.similarity import decontaminate_semantic
+
+    df = decontaminate_semantic(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    assert "BroadcastNestedLoopJoin" in txt, txt          # eval side
+    assert "SortMergeJoin" not in txt, txt                # no corpus SMJ
+    assert "Python" not in txt
+    # exactly one hash exchange: the distinct over the kill set
+    n_ex = sum(1 for ln in txt.splitlines()
+               if ln.strip().startswith("(") and ") Exchange" in ln)
+    assert n_ex == 1, txt
