@@ -605,8 +605,15 @@ def compact_token_index(spark, sf_dir, old_min: int, new_min: int,
             f"compact_token_index: no m{old_min} boundary registered — "
             f"falling back to a from-scratch m{new_min} build (full "
             "history tokenization, not increment-only)", stacklevel=2)
-        return (token_index_dir(spark, sf_dir, buckets, max_doc=new_min),
-                token_norms_dir(spark, sf_dir, max_doc=new_min))
+        out = (token_index_dir(spark, sf_dir, buckets, max_doc=new_min),
+               token_norms_dir(spark, sf_dir, max_doc=new_min))
+        # a HALF-present old boundary (idx without norms or vice versa)
+        # would otherwise linger registered forever; retire is a no-op
+        # for absent names, so this keeps the one-live-boundary
+        # invariant on every path
+        store.retire(f"tokidx:{src}:{old_params}")
+        store.retire(f"toknorms:{src}:{old_nparams}")
+        return out
     old_idx = token_index_dir(spark, sf_dir, buckets, max_doc=old_min)
     old_norms = token_norms_dir(spark, sf_dir, max_doc=old_min)
 
