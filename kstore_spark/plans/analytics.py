@@ -741,6 +741,76 @@ def events_attribution(spark, sf_dir):
     )
 
 
+ATTR_WINDOW_HOURS = 24  # credit horizon — same operating point as the
+                        # funnel's conversion window; at sf0.01 ~40% of
+                        # purchases fall OUTSIDE it (the bound bites)
+
+
+def events_attribution_windowed(spark, sf_dir,
+                                hours: int = ATTR_WINDOW_HOURS):
+    """Last-touch attribution with a CREDIT HORIZON (the
+    product-analytics default; events_attribution answers lifetime
+    credit): a purchase is credited to its latest preceding touch only
+    if that touch happened within ``hours`` — older touches lapse to
+    'direct'. Same single user-window pass — the horizon just carries
+    the touch's epoch seconds alongside its type (two IGNORE-NULLS
+    lasts over one window frame, one shuffle; epoch arithmetic via the
+    sessionize pattern: Spark ts-cast-long == DuckDB epoch(ts))."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))  # strictly before
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    t_type = F.last(F.when(is_touch, F.col("event_type")),
+                    ignorenulls=True).over(w)
+    t_sec = F.last(F.when(is_touch, F.col("ts").cast("long")),
+                   ignorenulls=True).over(w)
+    purchases = (
+        ev.select("event_type", "value", F.col("ts").cast("long").alias("sec"),
+                  t_type.alias("t_type"), t_sec.alias("t_sec"))
+        .filter(F.col("event_type") == "purchase")
+    )
+    credited = F.when(
+        F.col("t_type").isNotNull()
+        & ((F.col("sec") - F.col("t_sec")) <= hours * 3600),
+        F.col("t_type")).otherwise(F.lit("direct"))
+    return (
+        purchases.groupBy(credited.alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"),
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .cast("long").alias("attributed_cents"))
+    )
+
+
+EVENTS_ATTRIBUTION_WINDOWED_SQL = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN
+                         ({", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)})
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS t_type,
+         LAST_VALUE(CASE WHEN event_type IN
+                         ({", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)})
+                         THEN epoch(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS t_sec
+  FROM events
+)
+SELECT CASE WHEN t_type IS NOT NULL
+                 AND epoch(ts) - t_sec <= {ATTR_WINDOW_HOURS} * 3600
+            THEN t_type ELSE 'direct' END AS touch_type,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS attributed_cents
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 EVENTS_ATTRIBUTION_SQL = f"""
 WITH t AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -829,6 +899,7 @@ QUERIES = {
     "events_funnel_windowed": events_funnel_windowed,
     "events_ab_conversion": events_ab_conversion,
     "events_attribution": events_attribution,
+    "events_attribution_windowed": events_attribution_windowed,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
     "events_cumulative_users": events_cumulative_users,
@@ -854,6 +925,7 @@ ORACLES = {
     "events_funnel_windowed": EVENTS_FUNNEL_WINDOWED_SQL,
     "events_ab_conversion": EVENTS_AB_CONVERSION_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
+    "events_attribution_windowed": EVENTS_ATTRIBUTION_WINDOWED_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,

@@ -86,7 +86,11 @@ _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         # exercise the (ts, event_id) tie-break; 1-event users exercise
         # the 'direct' bucket; random doubles pin the row-local
         # cents truncation
-        "events_attribution")
+        "events_attribution",
+        # credit-horizon variant: the fuzzer's 7200 s gaps land on both
+        # sides of the 24 h bound only via accumulation across events —
+        # the lapse-to-direct branch still fires on 1-event users
+        "events_attribution_windowed")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
