@@ -42,7 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #       the paraphrase-robust complement of the lexical pair),
 #       stream_attribution (last-touch credited AT ARRIVAL — per-user
 #       one-string state over the ts-chunked replay),
-#       events_attribution_windowed (24 h credit horizon); and
+#       events_attribution_windowed (24 h credit horizon),
+#       rag_context (top-k chunk retrieval + neighbor-stitched
+#       contexts); and
 #       sim_ann_ivf (its only row ever is r02 no_oracle; it has carried
 #       an exact oracle since r6);
 #   (c) the 28 entries whose newest green row is r4 (3 rounds stale);
@@ -54,14 +56,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #       still pytest-executed via tests/test_checks.py);
 #   (e) the 3 parity suites (standing per-round §2 evidence: all 21
 #       §2 parity operators, checksum-folded — kparity._SUITES);
-#   (f) the 3 oldest non-§2 r5-green entries (the r5 remainder — 32
+#   (f) the 2 oldest non-§2 r5-green entries (the r5 remainder — 33
 #       more — plus the 50 r6-green lead r9).
 # That sums to exactly 50. _PRUNED grows by the 3 permanent no_oracle
 # rows (VERDICT item 7): bpe_learn_merges / bpe_token_counts /
 # sim_ann_pq can only ever print `err` while their real evidence is
 # the green gate inside approx_equivalence_checks. queries() is now
-# 173 entries (see test_driver_surface), of which 21 (§2 singles) ride
-# the suites — a 152-entry rotating set, <3 rounds of full-coverage
+# 174 entries (see test_driver_surface), of which 21 (§2 singles) ride
+# the suites — a 153-entry rotating set, <3 rounds of full-coverage
 # latency at 50 slots/round.
 # r9 window plan: the 25 remaining r5-green entries (q15-q22 tail,
 # dedup_exact/ngram_jaccard, decontaminate_ngram, embedding_neardup ×2,
@@ -78,7 +80,7 @@ _PRIORITY = [
     "lifecycle_fold_search", "events_attribution",
     "stream_deletion_variants", "dedup_soft_weights",
     "decontaminate_semantic", "stream_attribution",
-    "events_attribution_windowed", "sim_ann_ivf",
+    "events_attribution_windowed", "rag_context", "sim_ann_ivf",
     # (c) the 28 r4-stale entries, oldest evidence in the repo
     "q2_min_cost_supplier", "q5_local_supplier", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -96,10 +98,10 @@ _PRIORITY = [
     # (e) §2 parity suites — all 21 §2 operators, every round
     "parity_suite_scan_agg", "parity_suite_math_mutation",
     "parity_suite_join",
-    # (f) the 3 oldest non-§2 r5-green entries (7 r8-new first rows
+    # (f) the 2 oldest non-§2 r5-green entries (8 r8-new first rows
     # took the other filler slots; the rest of the r5 tail leads r9
     # with the r6-green cohort)
-    "q17_small_quantity", "q18_large_volume", "q19_discounted_revenue",
+    "q17_small_quantity", "q18_large_volume",
     # -- 50-entry window ends here --
 ]
 

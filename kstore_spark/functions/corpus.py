@@ -369,6 +369,88 @@ FROM starts
 """
 
 
+RAG_TERMS = ("merge", "join")  # retrieval query over the chunk table
+RAG_K = 10                     # contexts returned
+
+
+def rag_context(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
+                k: int = RAG_K, width: int = CHUNK_WIDTH,
+                stride: int = CHUNK_STRIDE):
+    """RAG context assembly (r8 — the last r9 roadmap candidate):
+    rank retrieval chunks by query-term occurrences, take the top-k,
+    and stitch each winner with its ±1 NEIGHBOR chunks (same doc,
+    chunk_idx distance ≤ 1, in order) into one context string — the
+    standard trick that hands the generator boundary context the
+    winning chunk alone would cut off. Output
+    (rank, doc_id, chunk_idx, n_hits, context_text).
+
+    Scale shape: chunking and scoring are row-local at scan speed (the
+    per-term occurrence count is a codegen'd filter+size over the
+    chunk's own tokens); the top-k is TakeOrderedAndProject; the
+    neighbor stitch joins the k-row winner table (broadcast) back to
+    the chunk relation and aggregates ≤3 rows per winner — cost is
+    O(corpus) scan + O(k) assembly, no corpus shuffle. At index-backed
+    scale, swap the scoring scan for the token-index probe
+    (text_search_* access path) — the assembly stage is unchanged."""
+    chunks = chunk_documents(spark, sf_dir, width, stride)
+    tok = F.split("chunk_text", " ")
+    n_hits = None
+    for t in terms:
+        h = F.size(F.filter(tok, lambda x: x == F.lit(t)))
+        n_hits = h if n_hits is None else n_hits + h
+    scored = (
+        chunks.select("doc_id", "chunk_idx",
+                      n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+    top = scored.orderBy(F.col("n_hits").desc(), "doc_id",
+                         "chunk_idx").limit(k)
+    w = Window.orderBy(F.col("n_hits").desc(), "doc_id", "chunk_idx")
+    top = top.withColumn("rank", F.row_number().over(w))  # k rows only
+    nb = chunks.select(F.col("doc_id").alias("nb_doc"),
+                       F.col("chunk_idx").alias("nb_idx"), "chunk_text")
+    stitched = (
+        nb.join(F.broadcast(top),
+                (F.col("nb_doc") == F.col("doc_id"))
+                & (F.abs(F.col("nb_idx") - F.col("chunk_idx")) <= 1))
+        .groupBy("rank", "doc_id", "chunk_idx", "n_hits")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("nb_idx", "chunk_text"))),
+                lambda s: s["chunk_text"]),
+            " ").alias("context_text"))
+    )
+    return stitched.select("rank", "doc_id", "chunk_idx", "n_hits",
+                           "context_text")
+
+
+RAG_CONTEXT_SQL = f"""
+WITH chunks AS (
+  {CHUNK_DOCUMENTS_SQL}
+), scored AS (
+  SELECT doc_id, chunk_idx,
+         CAST({" + ".join(
+             "len(list_filter(string_split(chunk_text, ' '), "
+             f"x -> x = '{t}'))" for t in RAG_TERMS)} AS BIGINT) AS n_hits
+  FROM chunks
+), top AS (
+  SELECT doc_id, chunk_idx, n_hits,
+         ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id, chunk_idx)
+           AS rank
+  FROM scored WHERE n_hits > 0
+  ORDER BY n_hits DESC, doc_id, chunk_idx
+  LIMIT {RAG_K}
+)
+SELECT CAST(t.rank AS INTEGER) AS rank, t.doc_id, t.chunk_idx, t.n_hits,
+       string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
+         AS context_text
+FROM top t JOIN chunks c
+  ON c.doc_id = t.doc_id AND abs(c.chunk_idx - t.chunk_idx) <= 1
+GROUP BY t.rank, t.doc_id, t.chunk_idx, t.n_hits
+"""
+
+
 TRIGRAM_K = 20  # top-k corpus trigrams
 
 
@@ -568,6 +650,7 @@ QUERIES = {
     "corpus_temperature_sample": corpus_temperature_sample,
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents": chunk_documents,
+    "rag_context": rag_context,
     "corpus_trigrams": corpus_trigrams,
     "corpus_collocations": corpus_collocations,
     "text_ngram_novelty": text_ngram_novelty,
@@ -580,6 +663,7 @@ ORACLES = {
     "corpus_temperature_sample": CORPUS_TEMPERATURE_SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "rag_context": RAG_CONTEXT_SQL,
     "corpus_trigrams": CORPUS_TRIGRAMS_SQL,
     "corpus_collocations": CORPUS_COLLOCATIONS_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,

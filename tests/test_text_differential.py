@@ -121,6 +121,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "multimodal_bytes", "multimodal_dedup_exact",
                "text_lm_score", "text_lm_buckets", "source_quota_cap",
                "sample_weighted", "text_heavy_hitters", "chunk_documents",
+               # RAG assembly (r8): word salad plants 'merge'/'join'
+               # across chunk boundaries — neighbor stitching and the
+               # (n_hits, doc, idx) tie-break both get real work
+               "rag_context",
                # round-5 additions: cross-source pair audit (random s0/s1
                # tags exercise the straddle filter), trusted-slice LM
                "dedup_cross_source", "text_lm_score_trusted",
