@@ -554,3 +554,19 @@ def test_decontaminate_semantic_no_corpus_shuffle(spark):
     n_ex = sum(1 for ln in txt.splitlines()
                if ln.strip().startswith("(") and ") Exchange" in ln)
     assert n_ex == 1, txt
+
+
+def test_rag_context_topk_broadcast_stitch_no_python(spark):
+    """rag_context must rank with TakeOrderedAndProject (per-partition
+    heaps over the row-local scores), stitch via a BROADCAST join of
+    the k-row winner table (no SortMergeJoin anywhere — a corpus-side
+    shuffle would defeat the O(corpus) scan + O(k) assembly contract),
+    and touch no Python."""
+    from kstore_spark.functions.corpus import rag_context
+
+    df = rag_context(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    assert "TakeOrderedAndProject" in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+    assert "Python" not in txt
