@@ -544,7 +544,15 @@ def artifact_base(base_dir: str):
     fold retires the old boundary, so the next run of any old-boundary
     consumer silently rebuilds it from scratch. A session-scoped base
     keeps the lifecycle demo hermetic; the dir lives under the system
-    tempdir and is reclaimed by ordinary tempdir hygiene."""
+    tempdir and is reclaimed by ordinary tempdir hygiene.
+
+    SINGLE-THREADED-DRIVER assumption (ADVICE r8): the scope swaps a
+    process-global env var, so any CONCURRENT artifact build in the
+    same process while the block is open would be misrouted into the
+    session temp base. That matches how the engine runs (one driver
+    thread constructs ArtifactStores); a multi-tenant driver should
+    thread the base dir through the ArtifactStore constructor instead
+    of entering this context manager."""
     prev = os.environ.get("KSTORE_ARTIFACTS_DIR")
     os.environ["KSTORE_ARTIFACTS_DIR"] = base_dir
     try:

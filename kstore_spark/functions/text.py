@@ -1203,8 +1203,10 @@ def deletion_index_dir(spark, sf_dir, buckets: int = FUZZY_BUCKETS,
             F.array(F.col("term")), F.expr(_DEL1_EXPR))
         if depth == 2:
             var_expr = F.array_union(var_expr, F.expr(_DEL2_EXPR))
-        # over-length terms stay findable at distance 0 only — lossless
-        # for bounded query lengths (see FUZZY_MAX_TERM_LEN)
+        # over-length terms are EXCLUDED from fuzzy matching entirely
+        # (they emit only themselves, and _fuzzy_neighborhood rejects
+        # query terms longer than FUZZY_MAX_TERM_LEN - max_dist with a
+        # ValueError) — exact/indexed search remains their access path
         var_expr = F.when(
             F.length("term") <= FUZZY_MAX_TERM_LEN, var_expr
         ).otherwise(F.array(F.col("term")))

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kstore_spark.functions.text import FUZZY_MAX_TERM_LEN
+
 
 def _postings_expr():
     """Row-local postings of the token array `t`: one struct per
@@ -154,13 +156,16 @@ def stream_deletion_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("term", "variant")
 
 
-STREAM_DELETION_VARIANTS_SQL = """
+# the cap is INTERPOLATED from text.FUZZY_MAX_TERM_LEN (ADVICE r8: a
+# hard-coded literal here would silently diverge from the batch build
+# if the constant ever moved)
+STREAM_DELETION_VARIANTS_SQL = f"""
 WITH t AS (
   SELECT unnest(string_split(text, ' ')) AS term FROM documents
 ), v AS (
   SELECT DISTINCT term FROM t
 ), d AS (
-  SELECT term, unnest(CASE WHEN length(term) <= 32
+  SELECT term, unnest(CASE WHEN length(term) <= {FUZZY_MAX_TERM_LEN}
     THEN list_prepend(term, list_transform(range(1, length(term) + 1),
                         i -> substr(term, 1, i - 1) || substr(term, i + 1)))
     ELSE [term] END) AS variant
@@ -179,6 +184,6 @@ ORACLES = {
     # each doc's streamed postings == the batch per-doc term counts
     "stream_token_postings": STREAM_TOKEN_POSTINGS_SQL,
     # streamed (term, variant) pairs == the batch deletion expansion
-    # (the 32-char cap literal mirrors text.FUZZY_MAX_TERM_LEN)
+    # (the term-length cap interpolates text.FUZZY_MAX_TERM_LEN)
     "stream_deletion_variants": STREAM_DELETION_VARIANTS_SQL,
 }
