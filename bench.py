@@ -114,6 +114,8 @@ def headline_queries():
     from kstore_spark.functions import (
         bpe, corpus, dedup, lm, pipeline, sampling, similarity, text)
     from kstore_spark.plans import analytics, extended, kparity, ranges, tpch_wide
+    from kstore_spark.streaming import indexing as stream_indexing
+    from kstore_spark.streaming import sessions as stream_sessions
 
     return {
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -241,6 +243,38 @@ def headline_queries():
         # text_search_bm25 above)
         "text_search_fuzzy_multi": text.text_search_fuzzy_multi,
         "text_search_bm25_incremental": text.text_search_bm25_incremental,
+        # round-9 standing keys for the r8-new ops (VERDICT r8 item 3:
+        # PERF.md probes are point-in-time; round-over-round drift needs
+        # bench keys). Projection-shaped outputs are aggregate-consumed
+        # (same honesty rule as pii_scrub/text_quality above) so column
+        # pruning can't drop the work being timed.
+        "rag_context": lambda s, sf: corpus.rag_context(s, sf).agg(
+            F.sum(F.length("context_text")).alias("ctx_chars"),
+            F.sum("n_hits").alias("hits"),
+        ),
+        "events_attribution_windowed": analytics.events_attribution_windowed,
+        "lifecycle_fold_search": text.lifecycle_fold_search,
+        "stream_deletion_variants": stream_indexing.stream_deletion_variants,
+        "dedup_soft_weights": lambda s, sf: dedup.dedup_soft_weights(s, sf).agg(
+            F.sum("weight_ppm").alias("wsum"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "decontaminate_semantic": similarity.decontaminate_semantic,
+        "stream_attribution": stream_sessions.stream_attribution,
+        # round-9 additions: the LSH seam through soft dedup (the 100 TB
+        # pair engine replacing the exact one) and the index-backed RAG
+        # assembly (first run pays the one-time chunk-index build;
+        # min-of-2 reports the pruned-probe steady state)
+        "dedup_soft_weights_lsh": lambda s, sf: dedup.dedup_soft_weights_lsh(
+            s, sf).agg(
+            F.sum("weight_ppm").alias("wsum"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "rag_context_indexed": lambda s, sf: corpus.rag_context_indexed(
+            s, sf).agg(
+            F.sum(F.length("context_text")).alias("ctx_chars"),
+            F.sum("n_hits").alias("hits"),
+        ),
         # distance-2 fuzzy: first run pays the one-time depth-2 deletion
         # index build; min-of-2 reports the pruned-probe steady state
         "text_search_fuzzy2": text.text_search_fuzzy2,

@@ -326,6 +326,24 @@ CHUNK_WIDTH = 64   # tokens per retrieval chunk
 CHUNK_STRIDE = 48  # overlap = width - stride
 
 
+def _chunk_frame(docs, width: int, stride: int):
+    """Chunking core over a (doc_id, text) frame — shared by the
+    corpus-wide chunk_documents and the winner-docs-only re-chunk in
+    rag_context_indexed (where the input frame carries a pushed-down
+    doc_id filter, so only k documents are ever tokenized)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+    chunks = toks.select(
+        "doc_id", "t", F.posexplode(starts).alias("chunk_idx", "s"))
+    piece = F.slice("t", F.col("s") + 1, width)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def chunk_documents(spark, sf_dir, width: int = CHUNK_WIDTH,
                     stride: int = CHUNK_STRIDE):
     """(doc_id, chunk_idx, n_chunk_tokens, chunk_text) — sliding-window
@@ -337,18 +355,9 @@ def chunk_documents(spark, sf_dir, width: int = CHUNK_WIDTH,
     array in place — so chunking streams at scan speed at any corpus
     size; the chunk id is (doc_id, chunk_idx), deterministic for
     downstream embedding joins."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t"))
-    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
-    chunks = docs.select(
-        "doc_id", "t", F.posexplode(starts).alias("chunk_idx", "s"))
-    piece = F.slice("t", F.col("s") + 1, width)
-    return chunks.select(
-        "doc_id",
-        "chunk_idx",
-        F.size(piece).alias("n_chunk_tokens"),
-        F.concat_ws(" ", piece).alias("chunk_text"),
-    )
+    return _chunk_frame(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        width, stride)
 
 
 CHUNK_DOCUMENTS_SQL = f"""
@@ -449,6 +458,115 @@ FROM top t JOIN chunks c
   ON c.doc_id = t.doc_id AND abs(c.chunk_idx - t.chunk_idx) <= 1
 GROUP BY t.rank, t.doc_id, t.chunk_idx, t.n_hits
 """
+
+
+CHUNK_BUCKETS = 64  # token-hash partition count of the chunk index
+
+
+def chunk_index_dir(spark, sf_dir, width: int = CHUNK_WIDTH,
+                    stride: int = CHUNK_STRIDE,
+                    buckets: int = CHUNK_BUCKETS) -> str:
+    """Build (once) and register the CHUNK-level inverted index:
+    postings (tok, doc_id, chunk_idx, tf) written partitionBy("bucket")
+    with bucket = pmod(xxhash64(tok), buckets) — the retrieval-side
+    twin of text.token_index_dir (same ArtifactStore crash-safe
+    register-after-build contract, same content-derived versioning, so
+    re-chunking parameters or a changed documents table version the
+    artifact apart). One corpus pass at ingest; every rag query after
+    that reads only its terms' hash partitions."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    params = f"rc{width}s{stride}b{buckets}"
+    version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        (
+            chunk_documents(spark, sf_dir, width, stride)
+            .select("doc_id", "chunk_idx",
+                    F.explode(F.split("chunk_text", " ")).alias("tok"))
+            .groupBy("tok", "doc_id", "chunk_idx")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(buckets)))
+            .write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        )
+
+    return store.get_or_build(
+        f"chunkidx:{src}:{params}", version, build, src=src)
+
+
+def rag_context_indexed(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
+                        k: int = RAG_K, width: int = CHUNK_WIDTH,
+                        stride: int = CHUNK_STRIDE,
+                        buckets: int = CHUNK_BUCKETS):
+    """rag_context through the persisted chunk index (VERDICT r8 item
+    5): the per-query corpus scan was the one r8-new shape that would
+    not survive 100 TB as a QUERY-time op — here chunk scoring reads
+    ONLY the query terms' hash partitions of the chunk-postings
+    artifact (O(|terms|) partition discovery, document text untouched),
+    the top-k is TakeOrderedAndProject over those postings, and the
+    neighbor stitch re-chunks ONLY the k winner documents (their ids
+    push down to the documents scan as literal filters). Query cost is
+    O(query-term postings) + O(k docs), near-flat in corpus size like
+    text_search_fuzzy_ranked's index path (PERF.md r9 probe). Output
+    and oracle are identical to rag_context — same ordering, same
+    stitch, same (rank, doc_id, chunk_idx, n_hits, context_text)."""
+    from kstore_spark.functions.text import _fs_exists
+
+    import os
+
+    base = chunk_index_dir(spark, sf_dir, width, stride, buckets)
+    term_buckets = sorted({
+        r["b"] for r in spark.createDataFrame(
+            [(t,) for t in terms], "tok string"
+        ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
+    })
+    paths = [p for p in (os.path.join(base, f"bucket={b}")
+                         for b in term_buckets) if _fs_exists(spark, p)]
+    if paths:
+        idx = spark.read.option("basePath", base).parquet(*paths)
+    else:  # no probed bucket exists ⇒ exactly-empty postings
+        idx = spark.createDataFrame(
+            [], "tok string, doc_id bigint, chunk_idx int, tf bigint, "
+                "bucket bigint")
+    hits = (
+        idx.filter(F.col("bucket").isin(term_buckets))  # partition pruning
+        .filter(F.col("tok").isin(list(terms)))          # exact, in-partition
+    )
+    scored = (
+        hits.groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("tf").cast("long").alias("n_hits"))
+    )
+    top = scored.orderBy(F.col("n_hits").desc(), "doc_id",
+                         "chunk_idx").limit(k)
+    w = Window.orderBy(F.col("n_hits").desc(), "doc_id", "chunk_idx")
+    top = top.withColumn("rank", F.row_number().over(w))  # k rows only
+    # k-bounded collect (house rule: bounded + commented): the winner
+    # doc ids become literal pushdown filters on the documents scan, so
+    # the stitch tokenizes k documents instead of the corpus
+    win_ids = [r["doc_id"] for r in top.select("doc_id").distinct().collect()]
+    winner_docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(win_ids)).select("doc_id", "text")
+    nb = _chunk_frame(winner_docs, width, stride).select(
+        F.col("doc_id").alias("nb_doc"),
+        F.col("chunk_idx").alias("nb_idx"), "chunk_text")
+    stitched = (
+        nb.join(F.broadcast(top),
+                (F.col("nb_doc") == F.col("doc_id"))
+                & (F.abs(F.col("nb_idx") - F.col("chunk_idx")) <= 1))
+        .groupBy("rank", "doc_id", "chunk_idx", "n_hits")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("nb_idx", "chunk_text"))),
+                lambda s: s["chunk_text"]),
+            " ").alias("context_text"))
+    )
+    return stitched.select("rank", "doc_id", "chunk_idx", "n_hits",
+                           "context_text")
 
 
 TRIGRAM_K = 20  # top-k corpus trigrams
@@ -651,6 +769,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents": chunk_documents,
     "rag_context": rag_context,
+    "rag_context_indexed": rag_context_indexed,
     "corpus_trigrams": corpus_trigrams,
     "corpus_collocations": corpus_collocations,
     "text_ngram_novelty": text_ngram_novelty,
@@ -664,6 +783,9 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "rag_context": RAG_CONTEXT_SQL,
+    # the index path only changes the ACCESS PATH (pruned chunk
+    # postings + k-doc re-chunk); output is the scan path's exactly
+    "rag_context_indexed": RAG_CONTEXT_SQL,
     "corpus_trigrams": CORPUS_TRIGRAMS_SQL,
     "corpus_collocations": CORPUS_COLLOCATIONS_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,

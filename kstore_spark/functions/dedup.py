@@ -1029,6 +1029,22 @@ def dedup_keep_best_lsh(spark, sf_dir, max_iter: int = 20):
         spark, sf_dir, max_iter, pairs=dedup_minhash_lsh(spark, sf_dir))
 
 
+def dedup_soft_weights_lsh(spark, sf_dir, max_iter: int = 20):
+    """dedup_soft_weights fed by the MinHash-LSH pair graph — the 100 TB
+    route the soft-dedup docstring promises (VERDICT r8 item 4), the
+    exact move dedup_keep_best_lsh made over dedup_keep_best: the
+    banded candidate engine replaces the all-shingles exact pair engine
+    while the component/weighting core is untouched. Same SQL oracle as
+    the exact default (LSH pairs == exact n-gram pairs on the shipped
+    testdata — recall 1.0, pinned by test_minhash_lsh_recall*), so the
+    per-document weight_ppm is identical over either pair graph. At
+    scale this swaps the exact engine's shingle-join cost for the
+    banded self-join (122 s → banded cost at the 500k-doc probe,
+    PERF.md r9)."""
+    return dedup_soft_weights(
+        spark, sf_dir, max_iter, pairs=dedup_minhash_lsh(spark, sf_dir))
+
+
 # -- incremental dedup (persisted indexes + increment joins) -----------
 # The production ingestion shape shared by both incremental ops below:
 # a daily crawl must be deduped against the full crawl HISTORY without
@@ -1320,6 +1336,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_soft_weights": dedup_soft_weights,
     "dedup_keep_best_lsh": dedup_keep_best_lsh,
+    "dedup_soft_weights_lsh": dedup_soft_weights_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_wide": dedup_simhash_wide,
@@ -1364,6 +1381,8 @@ ORACLES = {
     # the LSH-fed keep_best inherits the exact oracle through the same
     # recall-1.0 equivalence (pair graphs are set-equal on the testdata)
     "dedup_keep_best_lsh": DEDUP_KEEP_BEST_SQL,
+    # likewise the LSH-fed soft weights (VERDICT r8 item 4)
+    "dedup_soft_weights_lsh": DEDUP_SOFT_WEIGHTS_SQL,
     # dedup_simhash(+_wide): hamming-on-Spark-hash similarity has no ANSI
     # SQL twin → rows-only driver check + exact-recall/locality pytest gates
 }

@@ -186,3 +186,40 @@ def test_ngram_novelty_planted_extremes(spark, tmp_path):
     assert out[1]["n_novel"] == 0
     assert out[2]["novelty_ppm"] == 1_000_000
     assert out[2]["n_novel"] == out[2]["n_trigrams"] == 3
+
+
+def test_rag_context_indexed_equals_scan_path(spark):
+    """The chunk-index access path must return EXACTLY the scan path's
+    contexts (same ranking, same neighbor stitch) — the index changes
+    where the postings come from, never the answer."""
+    from kstore_spark.functions.corpus import rag_context, rag_context_indexed
+
+    scan = {tuple(r) for r in rag_context(spark, SF_DIR).collect()}
+    idx = {tuple(r) for r in rag_context_indexed(spark, SF_DIR).collect()}
+    assert idx == scan
+    assert len(idx) == 10
+
+
+def test_rag_context_indexed_unknown_terms_empty(spark):
+    """Query terms hashing to absent buckets short-circuit to an
+    exactly-empty result without listing the index directory."""
+    from kstore_spark.functions.corpus import rag_context_indexed
+
+    out = rag_context_indexed(
+        spark, SF_DIR, terms=("zzznotaterm", "qqqalsonot"))
+    assert out.count() == 0
+
+
+def test_dedup_soft_weights_lsh_equals_exact(spark):
+    """LSH-fed soft weights == exact-pair soft weights on the shipped
+    testdata (the recall-1.0 pair-graph equivalence that backs
+    dedup_keep_best_lsh extends to the weighting core unchanged)."""
+    from kstore_spark.functions.dedup import (
+        dedup_soft_weights, dedup_soft_weights_lsh)
+
+    exact = {tuple(r) for r in dedup_soft_weights(spark, SF_DIR).collect()}
+    lsh = {tuple(r) for r in dedup_soft_weights_lsh(spark, SF_DIR).collect()}
+    assert lsh == exact
+    # planted duplicates ⇒ at least one down-weighted doc; singletons 1e6
+    weights = {w for _, w in exact}
+    assert 1_000_000 in weights and any(w < 1_000_000 for w in weights)

@@ -125,6 +125,11 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # across chunk boundaries — neighbor stitching and the
                # (n_hits, doc, idx) tie-break both get real work
                "rag_context",
+               # r9: the chunk-index access path is EXACT (pruned
+               # postings + winner-doc re-chunk), so it carries the
+               # same oracle on any corpus (LSH-fed ops stay out —
+               # their oracle equivalence is recall-dependent)
+               "rag_context_indexed",
                # round-5 additions: cross-source pair audit (random s0/s1
                # tags exercise the straddle filter), trusted-slice LM
                "dedup_cross_source", "text_lm_score_trusted",
