@@ -253,6 +253,9 @@ def headline_queries():
             F.sum("n_hits").alias("hits"),
         ),
         "events_attribution_windowed": analytics.events_attribution_windowed,
+        # r9: equal-split multi-touch credit — same one-window pass,
+        # range frame bounded by touches-per-horizon
+        "events_attribution_linear": analytics.events_attribution_linear,
         "lifecycle_fold_search": text.lifecycle_fold_search,
         "stream_deletion_variants": stream_indexing.stream_deletion_variants,
         "dedup_soft_weights": lambda s, sf: dedup.dedup_soft_weights(s, sf).agg(

@@ -783,6 +783,95 @@ def events_attribution_windowed(spark, sf_dir,
     )
 
 
+def events_attribution_linear(spark, sf_dir, hours: int = ATTR_WINDOW_HOURS):
+    """LINEAR multi-touch attribution (r9 — completes the attribution
+    family: last-touch lifetime / last-touch horizon / linear split):
+    every purchase's value is split EQUALLY across ALL its touch events
+    (click/view) within the credit horizon — the model marketing teams
+    run next to last-touch to see how much credit the last click steals.
+    Output (touch_type, n_credits, attributed_ppm_cents): per touch
+    type, how many touch events earned credit and the total credit in
+    ppm-cents; purchases with no horizon touch fall in 'direct' with
+    full value (n_credits counts the purchases there).
+
+    Integer-exact split: cents = floor(value*100) row-locally (the
+    family's discipline), each of the n touches gets
+    (cents * 1e6) div n ppm-cents — both engines compute the identical
+    truncating integer division (values are non-negative), remainders
+    are dropped identically, and the final sum is int64
+    order-independent.
+
+    Scale shape: still ONE user_id shuffle — the horizon's touch list
+    is a RANGE-frame window (rangeBetween(-hours*3600, -1) over epoch
+    seconds), so per-row state is bounded by touches-per-horizon, the
+    explode is row-local, and the tail aggregate is |touch types|+1
+    rows. The frame is defined on SECONDS (strictly earlier second) —
+    a same-second touch never credits, mirrored exactly in the oracle's
+    t.sec < p.sec join bound."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-hours * 3600, -1))
+    # collect_list drops nulls ⇒ exactly the horizon's touch types
+    touches = F.collect_list(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES),
+               F.col("event_type"))).over(w)
+    purchases = (
+        ev.select("event_type", "cents", touches.alias("touches"))
+        .filter(F.col("event_type") == "purchase")
+        .select("cents", "touches", F.size("touches").alias("n"))
+    )
+    credited = (
+        purchases.filter(F.col("n") > 0)
+        .select(F.explode("touches").alias("touch_type"),
+                F.expr("(cents * 1000000) div n").alias("ppm"))
+    )
+    direct = purchases.filter(F.col("n") == 0).select(
+        F.lit("direct").alias("touch_type"),
+        (F.col("cents") * F.lit(1_000_000)).alias("ppm"))
+    return (
+        credited.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_credits"),
+             F.sum("ppm").cast("long").alias("attributed_ppm_cents"))
+    )
+
+
+_ATTR_TOUCH_IN = ", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)
+
+EVENTS_ATTRIBUTION_LINEAR_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch(ts) AS sec,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, epoch(ts) AS sec, event_type
+  FROM events WHERE event_type IN ({_ATTR_TOUCH_IN})
+), j AS (
+  SELECT p.event_id, p.cents, t.event_type
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.sec < p.sec AND t.sec >= p.sec - {ATTR_WINDOW_HOURS} * 3600
+), n AS (
+  SELECT event_id, COUNT(*) AS n FROM j GROUP BY event_id
+), credited AS (
+  SELECT j.event_type AS touch_type, (j.cents * 1000000) // n.n AS ppm
+  FROM j JOIN n USING (event_id)
+), direct AS (
+  SELECT 'direct' AS touch_type, p.cents * 1000000 AS ppm
+  FROM p LEFT JOIN n USING (event_id) WHERE n.event_id IS NULL
+), allc AS (
+  SELECT * FROM credited UNION ALL SELECT * FROM direct
+)
+SELECT touch_type, COUNT(*) AS n_credits,
+       CAST(SUM(ppm) AS BIGINT) AS attributed_ppm_cents
+FROM allc GROUP BY touch_type
+"""
+
+
 EVENTS_ATTRIBUTION_WINDOWED_SQL = f"""
 WITH t AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -900,6 +989,7 @@ QUERIES = {
     "events_ab_conversion": events_ab_conversion,
     "events_attribution": events_attribution,
     "events_attribution_windowed": events_attribution_windowed,
+    "events_attribution_linear": events_attribution_linear,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
     "events_cumulative_users": events_cumulative_users,
@@ -926,6 +1016,7 @@ ORACLES = {
     "events_ab_conversion": EVENTS_AB_CONVERSION_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_attribution_windowed": EVENTS_ATTRIBUTION_WINDOWED_SQL,
+    "events_attribution_linear": EVENTS_ATTRIBUTION_LINEAR_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,

@@ -90,7 +90,12 @@ _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         # credit-horizon variant: the fuzzer's 7200 s gaps land on both
         # sides of the 24 h bound only via accumulation across events —
         # the lapse-to-direct branch still fires on 1-event users
-        "events_attribution_windowed")
+        "events_attribution_windowed",
+        # linear multi-touch (r9): multi-touch users split cents across
+        # n horizon touches — random n exercises the integer-division
+        # remainder drop in both engines; touchless purchases the
+        # 'direct' full-credit branch
+        "events_attribution_linear")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
