@@ -256,6 +256,9 @@ def headline_queries():
         # r9: equal-split multi-touch credit — same one-window pass,
         # range frame bounded by touches-per-horizon
         "events_attribution_linear": analytics.events_attribution_linear,
+        # r9: first-touch (acquisition credit) — same window, first-seen
+        # state
+        "events_attribution_first": analytics.events_attribution_first,
         "lifecycle_fold_search": text.lifecycle_fold_search,
         "stream_deletion_variants": stream_indexing.stream_deletion_variants,
         "dedup_soft_weights": lambda s, sf: dedup.dedup_soft_weights(s, sf).agg(

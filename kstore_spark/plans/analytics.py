@@ -741,6 +741,36 @@ def events_attribution(spark, sf_dir):
     )
 
 
+def events_attribution_first(spark, sf_dir):
+    """FIRST-touch conversion attribution (r9 — the acquisition-credit
+    twin of events_attribution's conversion credit): every purchase is
+    credited to the user's EARLIEST preceding touch — the model that
+    answers 'which channel brought this user in' where last-touch
+    answers 'which channel closed'. Identical single-window pass and
+    determinism discipline (row-local cents truncation, int64 sums,
+    (ts, event_id) total order); only the running state flips from
+    last-seen to FIRST-seen (F.first ignorenulls over the same frame —
+    still O(1)/row)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))  # strictly before
+    touch = F.first(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES),
+               F.col("event_type")),
+        ignorenulls=True).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch_type"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("direct"))
+                 .alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"),
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .cast("long").alias("attributed_cents"))
+    )
+
+
 ATTR_WINDOW_HOURS = 24  # credit horizon — same operating point as the
                         # funnel's conversion window; at sf0.01 ~40% of
                         # purchases fall OUTSIDE it (the bound bites)
@@ -900,6 +930,26 @@ GROUP BY 1
 """
 
 
+EVENTS_ATTRIBUTION_FIRST_SQL = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         FIRST_VALUE(CASE WHEN event_type IN
+                         ({", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)})
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM events
+)
+SELECT COALESCE(touch_type, 'direct') AS touch_type,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS attributed_cents
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 EVENTS_ATTRIBUTION_SQL = f"""
 WITH t AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -990,6 +1040,7 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_attribution_windowed": events_attribution_windowed,
     "events_attribution_linear": events_attribution_linear,
+    "events_attribution_first": events_attribution_first,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
     "events_cumulative_users": events_cumulative_users,
@@ -1017,6 +1068,7 @@ ORACLES = {
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_attribution_windowed": EVENTS_ATTRIBUTION_WINDOWED_SQL,
     "events_attribution_linear": EVENTS_ATTRIBUTION_LINEAR_SQL,
+    "events_attribution_first": EVENTS_ATTRIBUTION_FIRST_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,

@@ -95,7 +95,12 @@ _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         # n horizon touches — random n exercises the integer-division
         # remainder drop in both engines; touchless purchases the
         # 'direct' full-credit branch
-        "events_attribution_linear")
+        "events_attribution_linear",
+        # first-touch (r9): the acquisition-credit twin — same window,
+        # FIRST-seen state; diverges from last-touch exactly on users
+        # whose first and last touches differ, which the fuzzer plants
+        # by construction on any ≥2-touch user
+        "events_attribution_first")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
