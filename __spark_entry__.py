@@ -38,8 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (acquisition credit, the first-seen twin);
 #   (c) the 3 parity suites (standing per-round §2 evidence: all 21
 #       §2 parity operators, checksum-folded — kparity._SUITES);
-#   (d) second rows for 9 of the 10 r8-new single-row entries (VERDICT
-#       item 8; events_attribution_windowed yields to a first row);
+#   (d) second rows for 8 of the 10 r8-new single-row entries (VERDICT
+#       item 8; events_attribution_windowed yields to a first row,
+#       dedup_soft_weights to the code-changed gate entry — both stay
+#       r8-green, 1 round old);
 #   (e) code-changed entry: chunk_documents (r9 _chunk_frame refactor
 #       shared with the indexed RAG stitch). The cluster family's
 #       scale oracle (item 6) is adjudicated off-driver this round —
@@ -78,11 +80,14 @@ _PRIORITY = [
     # window's own rule; it stays r8-green, 1 round old)
     "text_search_fuzzy2_multi", "text_search_fuzzy_ranked",
     "lifecycle_fold_search", "rag_context", "events_attribution",
-    "stream_attribution",
-    "dedup_soft_weights", "decontaminate_semantic",
+    "stream_attribution", "decontaminate_semantic",
     "stream_deletion_variants",
-    # (e) code-changed this round
-    "chunk_documents",
+    # (e) code-changed this round: the _chunk_frame refactor and the
+    # consolidated gate entry (now 14 rows — the sim_ann_ivf_pq gate
+    # joined; dedup_soft_weights' second-row slot yielded — it already
+    # carries an r8 row, the LSH twin's first row, the 500k probe, and
+    # a bench key)
+    "chunk_documents", "approx_equivalence_checks",
     # -- 50-entry window ends here --
 ]
 
@@ -107,6 +112,11 @@ _PRUNED = {
     "bpe_learn_merges",
     "bpe_token_counts",
     "sim_ann_pq",
+    # r9: the IVF+PQ composition is approximate like its parents —
+    # born pruned; its evidence is the sim_ann_ivf_pq gate inside
+    # approx_equivalence_checks (both knobs degenerate → brute force),
+    # the recall/degeneration pytest, and its bench key
+    "sim_ann_ivf_pq",
 }
 
 

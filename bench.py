@@ -200,6 +200,8 @@ def headline_queries():
         "sim_ann_ivf_incremental": similarity.sim_ann_ivf_incremental,
         # product-quantized ANN: 8-byte codes + corpus-scaled exact re-rank
         "sim_ann_pq": similarity.sim_ann_pq,
+        # r9: the IVF+PQ composition — cell-pruned AND compressed scan
+        "sim_ann_ivf_pq": similarity.sim_ann_ivf_pq,
         # the composed 9-stage curation pipeline end to end (exact dedup →
         # LSH near-dup → decontaminate → quality/quota/LM cut → boilerplate
         # strip → PII scrub → sample → leakage-safe split → packing) — the

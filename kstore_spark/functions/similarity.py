@@ -965,6 +965,87 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None):
     )
 
 
+def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
+                   n_cells: int = N_CELLS, rerank: int | None = None):
+    """IVF + PQ composed (r9) — the FAISS-style production ANN shape
+    (Jégou et al. 2011 §V, IVFADC minus the residual encoding — codes
+    are over raw vectors so the SAME codebooks serve every cell, which
+    keeps the codebook broadcast O(m·k·sub) instead of per-cell):
+    the coarse quantizer prunes the corpus to the query's ``n_probe``
+    nearest cells, PQ table-lookup scores rank ONLY those cells'
+    m-byte codes, the top ``rerank`` become candidates, and candidates
+    are re-ranked by exact cosine. Output schema == sim_topk_*.
+
+    Scale shape: the scoring scan is cell-pruned AND 64×-compressed —
+    at the ivf_store layout it reads n_probe/n_cells of the corpus's
+    CODES (m bytes/row), the LUT rides a per-query broadcast, and the
+    exact re-rank fetches rerank×|queries| raw vectors. Both
+    approximation knobs degenerate independently: n_probe = n_cells ⇒
+    sim_ann_pq; + rerank ≥ corpus ⇒ brute force (the equivalence gate
+    in plans/checks.py runs exactly that composition). Recall floor on
+    the structureless-Gaussian worst case pinned in pytest."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb, n_cells)
+    books = _pq_codebooks(emb)
+    codes = pq_encode(emb, books).join(
+        emb.select("vec_id",
+                   _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
+                   .alias("cell")),
+        "vec_id")
+    if rerank is None:
+        rerank = max(PQ_RERANK, emb.count() // 100)
+
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    m, kw, sub = books.shape
+    lut_rows = []  # per-query LUT — same un-normalized dot as sim_ann_pq
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype="float64")
+        lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
+        lut_rows.append((r["vec_id"], [[float(x) for x in row] for row in lut]))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>")
+    # the query's probed cells, exploded next to its LUT (N_QUERIES ×
+    # n_probe rows — broadcast-sized)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(_nearest_cells(F.col("v"), cents, n_probe),
+                        lambda s: s["cell"])).alias("cell"))
+    probes = q.join(lut_df, "query_id")
+
+    scored = (
+        codes.join(F.broadcast(probes), "cell")  # cell-pruned candidates
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("code", "lut", lambda c, row: row[c]),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("pq_s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_s"), F.asc("neighbor_id"))
+    cands = scored.withColumn("crn", F.row_number().over(w)).filter(
+        F.col("crn") <= rerank).select("query_id", "neighbor_id")
+
+    qv_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        cands.join(F.broadcast(qv_df), "query_id").join(nv_df, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                _cosine(F.col("qv"), F.col("nv")).alias("s"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # -- cluster-balanced (diversity) sampling -----------------------------
 
 _MIX, _MIX_MOD = 2654435761, 2**32  # Knuth multiplicative hash (2^32/φ)
@@ -1572,6 +1653,7 @@ QUERIES = {
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
     "knn_graph_ivf": knn_graph_ivf,
     "sim_ann_pq": sim_ann_pq,
+    "sim_ann_ivf_pq": sim_ann_ivf_pq,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,

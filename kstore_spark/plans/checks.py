@@ -115,6 +115,19 @@ def _gate_pq(spark, sf_dir, ctx):
     return _symdiff(sim_ann_pq(spark, sf_dir, rerank=10**9), truth)
 
 
+def _gate_ivf_pq(spark, sf_dir, ctx):
+    """IVF+PQ with BOTH approximation knobs widened — all cells probed,
+    re-rank pool = corpus — IS brute force: cell pruning drops nothing
+    and the exact-cosine re-rank decides every rank (the two knobs
+    degenerate independently; this composition closes both at once)."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf_pq, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    return _symdiff(
+        sim_ann_ivf_pq(spark, sf_dir, n_probe=N_CELLS, rerank=10**9), truth)
+
+
 def _gate_multimodal(spark, sf_dir, ctx):
     from kstore_spark.functions.multimodal import (
         MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS, binary_payloads,
@@ -248,6 +261,7 @@ GATES = {
     "sim_ann_ivf_incremental":
         lambda s, d, c: _gate_ivf(s, d, c, "incremental"),
     "sim_ann_pq": _gate_pq,
+    "sim_ann_ivf_pq": _gate_ivf_pq,
     "multimodal_neardup": _gate_multimodal,
     "events_approx_distinct": _gate_approx_distinct,
     "events_approx_quantiles": _gate_approx_quantiles,
@@ -303,6 +317,9 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     - sim_ann_pq: product-quantized top-k with the re-rank pool
       widened to the whole corpus == brute force (the compressed
       scores only pick candidates; exact re-rank decides ranks).
+    - sim_ann_ivf_pq (r9): the IVF+PQ composition with all cells
+      probed AND the pool widened == brute force (both knobs closed
+      at once — cell pruning drops nothing, re-rank decides all).
     - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
       the same media embeddings (precision is exact by the cosine
       verify; recall is the probabilistic part, pinned on planted
@@ -347,7 +364,7 @@ def single_gate_query(name: str):
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
-    "sim_ann_pq", "multimodal_neardup",
+    "sim_ann_pq", "sim_ann_ivf_pq", "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",
     "bpe_learn_merges", "bpe_token_counts",

@@ -246,6 +246,26 @@ def test_ann_pq_recall_and_exact_degeneration(spark):
     assert len(approx & truth_pairs) >= 0.6 * len(truth_pairs)
 
 
+def test_ann_ivf_pq_recall_and_exact_degeneration(spark):
+    """IVF+PQ composition (r9): (a) with ALL cells probed and the pool
+    widened to the corpus it degenerates to exact brute force — both
+    approximation knobs closed at once; (b) at the default operating
+    point (N_PROBE cells, corpus-scaled pool) recall on the
+    structureless-Gaussian worst case clears 50% (measured 0.90 — the
+    floor is conservative because the two knobs' misses compound);
+    (c) precision is exact by construction (true-cosine re-rank)."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf_pq, sim_topk_bruteforce)
+
+    truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    full = {tuple(r) for r in sim_ann_ivf_pq(
+        spark, SF_DIR, n_probe=N_CELLS, rerank=10**9).collect()}
+    assert full == truth
+    approx = {(r[0], r[1]) for r in sim_ann_ivf_pq(spark, SF_DIR).collect()}
+    truth_pairs = {(a, b) for a, b, _ in truth}
+    assert len(approx & truth_pairs) >= 0.5 * len(truth_pairs)
+
+
 def test_ann_pq_codes_are_m_bytes(spark):
     """The compression contract: every code has exactly PQ_M entries,
     each in [0, PQ_K) — i.e. PQ_M bytes a vector at PQ_K <= 256."""
