@@ -83,8 +83,8 @@ _PRIORITY = [
     "stream_attribution", "decontaminate_semantic",
     "stream_deletion_variants",
     # (e) code-changed this round: the _chunk_frame refactor and the
-    # consolidated gate entry (now 14 rows — the sim_ann_ivf_pq gate
-    # joined; dedup_soft_weights' second-row slot yielded — it already
+    # consolidated gate entry (now 15 rows — the sim_ann_ivf_pq(_stored)
+    # gates joined; dedup_soft_weights' second-row slot yielded — it already
     # carries an r8 row, the LSH twin's first row, the 500k probe, and
     # a bench key)
     "chunk_documents", "approx_equivalence_checks",
@@ -112,11 +112,13 @@ _PRUNED = {
     "bpe_learn_merges",
     "bpe_token_counts",
     "sim_ann_pq",
-    # r9: the IVF+PQ composition is approximate like its parents —
-    # born pruned; its evidence is the sim_ann_ivf_pq gate inside
-    # approx_equivalence_checks (both knobs degenerate → brute force),
-    # the recall/degeneration pytest, and its bench key
+    # r9: the IVF+PQ compositions are approximate like their parents —
+    # born pruned; their evidence is the sim_ann_ivf_pq(_stored) gates
+    # inside approx_equivalence_checks (both knobs degenerate → brute
+    # force; stored == in-memory), the recall/degeneration pytests,
+    # and their bench keys
     "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_stored",
 }
 
 

@@ -202,6 +202,10 @@ def headline_queries():
         "sim_ann_pq": similarity.sim_ann_pq,
         # r9: the IVF+PQ composition — cell-pruned AND compressed scan
         "sim_ann_ivf_pq": similarity.sim_ann_ivf_pq,
+        # r9: the persisted inverted list (assignment+encoding at
+        # ingest; first run pays the one-time store build, min-of-2
+        # reports the DPP-pruned compressed-scan steady state)
+        "sim_ann_ivf_pq_stored": similarity.sim_ann_ivf_pq_stored,
         # the composed 9-stage curation pipeline end to end (exact dedup →
         # LSH near-dup → decontaminate → quality/quota/LM cut → boilerplate
         # strip → PII scrub → sample → leakage-safe split → packing) — the

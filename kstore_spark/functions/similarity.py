@@ -1046,6 +1046,109 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
     )
 
 
+def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
+    """Materialize the FAISS inverted list exactly: (vec_id, code)
+    written ``partitionBy("cell")`` — nearest-centroid cell + the
+    PQ_M-byte code per vector, both computed ONCE at ingest. This is
+    what moves sim_ann_ivf_pq's two query-time prep passes (full-corpus
+    assignment + full-corpus Arrow encoding — 8.9 s of its 200k-vector
+    cost, PERF.md r9) off the query path: a probe lists n_probe/n_cells
+    of the partitions and reads m bytes a row. Standard ArtifactStore
+    contract (content-derived version, crash-safe register-after-build,
+    cross-session reuse) keyed by n_cells+PQ geometry."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    store = ArtifactStore()
+    params = f"c{n_cells}m{PQ_M}k{PQ_K}"
+    version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        emb = _emb(spark, sf_dir)
+        cents = _centroids(emb, n_cells)
+        books = _pq_codebooks(emb)
+        assigned = emb.select(
+            "vec_id",
+            _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell"))
+        (pq_encode(emb, books).join(assigned, "vec_id")
+         .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+
+    return store.get_or_build(f"ivfpq:{src}:{params}", version, build, src=src)
+
+
+def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
+                          n_probe: int = N_PROBE, n_cells: int = N_CELLS,
+                          rerank: int | None = None):
+    """sim_ann_ivf_pq against the persisted inverted list
+    (ivf_pq_store_dir): the probe join keys on the cell partition
+    column with a broadcast probe side, so the store scan is
+    dynamically partition-pruned to the probed cells' files, and those
+    files carry m-byte codes instead of 8·dim-byte vectors — the
+    query-time cost is n_probe/n_cells of a 64×-compressed column plus
+    rerank×|queries| exact-re-rank vector fetches; assignment and
+    encoding happened at ingest. Output identical to sim_ann_ivf_pq at
+    equal knobs (same first-K centroids/codebooks — pinned), and with
+    both knobs widened it degenerates to brute force (the stored gate
+    in plans/checks.py)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    store = ivf_pq_store_dir(spark, sf_dir, n_cells)
+    data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
+    cents = _centroids(emb, n_cells)
+    books = _pq_codebooks(emb)
+    if rerank is None:
+        rerank = max(PQ_RERANK, emb.count() // 100)
+
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    m, kw, sub = books.shape
+    lut_rows = []  # per-query LUT — same un-normalized dot as sim_ann_pq
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype="float64")
+        lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
+        lut_rows.append((r["vec_id"], [[float(x) for x in row] for row in lut]))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(_nearest_cells(F.col("v"), cents, n_probe),
+                        lambda s: s["cell"])).alias("cell"))
+    probes = q.join(lut_df, "query_id")
+
+    scored = (
+        data.join(F.broadcast(probes), "cell")  # DPP on the store scan
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("code", "lut", lambda c, row: row[c]),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("pq_s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_s"), F.asc("neighbor_id"))
+    cands = scored.withColumn("crn", F.row_number().over(w)).filter(
+        F.col("crn") <= rerank).select("query_id", "neighbor_id")
+
+    qv_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        cands.join(F.broadcast(qv_df), "query_id").join(nv_df, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                _cosine(F.col("qv"), F.col("nv")).alias("s"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # -- cluster-balanced (diversity) sampling -----------------------------
 
 _MIX, _MIX_MOD = 2654435761, 2**32  # Knuth multiplicative hash (2^32/φ)
@@ -1654,6 +1757,7 @@ QUERIES = {
     "knn_graph_ivf": knn_graph_ivf,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivf_pq": sim_ann_ivf_pq,
+    "sim_ann_ivf_pq_stored": sim_ann_ivf_pq_stored,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,

@@ -128,6 +128,20 @@ def _gate_ivf_pq(spark, sf_dir, ctx):
         sim_ann_ivf_pq(spark, sf_dir, n_probe=N_CELLS, rerank=10**9), truth)
 
 
+def _gate_ivf_pq_stored(spark, sf_dir, ctx):
+    """The persisted inverted list with both knobs widened IS brute
+    force too — and additionally proves the stored cell+code artifact
+    carries the same assignments/codes the in-memory composition
+    computes (same first-K centroids/codebooks by construction)."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf_pq_stored, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    return _symdiff(
+        sim_ann_ivf_pq_stored(spark, sf_dir, n_probe=N_CELLS, rerank=10**9),
+        truth)
+
+
 def _gate_multimodal(spark, sf_dir, ctx):
     from kstore_spark.functions.multimodal import (
         MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS, binary_payloads,
@@ -262,6 +276,7 @@ GATES = {
         lambda s, d, c: _gate_ivf(s, d, c, "incremental"),
     "sim_ann_pq": _gate_pq,
     "sim_ann_ivf_pq": _gate_ivf_pq,
+    "sim_ann_ivf_pq_stored": _gate_ivf_pq_stored,
     "multimodal_neardup": _gate_multimodal,
     "events_approx_distinct": _gate_approx_distinct,
     "events_approx_quantiles": _gate_approx_quantiles,
@@ -320,6 +335,10 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     - sim_ann_ivf_pq (r9): the IVF+PQ composition with all cells
       probed AND the pool widened == brute force (both knobs closed
       at once — cell pruning drops nothing, re-rank decides all).
+    - sim_ann_ivf_pq_stored (r9): the persisted inverted list
+      (cell-partitioned codes) under the same widened knobs == brute
+      force — also proves the stored assignments/codes match the
+      in-memory composition's.
     - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
       the same media embeddings (precision is exact by the cosine
       verify; recall is the probabilistic part, pinned on planted
@@ -364,7 +383,8 @@ def single_gate_query(name: str):
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
-    "sim_ann_pq", "sim_ann_ivf_pq", "multimodal_neardup",
+    "sim_ann_pq", "sim_ann_ivf_pq", "sim_ann_ivf_pq_stored",
+    "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",
     "bpe_learn_merges", "bpe_token_counts",

@@ -266,6 +266,23 @@ def test_ann_ivf_pq_recall_and_exact_degeneration(spark):
     assert len(approx & truth_pairs) >= 0.5 * len(truth_pairs)
 
 
+def test_ann_ivf_pq_stored_equals_inline_and_prunes(spark):
+    """The persisted inverted list (r9): (a) output == the in-memory
+    composition at equal knobs (same first-K centroids/codebooks, so
+    the stored assignments/codes are bit-equal); (b) the broadcast
+    probe join plans a DYNAMIC PARTITION PRUNING filter on the store
+    scan — only the probed cells' code files are read (the whole point
+    of moving assignment+encoding to ingest)."""
+    from kstore_spark.functions.similarity import (
+        sim_ann_ivf_pq, sim_ann_ivf_pq_stored)
+
+    df = sim_ann_ivf_pq_stored(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert {tuple(r) for r in df.collect()} == \
+        {tuple(r) for r in sim_ann_ivf_pq(spark, SF_DIR).collect()}
+
+
 def test_ann_pq_codes_are_m_bytes(spark):
     """The compression contract: every code has exactly PQ_M entries,
     each in [0, PQ_K) — i.e. PQ_M bytes a vector at PQ_K <= 256."""
