@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #       evidence gap left; after this window no entry's newest green
 #       row is older than r6). The other 14 r5-dated entries are §2
 #       singles, fresh every round by construction via the suites;
-#   (b) first rows for the 4 r9-new ops: dedup_soft_weights_lsh (the
+#   (b) first rows for the 5 r9-new oracled ops: dedup_soft_weights_lsh (the
 #       banded pair graph through soft dedup's pairs= seam — VERDICT
 #       item 4), rag_context_indexed (chunk-index access path +
 #       winner-doc re-chunk — VERDICT item 5), and the two ROADMAP r9
@@ -38,17 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (acquisition credit, the first-seen twin);
 #   (c) the 3 parity suites (standing per-round §2 evidence: all 21
 #       §2 parity operators, checksum-folded — kparity._SUITES);
-#   (d) second rows for 8 of the 10 r8-new single-row entries (VERDICT
-#       item 8; events_attribution_windowed yields to a first row,
-#       dedup_soft_weights to the code-changed gate entry — both stay
-#       r8-green, 1 round old);
+#   (d) second rows for 7 of the 10 r8-new single-row entries (VERDICT
+#       item 8; events_attribution_windowed / events_attribution yield
+#       to first rows, dedup_soft_weights to the code-changed gate
+#       entry — all three stay r8-green, 1 round old; rag_context keeps
+#       its slot as code-changed too: it runs through the refactored
+#       _chunk_frame);
 #   (e) code-changed entry: chunk_documents (r9 _chunk_frame refactor
 #       shared with the indexed RAG stitch). The cluster family's
 #       scale oracle (item 6) is adjudicated off-driver this round —
 #       tools/probe_soft_weights_scale hash-compares 500k docs against
 #       an independent DuckDB-pairs + union-find formulation.
-# That sums to exactly 50. queries() is now 178 entries (174 + the
-# four r9 ops), of which 21 (§2 singles) ride the suites — a
+# That sums to exactly 50. queries() is now 179 oracled entries (174
+# + the five r9 oracled ops; the two IVF+PQ entries are born pruned), of which 21 (§2 singles) ride the suites — a
 # 157-entry rotating set, <3 rounds of full-coverage latency at 50
 # slots/round. r10 window plan: the r6-green cohort (49 entries —
 # oldest evidence after this window), the suites again, and second
@@ -70,6 +72,7 @@ _PRIORITY = [
     "tfidf_top_terms",
     # (b) first rows: the r9-new ops
     "dedup_soft_weights_lsh", "rag_context_indexed",
+    "rag_context_fuzzy",
     "events_attribution_linear", "events_attribution_first",
     # (c) §2 parity suites — all 21 §2 operators, every round
     "parity_suite_scan_agg", "parity_suite_math_mutation",
@@ -79,7 +82,7 @@ _PRIORITY = [
     # r9-new first row above — first rows outrank second rows, the r8
     # window's own rule; it stays r8-green, 1 round old)
     "text_search_fuzzy2_multi", "text_search_fuzzy_ranked",
-    "lifecycle_fold_search", "rag_context", "events_attribution",
+    "lifecycle_fold_search", "rag_context",
     "stream_attribution", "decontaminate_semantic",
     "stream_deletion_variants",
     # (e) code-changed this round: the _chunk_frame refactor and the

@@ -287,6 +287,13 @@ def headline_queries():
             F.sum(F.length("context_text")).alias("ctx_chars"),
             F.sum("n_hits").alias("hits"),
         ),
+        # r9: typo-robust RAG — deletion-index term resolution feeding
+        # the chunk-index assembly (both stages are index probes)
+        "rag_context_fuzzy": lambda s, sf: corpus.rag_context_fuzzy(
+            s, sf).agg(
+            F.sum(F.length("context_text")).alias("ctx_chars"),
+            F.sum("n_hits").alias("hits"),
+        ),
         # distance-2 fuzzy: first run pays the one-time depth-2 deletion
         # index build; min-of-2 reports the pruned-probe steady state
         "text_search_fuzzy2": text.text_search_fuzzy2,

@@ -569,6 +569,74 @@ def rag_context_indexed(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
                            "context_text")
 
 
+RAG_FUZZY_TERMS = ("mergr", "joib")  # 1-edit typos of the RAG query
+                                     # ('merge', 'join') — what a user
+                                     # actually types into a search box
+
+
+def rag_context_fuzzy(spark, sf_dir, terms: tuple[str, ...] = RAG_FUZZY_TERMS,
+                      k: int = RAG_K, width: int = CHUNK_WIDTH,
+                      stride: int = CHUNK_STRIDE,
+                      buckets: int = CHUNK_BUCKETS):
+    """Typo-robust RAG (r9 — the composition the ROADMAP named): the
+    query terms resolve to their edit-distance-1 VOCABULARY
+    neighborhoods through the SymSpell deletion index (ONE probe,
+    text._fuzzy_neighborhood — the exact machinery text_search_fuzzy
+    uses), and the resolved terms feed the chunk-index RAG assembly
+    unchanged (rag_context_indexed: pruned chunk postings → top-k →
+    winner-doc re-chunk stitch). n_hits counts every occurrence of any
+    neighborhood term. Both stages are index probes, so the query cost
+    is Σ|variants| deletion partitions + |resolved| chunk-postings
+    partitions + O(k) — corpus text is never scanned. Exact oracle: the
+    fuzzy ops' brute-force-levenshtein resolution over the distinct-
+    term vocab, then the RAG SQL's scoring/stitch over the resolved
+    set — identical DP and identical assembly in both engines."""
+    from kstore_spark.functions.text import FUZZY_BUCKETS, _fuzzy_neighborhood
+
+    resolved = _fuzzy_neighborhood(
+        spark, sf_dir, tuple(terms), FUZZY_BUCKETS, max_dist=1)
+    if not resolved:  # no vocabulary term within distance 1 of any typo
+        return spark.createDataFrame(
+            [], "rank int, doc_id bigint, chunk_idx int, n_hits bigint, "
+                "context_text string")
+    return rag_context_indexed(
+        spark, sf_dir, terms=resolved, k=k, width=width, stride=stride,
+        buckets=buckets)
+
+
+RAG_CONTEXT_FUZZY_SQL = f"""
+WITH chunks AS (
+  {CHUNK_DOCUMENTS_SQL}
+), vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+), resolved AS (
+  SELECT term FROM vocab
+  WHERE {" OR ".join(f"levenshtein(term, '{t}') <= 1"
+                     for t in RAG_FUZZY_TERMS)}
+), toks AS (
+  SELECT doc_id, chunk_idx, unnest(string_split(chunk_text, ' ')) AS tok
+  FROM chunks
+), scored AS (
+  SELECT doc_id, chunk_idx, COUNT(*) AS n_hits
+  FROM toks JOIN resolved ON tok = term
+  GROUP BY doc_id, chunk_idx
+), top AS (
+  SELECT doc_id, chunk_idx, CAST(n_hits AS BIGINT) AS n_hits,
+         ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id, chunk_idx)
+           AS rank
+  FROM scored WHERE n_hits > 0
+  ORDER BY n_hits DESC, doc_id, chunk_idx
+  LIMIT {RAG_K}
+)
+SELECT CAST(t.rank AS INTEGER) AS rank, t.doc_id, t.chunk_idx, t.n_hits,
+       string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
+         AS context_text
+FROM top t JOIN chunks c
+  ON c.doc_id = t.doc_id AND abs(c.chunk_idx - t.chunk_idx) <= 1
+GROUP BY t.rank, t.doc_id, t.chunk_idx, t.n_hits
+"""
+
+
 TRIGRAM_K = 20  # top-k corpus trigrams
 
 
@@ -770,6 +838,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "rag_context": rag_context,
     "rag_context_indexed": rag_context_indexed,
+    "rag_context_fuzzy": rag_context_fuzzy,
     "corpus_trigrams": corpus_trigrams,
     "corpus_collocations": corpus_collocations,
     "text_ngram_novelty": text_ngram_novelty,
@@ -786,6 +855,9 @@ ORACLES = {
     # the index path only changes the ACCESS PATH (pruned chunk
     # postings + k-doc re-chunk); output is the scan path's exactly
     "rag_context_indexed": RAG_CONTEXT_SQL,
+    # typo-robust RAG: brute-force-levenshtein vocab resolution + the
+    # same RAG assembly, mirrored exactly
+    "rag_context_fuzzy": RAG_CONTEXT_FUZZY_SQL,
     "corpus_trigrams": CORPUS_TRIGRAMS_SQL,
     "corpus_collocations": CORPUS_COLLOCATIONS_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,

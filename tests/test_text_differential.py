@@ -130,6 +130,11 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # same oracle on any corpus (LSH-fed ops stay out —
                # their oracle equivalence is recall-dependent)
                "rag_context_indexed",
+               # r9: typo-robust RAG — word salad plants distance-1
+               # neighbors of 'mergr'/'joib' at random, so resolution
+               # width varies per corpus; empty neighborhoods are a
+               # valid empty==empty differential
+               "rag_context_fuzzy",
                # round-5 additions: cross-source pair audit (random s0/s1
                # tags exercise the straddle filter), trusted-slice LM
                "dedup_cross_source", "text_lm_score_trusted",
