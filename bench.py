@@ -265,6 +265,9 @@ def headline_queries():
         # r9: first-touch (acquisition credit) — same window, first-seen
         # state
         "events_attribution_first": analytics.events_attribution_first,
+        # r9: U-shaped 40/20/40 position credit — range-frame struct
+        # list + row-local posexplode weight CASE
+        "events_attribution_position": analytics.events_attribution_position,
         "lifecycle_fold_search": text.lifecycle_fold_search,
         "stream_deletion_variants": stream_indexing.stream_deletion_variants,
         "dedup_soft_weights": lambda s, sf: dedup.dedup_soft_weights(s, sf).agg(

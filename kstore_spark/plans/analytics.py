@@ -871,7 +871,100 @@ def events_attribution_linear(spark, sf_dir, hours: int = ATTR_WINDOW_HOURS):
     )
 
 
+def events_attribution_position(spark, sf_dir,
+                                hours: int = ATTR_WINDOW_HOURS):
+    """POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution (r9
+    — the family's fifth and final standard model): within the credit
+    horizon the FIRST touch earns 40% of the purchase, the LAST 40%,
+    and the middles split the remaining 20% equally; a 2-touch journey
+    splits 50/50, a 1-touch journey takes 100%, a touchless purchase
+    is 'direct'. Output (touch_type, n_credits, attributed_ppm_cents)
+    — same integer-exact ppm-cents discipline as the linear model
+    (truncating div on non-negative cents, identical in both engines).
+
+    Same scale shape as the linear op — ONE user_id shuffle; the
+    horizon's touches arrive as a RANGE-frame collect_list of
+    (sec, event_id, type) structs, array_sort makes the first/last
+    identification total ((sec, event_id) — the family's tie-break),
+    and the posexplode + weight CASE is row-local."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-hours * 3600, -1))
+    # collect_list drops nulls ⇒ exactly the horizon's touches; the
+    # struct sorts (sec, event_id, type) lexicographically → total order
+    touches = F.array_sort(F.collect_list(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES),
+               F.struct("sec", "event_id",
+                        F.col("event_type").alias("t")))).over(w))
+    purchases = (
+        ev.select("event_type", "cents", touches.alias("touches"))
+        .filter(F.col("event_type") == "purchase")
+        .select("cents", "touches", F.size("touches").alias("n"))
+    )
+    credited = (
+        purchases.filter(F.col("n") > 0)
+        .select("cents", "n",
+                F.posexplode("touches").alias("i", "touch"))
+        .select(
+            F.col("touch.t").alias("touch_type"),
+            F.expr(
+                "CASE WHEN n = 1 THEN cents * 1000000 "
+                "WHEN n = 2 THEN cents * 500000 "
+                "WHEN i = 0 OR i = n - 1 THEN cents * 400000 "
+                "ELSE (cents * 200000) div (n - 2) END").alias("ppm"))
+    )
+    direct = purchases.filter(F.col("n") == 0).select(
+        F.lit("direct").alias("touch_type"),
+        (F.col("cents") * F.lit(1_000_000)).alias("ppm"))
+    return (
+        credited.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_credits"),
+             F.sum("ppm").cast("long").alias("attributed_ppm_cents"))
+    )
+
+
 _ATTR_TOUCH_IN = ", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)
+
+EVENTS_ATTRIBUTION_POSITION_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch(ts) AS sec,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, epoch(ts) AS sec, event_id, event_type
+  FROM events WHERE event_type IN ({_ATTR_TOUCH_IN})
+), j AS (
+  SELECT p.event_id, p.cents, t.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY t.sec, t.event_id) AS i,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.sec < p.sec AND t.sec >= p.sec - {ATTR_WINDOW_HOURS} * 3600
+), credited AS (
+  SELECT event_type AS touch_type,
+         CASE WHEN n = 1 THEN cents * 1000000
+              WHEN n = 2 THEN cents * 500000
+              WHEN i = 1 OR i = n THEN cents * 400000
+              ELSE (cents * 200000) // (n - 2) END AS ppm
+  FROM j
+), direct AS (
+  SELECT 'direct' AS touch_type, p.cents * 1000000 AS ppm
+  FROM p LEFT JOIN (SELECT DISTINCT event_id FROM j) jj USING (event_id)
+  WHERE jj.event_id IS NULL
+), allc AS (
+  SELECT * FROM credited UNION ALL SELECT * FROM direct
+)
+SELECT touch_type, COUNT(*) AS n_credits,
+       CAST(SUM(ppm) AS BIGINT) AS attributed_ppm_cents
+FROM allc GROUP BY touch_type
+"""
+
 
 EVENTS_ATTRIBUTION_LINEAR_SQL = f"""
 WITH p AS (
@@ -1041,6 +1134,7 @@ QUERIES = {
     "events_attribution_windowed": events_attribution_windowed,
     "events_attribution_linear": events_attribution_linear,
     "events_attribution_first": events_attribution_first,
+    "events_attribution_position": events_attribution_position,
     "events_retention": events_retention,
     "events_top_paths": events_top_paths,
     "events_cumulative_users": events_cumulative_users,
@@ -1069,6 +1163,7 @@ ORACLES = {
     "events_attribution_windowed": EVENTS_ATTRIBUTION_WINDOWED_SQL,
     "events_attribution_linear": EVENTS_ATTRIBUTION_LINEAR_SQL,
     "events_attribution_first": EVENTS_ATTRIBUTION_FIRST_SQL,
+    "events_attribution_position": EVENTS_ATTRIBUTION_POSITION_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,

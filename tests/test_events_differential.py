@@ -100,7 +100,12 @@ _OPS = ("events_by_type", "events_hourly", "events_sessionize",
         # FIRST-seen state; diverges from last-touch exactly on users
         # whose first and last touches differ, which the fuzzer plants
         # by construction on any ≥2-touch user
-        "events_attribution_first")
+        "events_attribution_first",
+        # U-shaped 40/20/40 (r9): random horizon-touch counts exercise
+        # every weight branch (n=1 full, n=2 half/half, n≥3 ends+middles
+        # with the truncating middle split) and the (sec, event_id)
+        # first/last tie-break
+        "events_attribution_position")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
