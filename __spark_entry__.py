@@ -52,9 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # That sums to exactly 50. queries() is now 179 oracled entries (174
 # + the five r9 oracled ops; the two IVF+PQ entries are born pruned), of which 21 (§2 singles) ride the suites — a
 # 157-entry rotating set, <3 rounds of full-coverage latency at 50
-# slots/round. r10 window plan: events_attribution_position leads
-# (landed after the r9 window filled — oracle-green at both SFs
-# locally, fuzzed, benched; its first driver row is r10's job), then
+# slots/round. r10 window plan: events_attribution_position and
+# lifecycle_fold_ann lead (both landed after the r9 window filled —
+# oracle-green at both SFs locally, tested, benched; their first
+# driver rows are r10's job), then
 # the r6-green cohort (49 entries — oldest evidence after this
 # window), the suites again, and second rows for the r9-new ops +
 # events_attribution_windowed/_attribution/dedup_soft_weights.

@@ -206,6 +206,9 @@ def headline_queries():
         # ingest; first run pays the one-time store build, min-of-2
         # reports the DPP-pruned compressed-scan steady state)
         "sim_ann_ivf_pq_stored": similarity.sim_ann_ivf_pq_stored,
+        # r9: the ANN store lifecycle (history build -> fold -> exact
+        # query off the folded inverted list; session artifact base)
+        "lifecycle_fold_ann": similarity.lifecycle_fold_ann,
         # the composed 9-stage curation pipeline end to end (exact dedup →
         # LSH near-dup → decontaminate → quality/quota/LM cut → boilerplate
         # strip → PII scrub → sample → leakage-safe split → packing) — the

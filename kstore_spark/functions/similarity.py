@@ -1046,7 +1046,8 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
     )
 
 
-def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
+def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
+                     max_vec: int | None = None) -> str:
     """Materialize the FAISS inverted list exactly: (vec_id, code)
     written ``partitionBy("cell")`` — nearest-centroid cell + the
     PQ_M-byte code per vector, both computed ONCE at ingest. This is
@@ -1055,18 +1056,30 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
     cost, PERF.md r9) off the query path: a probe lists n_probe/n_cells
     of the partitions and reads m bytes a row. Standard ArtifactStore
     contract (content-derived version, crash-safe register-after-build,
-    cross-session reuse) keyed by n_cells+PQ geometry."""
+    cross-session reuse) keyed by n_cells+PQ geometry. With ``max_vec``
+    the store covers only vec_id < max_vec — the HISTORY slice the
+    compaction fold advances (centroids AND codebooks are the first
+    n_cells / PQ_K ids, so both are inside any history with
+    max_vec ≥ max(n_cells, PQ_K) and the slice is history-
+    deterministic, same argument as ivf_store_dir's)."""
     import os
 
     from kstore_spark.catalog import ArtifactStore
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
-    params = f"c{n_cells}m{PQ_M}k{PQ_K}"
-    version = ArtifactStore.source_version(src, params)
+    params = (f"c{n_cells}m{PQ_M}k{PQ_K}"
+              + (f":d{max_vec}" if max_vec is not None else ""))
+    if max_vec is not None:  # history slice: appends must not invalidate
+        version = ArtifactStore.source_version_bounded(
+            src, params, "vec_id", max_vec)
+    else:
+        version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
         emb = _emb(spark, sf_dir)
+        if max_vec is not None:
+            emb = emb.filter(F.col("vec_id") < max_vec)
         cents = _centroids(emb, n_cells)
         books = _pq_codebooks(emb)
         assigned = emb.select(
@@ -1078,9 +1091,65 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
     return store.get_or_build(f"ivfpq:{src}:{params}", version, build, src=src)
 
 
+def compact_ivf_pq_store(spark, sf_dir, old_min: int, new_min: int,
+                         n_cells: int = N_CELLS) -> str:
+    """Fold the embeddings increment into the IVF+PQ inverted list —
+    the incremental-family treatment (compact_token_index /
+    compact_lsh_index / compact_ivf_store) extended to the r9 store:
+    advance the boundary from ``old_min`` to ``new_min`` by MERGING the
+    history's (vec_id, code, cell) rows with the increment's — only
+    old_min ≤ vec_id < new_min is read, encoded, and assigned; history
+    vectors are never re-read — registered under the SAME
+    content-derived bounded version a from-scratch d{new_min} build
+    gets (centroids = first n_cells ids, codebooks = first PQ_K ids,
+    both inside any history with the guards below, so the merge is
+    bit-identical to from-scratch — pinned in tests). The superseded
+    d{old_min} store is retired (tombstone + session-epoch GC)."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    floor = max(n_cells, PQ_K)
+    assert new_min >= floor, "centroid/codebook ids must lie inside history"
+    assert old_min >= floor, (
+        "history store predates a full centroid/codebook set — rebuild "
+        "from scratch at new_min instead of folding")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    store = ArtifactStore()
+    old_store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=old_min)
+
+    params = f"c{n_cells}m{PQ_M}k{PQ_K}:d{new_min}"
+    version = ArtifactStore.source_version_bounded(
+        src, params, "vec_id", new_min)
+
+    def build(out_dir: str) -> None:
+        emb = _emb(spark, sf_dir).filter(F.col("vec_id") < new_min)
+        cents = _centroids(emb, n_cells)
+        books = _pq_codebooks(emb)
+        inc_emb = emb.filter(F.col("vec_id") >= old_min)
+        inc = pq_encode(inc_emb, books).join(
+            inc_emb.select(
+                "vec_id",
+                _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
+                .alias("cell")),
+            "vec_id")
+        hist = spark.read.parquet(old_store)
+        hist = hist.select(
+            "vec_id", "code",
+            F.col("cell").cast(dict(inc.dtypes)["cell"]).alias("cell"))
+        (hist.unionByName(inc.select("vec_id", "code", "cell"))
+         .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+
+    new_store = store.get_or_build(
+        f"ivfpq:{src}:{params}", version, build, src=src)
+    store.retire(f"ivfpq:{src}:c{n_cells}m{PQ_M}k{PQ_K}:d{old_min}")
+    return new_store
+
+
 def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
                           n_probe: int = N_PROBE, n_cells: int = N_CELLS,
-                          rerank: int | None = None):
+                          rerank: int | None = None,
+                          max_vec: int | None = None):
     """sim_ann_ivf_pq against the persisted inverted list
     (ivf_pq_store_dir): the probe join keys on the cell partition
     column with a broadcast probe side, so the store scan is
@@ -1095,7 +1164,9 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
     import numpy as np
 
     emb = _emb(spark, sf_dir)
-    store = ivf_pq_store_dir(spark, sf_dir, n_cells)
+    if max_vec is not None:  # serve from a (possibly folded) history slice
+        emb = emb.filter(F.col("vec_id") < max_vec)
+    store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=max_vec)
     data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
     cents = _centroids(emb, n_cells)
     books = _pq_codebooks(emb)
@@ -1147,6 +1218,46 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+ANN_FOLD_OLD_MIN = 400  # the ANN lifecycle entry's pre-fold boundary
+                        # (the family's IVF_INCR_MIN operating point)
+
+
+def lifecycle_fold_ann(spark, sf_dir, k: int = TOP_K):
+    """The ANN store LIFECYCLE as one driver-visible, ORACLED op — the
+    vector twin of text.lifecycle_fold_search: build the IVF+PQ
+    inverted list at the vec_id < ANN_FOLD_OLD_MIN history boundary,
+    FOLD the increment into it (compact_ivf_pq_store — only increment
+    vectors are read/encoded/assigned), and answer a top-k query off
+    the FOLDED store. The query runs with both approximation knobs
+    widened (all cells probed, corpus-wide re-rank pool), which makes
+    the answer EXACT brute-force top-k — so this lifecycle entry
+    carries the plain SIM_TOPK SQL oracle while still exercising the
+    real store artifacts end to end (a folded store with a wrong code,
+    cell, or dropped/duplicated row CANNOT hash-match brute force).
+    From-scratch-equality of the folded store itself is pinned in
+    pytest; runs inside a session-scoped artifact base for the same
+    retirement-hygiene reason as the text twin."""
+    import os
+    import tempfile
+
+    from kstore_spark.catalog import artifact_base
+
+    n_total = _emb(spark, sf_dir).count()
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"kstore_fold_{spark.sparkContext.applicationId}")
+    with artifact_base(base):
+        # 1. the history boundary's inverted list
+        ivf_pq_store_dir(spark, sf_dir, max_vec=ANN_FOLD_OLD_MIN)
+        # 2. the fold advances the boundary to the full table: history
+        #    contributes its built (vec_id, code, cell) rows verbatim
+        compact_ivf_pq_store(spark, sf_dir, ANN_FOLD_OLD_MIN, n_total)
+        # 3. the query reads the folded store; widened knobs ⇒ exact
+        return sim_ann_ivf_pq_stored(
+            spark, sf_dir, k=k, n_probe=N_CELLS, rerank=10**9,
+            max_vec=n_total)
 
 
 # -- cluster-balanced (diversity) sampling -----------------------------
@@ -1758,6 +1869,7 @@ QUERIES = {
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivf_pq": sim_ann_ivf_pq,
     "sim_ann_ivf_pq_stored": sim_ann_ivf_pq_stored,
+    "lifecycle_fold_ann": lifecycle_fold_ann,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -1766,6 +1878,10 @@ QUERIES = {
 
 ORACLES = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
+    # the ANN lifecycle queries the FOLDED store with both knobs
+    # widened — exact brute force by the degeneration theorem, so the
+    # plain top-k SQL is its oracle (see lifecycle_fold_ann)
+    "lifecycle_fold_ann": SIM_TOPK_SQL,
     # same SQL is the matmul path's EXACT oracle: float64 ranks are
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output

@@ -283,6 +283,44 @@ def test_ann_ivf_pq_stored_equals_inline_and_prunes(spark):
         {tuple(r) for r in sim_ann_ivf_pq(spark, SF_DIR).collect()}
 
 
+def test_ivf_pq_fold_equals_from_scratch(spark, tmp_path):
+    """compact_ivf_pq_store (r9): folding the increment into the
+    history inverted list must be BIT-IDENTICAL to building d{new}
+    from scratch (centroids = first N_CELLS ids, codebooks = first
+    PQ_K ids — both history-deterministic), and the guards must refuse
+    boundaries that predate a full centroid/codebook set."""
+    import pytest as _pytest
+
+    from kstore_spark.catalog import artifact_base
+    from kstore_spark.functions.similarity import (
+        PQ_K, compact_ivf_pq_store, ivf_pq_store_dir)
+
+    with artifact_base(str(tmp_path / "arts")):
+        folded = compact_ivf_pq_store(spark, SF_DIR, 400, 500)
+        got = {(r["vec_id"], tuple(r["code"]), r["cell"])
+               for r in spark.read.parquet(folded).collect()}
+    with artifact_base(str(tmp_path / "arts2")):
+        scratch = ivf_pq_store_dir(spark, SF_DIR, max_vec=500)
+        exp = {(r["vec_id"], tuple(r["code"]), r["cell"])
+               for r in spark.read.parquet(scratch).collect()}
+    assert got == exp and len(got) == 500
+    with artifact_base(str(tmp_path / "arts3")):
+        with _pytest.raises(AssertionError):
+            compact_ivf_pq_store(spark, SF_DIR, PQ_K - 1, 500)
+
+
+def test_lifecycle_fold_ann_equals_bruteforce(spark):
+    """The ANN lifecycle entry (fold → widened-knobs query off the
+    folded store) must equal exact brute-force top-k — the degeneration
+    theorem applied through the folded artifacts."""
+    from kstore_spark.functions.similarity import (
+        lifecycle_fold_ann, sim_topk_bruteforce)
+
+    got = {tuple(r) for r in lifecycle_fold_ann(spark, SF_DIR).collect()}
+    exp = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    assert got == exp
+
+
 def test_ann_pq_codes_are_m_bytes(spark):
     """The compression contract: every code has exactly PQ_M entries,
     each in [0, PQ_K) — i.e. PQ_M bytes a vector at PQ_K <= 256."""
