@@ -49,13 +49,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #       scale oracle (item 6) is adjudicated off-driver this round —
 #       tools/probe_soft_weights_scale hash-compares 500k docs against
 #       an independent DuckDB-pairs + union-find formulation.
-# That sums to exactly 50. queries() is now 179 oracled entries (174
-# + the five r9 oracled ops; the two IVF+PQ entries are born pruned), of which 21 (§2 singles) ride the suites — a
-# 157-entry rotating set, <3 rounds of full-coverage latency at 50
+# That sums to exactly 50. queries() is now 181 oracled entries (174
+# + the seven r9 oracled ops — the five windowed above plus
+# events_attribution_position and lifecycle_fold_ann which lead r10;
+# the two IVF+PQ entries are born pruned), of which 21 (§2 singles)
+# ride the suites — a 160-entry rotating set, <4 rounds of
+# full-coverage latency at 50
 # slots/round. r10 window plan: events_attribution_position and
 # lifecycle_fold_ann lead (both landed after the r9 window filled —
 # oracle-green at both SFs locally, tested, benched; their first
-# driver rows are r10's job), then
+# driver rows are r10's job), plus events_attribution_windowed (its
+# oracle changed post-window in the r9 review pass — epoch truncation
+# pinned — so it re-rows as code-changed; the other review fixes all
+# touch entries already inside this window), then
 # the r6-green cohort (49 entries — oldest evidence after this
 # window), the suites again, and second rows for the r9-new ops +
 # events_attribution_windowed/_attribution/dedup_soft_weights.

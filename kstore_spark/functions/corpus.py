@@ -498,10 +498,24 @@ def chunk_index_dir(spark, sf_dir, width: int = CHUNK_WIDTH,
         f"chunkidx:{src}:{params}", version, build, src=src)
 
 
+def _rag_indexed_top(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
+                     k: int = RAG_K, width: int = CHUNK_WIDTH,
+                     stride: int = CHUNK_STRIDE,
+                     buckets: int = CHUNK_BUCKETS):
+    """The LAZY scoring stage of rag_context_indexed (pruned chunk
+    postings → multiplicity-weighted n_hits → top-k limit), exposed so
+    the plan pins can assert the access path (literal bucket
+    PartitionFilters, TakeOrderedAndProject, no Python) on the exact
+    frame the op collects."""
+    return rag_context_indexed(spark, sf_dir, terms, k, width, stride,
+                               buckets, _return_top_frame=True)
+
+
 def rag_context_indexed(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
                         k: int = RAG_K, width: int = CHUNK_WIDTH,
                         stride: int = CHUNK_STRIDE,
-                        buckets: int = CHUNK_BUCKETS):
+                        buckets: int = CHUNK_BUCKETS,
+                        _return_top_frame: bool = False):
     """rag_context through the persisted chunk index (VERDICT r8 item
     5): the per-query corpus scan was the one r8-new shape that would
     not survive 100 TB as a QUERY-time op — here chunk scoring reads
@@ -532,22 +546,56 @@ def rag_context_indexed(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
         idx = spark.createDataFrame(
             [], "tok string, doc_id bigint, chunk_idx int, tf bigint, "
                 "bucket bigint")
+    # per-term MULTIPLICITY (r9 review): the scan path scores each
+    # term INSTANCE (a duplicated query term counts its occurrences
+    # twice); a bare isin() would dedupe and silently break the
+    # output-identical contract on such inputs — weight tf by the
+    # term's multiplicity via a |distinct terms|-entry LITERAL map
+    # lookup (row-local, stays in codegen; no join, no local relation)
+    from collections import Counter
+
+    counts = Counter(terms)
+    mult_map = F.create_map(
+        *[x for t, m in counts.items() for x in (F.lit(t), F.lit(int(m)))])
     hits = (
         idx.filter(F.col("bucket").isin(term_buckets))  # partition pruning
-        .filter(F.col("tok").isin(list(terms)))          # exact, in-partition
+        .filter(F.col("tok").isin(list(counts)))         # exact, in-partition
+        .withColumn("mult", F.element_at(mult_map, F.col("tok")))
     )
     scored = (
         hits.groupBy("doc_id", "chunk_idx")
-        .agg(F.sum("tf").cast("long").alias("n_hits"))
+        .agg(F.sum(F.col("tf") * F.col("mult")).cast("long").alias("n_hits"))
     )
     top = scored.orderBy(F.col("n_hits").desc(), "doc_id",
                          "chunk_idx").limit(k)
-    w = Window.orderBy(F.col("n_hits").desc(), "doc_id", "chunk_idx")
-    top = top.withColumn("rank", F.row_number().over(w))  # k rows only
-    # k-bounded collect (house rule: bounded + commented): the winner
-    # doc ids become literal pushdown filters on the documents scan, so
-    # the stitch tokenizes k documents instead of the corpus
-    win_ids = [r["doc_id"] for r in top.select("doc_id").distinct().collect()]
+    # k-bounded collect (house rule: bounded + commented) — ONE
+    # materialization of the pruned-postings top-k: the rank is
+    # assigned driver-side over the k collected rows (same (n_hits
+    # DESC, doc_id, chunk_idx) total order) and the winner frame is
+    # rebuilt as literals, so the stitch join below does NOT re-run
+    # the index scan + aggregation a second time (r9 review: the
+    # lazy-frame formulation executed the subplan twice per query).
+    # ``top`` is returned lazily by _rag_indexed_top for the plan pins.
+    if _return_top_frame:
+        return top
+    top_rows = top.collect()
+    top_rows.sort(key=lambda r: (-r["n_hits"], r["doc_id"], r["chunk_idx"]))
+    if top_rows:
+        # JVM-side literal rebuild (explode of a k-struct literal array
+        # — stays a pure expression, no local Python RDD in the plan)
+        top = spark.range(1).select(F.explode(F.array(*[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("rank"),
+                F.lit(int(r["doc_id"])).cast("long").alias("doc_id"),
+                F.lit(int(r["chunk_idx"])).cast("int").alias("chunk_idx"),
+                F.lit(int(r["n_hits"])).cast("long").alias("n_hits"))
+            for i, r in enumerate(top_rows)])).alias("t")).select("t.*")
+    else:
+        top = spark.createDataFrame(
+            [], "rank int, doc_id bigint, chunk_idx int, n_hits bigint")
+    # the winner doc ids become literal pushdown filters on the
+    # documents scan, so the stitch tokenizes k documents, not the corpus
+    win_ids = sorted({r["doc_id"] for r in top_rows})
     winner_docs = table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isin(win_ids)).select("doc_id", "text")
     nb = _chunk_frame(winner_docs, width, stride).select(

@@ -984,8 +984,6 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
     sim_ann_pq; + rerank ≥ corpus ⇒ brute force (the equivalence gate
     in plans/checks.py runs exactly that composition). Recall floor on
     the structureless-Gaussian worst case pinned in pytest."""
-    import numpy as np
-
     emb = _emb(spark, sf_dir)
     cents = _centroids(emb, n_cells)
     books = _pq_codebooks(emb)
@@ -994,12 +992,26 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
                    _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
                    .alias("cell")),
         "vec_id")
+    return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank)
+
+
+def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank):
+    """The ONE IVF+PQ query kernel (r9 review: the in-memory and stored
+    variants had diverging copies — a tie-break or LUT fix in one would
+    silently invalidate the stored==in-memory gate's premise): per-query
+    LUT (un-normalized subspace dots, same as sim_ann_pq), probed-cell
+    explode broadcast-joined against the (vec_id, code, cell) frame,
+    zip_with table-lookup scoring, top-``rerank`` candidates, exact
+    cosine re-rank. Callers differ only in where ``codes`` comes from
+    (computed inline vs read from the persisted inverted list)."""
+    import numpy as np
+
     if rerank is None:
         rerank = max(PQ_RERANK, emb.count() // 100)
 
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     m, kw, sub = books.shape
-    lut_rows = []  # per-query LUT — same un-normalized dot as sim_ann_pq
+    lut_rows = []
     for r in q_rows:
         qv = np.asarray(r["v"], dtype="float64")
         lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
@@ -1066,6 +1078,13 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
 
     from kstore_spark.catalog import ArtifactStore
 
+    # same precondition compact_ivf_pq_store asserts (r9 review: an
+    # unguarded small slice died deep in _pq_codebooks with an opaque
+    # reshape error — or worse, silently built a truncated-centroid
+    # store under a full-geometry params string)
+    assert max_vec is None or max_vec >= max(n_cells, PQ_K), (
+        f"max_vec={max_vec} predates a full centroid/codebook set "
+        f"(need >= {max(n_cells, PQ_K)})")
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
     params = (f"c{n_cells}m{PQ_M}k{PQ_K}"
@@ -1160,9 +1179,9 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
     encoding happened at ingest. Output identical to sim_ann_ivf_pq at
     equal knobs (same first-K centroids/codebooks — pinned), and with
     both knobs widened it degenerates to brute force (the stored gate
-    in plans/checks.py)."""
-    import numpy as np
-
+    in plans/checks.py). Same _ivf_pq_query kernel as the in-memory
+    composition — only the (vec_id, code, cell) source differs, which
+    is what makes the stored==in-memory gate meaningful."""
     emb = _emb(spark, sf_dir)
     if max_vec is not None:  # serve from a (possibly folded) history slice
         emb = emb.filter(F.col("vec_id") < max_vec)
@@ -1170,54 +1189,7 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
     data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
     cents = _centroids(emb, n_cells)
     books = _pq_codebooks(emb)
-    if rerank is None:
-        rerank = max(PQ_RERANK, emb.count() // 100)
-
-    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
-    m, kw, sub = books.shape
-    lut_rows = []  # per-query LUT — same un-normalized dot as sim_ann_pq
-    for r in q_rows:
-        qv = np.asarray(r["v"], dtype="float64")
-        lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
-        lut_rows.append((r["vec_id"], [[float(x) for x in row] for row in lut]))
-    lut_df = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.transform(_nearest_cells(F.col("v"), cents, n_probe),
-                        lambda s: s["cell"])).alias("cell"))
-    probes = q.join(lut_df, "query_id")
-
-    scored = (
-        data.join(F.broadcast(probes), "cell")  # DPP on the store scan
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with("code", "lut", lambda c, row: row[c]),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias("pq_s"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("pq_s"), F.asc("neighbor_id"))
-    cands = scored.withColumn("crn", F.row_number().over(w)).filter(
-        F.col("crn") <= rerank).select("query_id", "neighbor_id")
-
-    qv_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
-    exact = (
-        cands.join(F.broadcast(qv_df), "query_id").join(nv_df, "neighbor_id")
-        .select("query_id", "neighbor_id",
-                _cosine(F.col("qv"), F.col("nv")).alias("s"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank)
 
 
 ANN_FOLD_OLD_MIN = 400  # the ANN lifecycle entry's pre-fold boundary

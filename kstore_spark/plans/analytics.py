@@ -933,11 +933,12 @@ _ATTR_TOUCH_IN = ", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)
 
 EVENTS_ATTRIBUTION_POSITION_SQL = f"""
 WITH p AS (
-  SELECT event_id, user_id, epoch(ts) AS sec,
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
          CAST(FLOOR(value * 100) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
 ), t AS (
-  SELECT user_id, epoch(ts) AS sec, event_id, event_type
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
+         event_type
   FROM events WHERE event_type IN ({_ATTR_TOUCH_IN})
 ), j AS (
   SELECT p.event_id, p.cents, t.event_type,
@@ -968,11 +969,11 @@ FROM allc GROUP BY touch_type
 
 EVENTS_ATTRIBUTION_LINEAR_SQL = f"""
 WITH p AS (
-  SELECT event_id, user_id, epoch(ts) AS sec,
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
          CAST(FLOOR(value * 100) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
 ), t AS (
-  SELECT user_id, epoch(ts) AS sec, event_type
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type
   FROM events WHERE event_type IN ({_ATTR_TOUCH_IN})
 ), j AS (
   SELECT p.event_id, p.cents, t.event_type
@@ -1006,14 +1007,16 @@ WITH t AS (
            AS t_type,
          LAST_VALUE(CASE WHEN event_type IN
                          ({", ".join("'" + t + "'" for t in ATTR_TOUCH_TYPES)})
-                         THEN epoch(ts) END IGNORE NULLS)
+                         THEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         END IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS t_sec
   FROM events
 )
 SELECT CASE WHEN t_type IS NOT NULL
-                 AND epoch(ts) - t_sec <= {ATTR_WINDOW_HOURS} * 3600
+                 AND CAST(FLOOR(epoch(ts)) AS BIGINT) - t_sec
+                     <= {ATTR_WINDOW_HOURS} * 3600
             THEN t_type ELSE 'direct' END AS touch_type,
        COUNT(*) AS n_conversions,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)

@@ -223,3 +223,17 @@ def test_dedup_soft_weights_lsh_equals_exact(spark):
     # planted duplicates ⇒ at least one down-weighted doc; singletons 1e6
     weights = {w for _, w in exact}
     assert 1_000_000 in weights and any(w < 1_000_000 for w in weights)
+
+
+def test_rag_context_indexed_duplicate_terms_match_scan(spark):
+    """r9 review regression: a DUPLICATED query term must double its
+    occurrences' weight in both paths (the scan path scores per term
+    INSTANCE; the index path weights tf by term multiplicity) — a bare
+    isin() on the postings would silently dedupe and re-rank."""
+    from kstore_spark.functions.corpus import rag_context, rag_context_indexed
+
+    terms = ("merge", "merge", "join")
+    scan = {tuple(r) for r in rag_context(spark, SF_DIR, terms=terms).collect()}
+    idx = {tuple(r) for r in
+           rag_context_indexed(spark, SF_DIR, terms=terms).collect()}
+    assert idx == scan and len(idx) == 10

@@ -575,21 +575,31 @@ def test_rag_context_topk_broadcast_stitch_no_python(spark):
 def test_rag_context_indexed_prunes_and_pushes(spark):
     """rag_context_indexed (r9) must score from the chunk index with
     LITERAL bucket partition predicates (only the query terms' hash
-    partitions are listed), rank with TakeOrderedAndProject, re-chunk
-    only the k winner docs (doc_id pushed to the documents scan), and
-    keep the broadcast stitch — no corpus shuffle, no Python."""
-    from kstore_spark.functions.corpus import rag_context_indexed
+    partitions are listed) and rank with TakeOrderedAndProject — pinned
+    on the lazy scoring stage, since the op collects the k-row top ONCE
+    and rebuilds it as literals (the stitch must not re-run the index
+    scan) — then re-chunk only the k winner docs (doc_id pushed to the
+    documents scan) with the broadcast stitch — no corpus shuffle, no
+    Python anywhere."""
+    from kstore_spark.functions.corpus import (
+        _rag_indexed_top, rag_context_indexed)
 
-    df = rag_context_indexed(spark, SF_DIR)
-    txt = _formatted(spark, df)
-    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    top_txt = _formatted(spark, _rag_indexed_top(spark, SF_DIR))
+    part_lines = [ln for ln in top_txt.splitlines()
+                  if "PartitionFilters" in ln]
     assert any("bucket" in ln and "dynamic" not in ln
-               for ln in part_lines), txt
+               for ln in part_lines), top_txt
+    assert "TakeOrderedAndProject" in top_txt, top_txt
+    assert "Python" not in top_txt
+
+    txt = _formatted(spark, rag_context_indexed(spark, SF_DIR))
+    # the collected top-k is literal — the stitch plan must contain NO
+    # parquet scan of the chunk index (one materialization per query)
+    assert "TakeOrderedAndProject" not in txt, txt
     # the winner re-chunk reaches the documents scan as literal doc_id
     # pushdown (k ids), not a corpus read
     pushed = [ln for ln in txt.splitlines() if "PushedFilters" in ln]
     assert any("doc_id" in ln and "In" in ln for ln in pushed), txt
-    assert "TakeOrderedAndProject" in txt, txt
     assert "BroadcastHashJoin" in txt, txt
     assert "SortMergeJoin" not in txt, txt
     assert "Python" not in txt
