@@ -1,5 +1,13 @@
-"""Benchmark harness. Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""Benchmark harness. Stdout contract (r10 — VERDICT r9 item 1):
+  - an EARLY line with the full per-key JSON map (also written to
+    BENCH_FULL.json for round-over-round diffs), then
+  - a FINAL compact JSON line (<1.9 KB by construction):
+    {"metric": ..., "value": N, "unit": "sec",
+     "queries": {kstore_perftest_* + top-5 expensive}, "sf": ...,
+     "n_keys": N, "full_map": "BENCH_FULL.json"}
+  The driver records only the last ~2,000 chars of stdout; r9's 78-key
+  single-line output outgrew that tail (BENCH_r09.json parsed:null),
+  so the full map must never be the final line.
 
 Two workload groups:
 1. kstore_perftest — the reference's canonical perftest join workload
@@ -311,6 +319,31 @@ def headline_queries():
     }
 
 
+def compact_line(times: dict, total: float, sf_dir: str) -> str:
+    """Compact FINAL stdout line for the driver's tail parser: total +
+    the four baseline-gated perftest keys + the top-5 expensive keys.
+    Size is bounded by construction (~9 fixed-ish keys ≈ 500 chars <<
+    the driver's ~2,000-char tail); the assert keeps future edits
+    honest. Tested in tests/test_bench_contract.py."""
+    top5 = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            **{k: v for k, v in times.items()
+               if k.startswith("kstore_perftest_")},
+            **top5,
+        },
+        "sf": sf_dir,
+        "n_keys": len(times),
+        "full_map": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"final bench line too long: {len(line)}"
+    return line
+
+
 def main():
     from kstore_spark.session import get_spark
 
@@ -355,18 +388,15 @@ def main():
     # the first run's cache, silently skipping the join/agg stages the
     # benchmark exists to measure (confirmed: dedup_substring run 2
     # drops to cache-read cost). Each timed run is cold-cache/warm-JVM.
-    # Drift hygiene (VERDICT r6 item 2): keys whose min-of-2 is ≥2 s get
-    # a third run — BENCH_r6 showed one shared-host spike can shift a
-    # whole family +29-53% with unchanged code/plans, and the expensive
-    # keys are exactly where a single bad run dominates the min.
+    # Drift hygiene, r10 (VERDICT r9 item 4): EVERY key is min-of-3.
+    # The r6-r9 protocol ran sub-second keys min-of-2, and both of the
+    # last two rounds' drift adjudications concluded the same thing —
+    # one loaded-host run shifts a sub-second key ±50% and min-of-2
+    # can't damp it. A uniform third run costs ~+40 s on a ~125 s wall
+    # and removes the two-tier protocol the adjudications kept blaming.
     for name, fn in headline_queries().items():
         runs = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            runs.append(time.time() - t0)
-        if min(runs) >= 2.0:
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, SF_DIR).count()
@@ -374,13 +404,24 @@ def main():
         times[name] = round(min(runs), 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": SF_DIR,
-    }))
+    }
+    # Full per-key map: written to a repo file for round-over-round
+    # diffs AND printed on an EARLY stdout line. The driver keeps only
+    # the LAST ~2,000 chars of stdout (BENCH_r09.json came back
+    # parsed:null when the 78-key one-line JSON outgrew that tail), so
+    # the full map must never be the final line.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh)
+        fh.write("\n")
+    print(json.dumps(full))
+    print(compact_line(times, total, SF_DIR))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,54 @@
+"""bench.py stdout contract (VERDICT r9 item 1).
+
+Round 9's bench artifact came back ``parsed: null``: bench printed ONE
+JSON line whose 78-key ``queries`` map grew past the driver's ~2,000-char
+stdout tail, so the line's head (with ``metric``/``value``) was cut and
+the round had no driver-side bench number. The r10 contract is: full map
+to an early line + BENCH_FULL.json; FINAL line compact and bounded.
+These tests pin the bound so key growth can never silently break the
+driver channel again.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_times(n: int) -> dict:
+    times = {f"some_long_headline_benchmark_key_{i:04d}": round(0.1 + i, 3)
+             for i in range(n)}
+    for a in ("hash", "sort", "tree", "loop"):
+        times[f"kstore_perftest_{a}"] = 0.987
+    return times
+
+
+def test_compact_line_bounded_at_current_and_future_scale():
+    # 78 keys broke r9; pin headroom to 500 keys with long names.
+    for n in (78, 200, 500):
+        line = bench.compact_line(_fake_times(n), 12345.678,
+                                  "/root/testdata/sf0.1")
+        assert len(line) < 1900, (n, len(line))
+
+
+def test_compact_line_carries_gate_keys_and_total():
+    times = _fake_times(90)
+    line = bench.compact_line(times, 123.456, "/root/testdata/sf0.1")
+    d = json.loads(line)
+    assert d["metric"] == "total_bench_seconds"
+    assert d["value"] == 123.456
+    assert d["unit"] == "sec"
+    assert d["n_keys"] == len(times)
+    for a in ("hash", "sort", "tree", "loop"):
+        assert f"kstore_perftest_{a}" in d["queries"]
+    # top-5 expensive keys ride along for at-a-glance drift checks
+    top5 = sorted(times, key=lambda k: -times[k])[:5]
+    for k in top5:
+        assert k in d["queries"]
+
+
+def test_compact_line_is_valid_single_line_json():
+    line = bench.compact_line(_fake_times(78), 1.0, "sf")
+    assert "\n" not in line
+    json.loads(line)

@@ -47,3 +47,21 @@ def test_entry_smoke(spark):
 def test_oracle_keys_subset_of_queries():
     q, o = set(entrymod.queries()), set(entrymod.oracle_sql())
     assert o <= q, f"oracle-only keys: {sorted(o - q)}"
+
+
+def test_priority_window_invariants():
+    """ADVICE r9: nothing guarded the 50-entry _PRIORITY window — a
+    typo'd name was silently skipped (``if k in merged``) and an
+    arbitrary tail entry filled the verification slot instead of the
+    planned one. Pin the invariants: exactly 50 names, no duplicates,
+    every name resolves in queries() AND oracle_sql(), and the window
+    actually occupies the first 50 slots of both dicts."""
+    pri = entrymod._PRIORITY
+    assert len(pri) == 50
+    assert len(set(pri)) == 50, "duplicate _PRIORITY entries"
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(pri) <= set(q), f"unresolved in queries(): {sorted(set(pri) - set(q))}"
+    assert set(pri) <= set(o), f"unresolved in oracle_sql(): {sorted(set(pri) - set(o))}"
+    assert list(q)[:50] == pri
+    assert list(o)[:50] == pri
+    assert not (set(pri) & entrymod._PRUNED), "pruned entry in window"
