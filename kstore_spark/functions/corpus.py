@@ -527,7 +527,17 @@ def rag_context_indexed(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
     O(query-term postings) + O(k docs), near-flat in corpus size like
     text_search_fuzzy_ranked's index path (PERF.md r9 probe). Output
     and oracle are identical to rag_context — same ordering, same
-    stitch, same (rank, doc_id, chunk_idx, n_hits, context_text)."""
+    stitch, same (rank, doc_id, chunk_idx, n_hits, context_text).
+
+    Lazy-semantics deviation (ADVICE r9, deliberate): unlike every
+    other registry entry, this op COLLECTS the k-row top-k at
+    DataFrame-CONSTRUCTION time (one bounded collect, commented below)
+    so the stitch can rebuild the winners as literals instead of
+    executing the index-scan subplan twice. Consequence: the returned
+    frame snapshots the winners as of the call — a documents-table /
+    chunk-index change between construction and a later action is NOT
+    reflected. Callers needing action-time freshness should re-call
+    this function (cheap: the collect is the k-bounded pruned probe)."""
     from kstore_spark.functions.text import _fs_exists
 
     import os

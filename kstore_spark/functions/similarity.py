@@ -1018,18 +1018,25 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank):
         lut_rows.append((r["vec_id"], [[float(x) for x in row] for row in lut]))
     lut_df = spark.createDataFrame(
         lut_rows, "query_id long, lut array<array<double>>")
-    # the query's probed cells, exploded next to its LUT (N_QUERIES ×
-    # n_probe rows — broadcast-sized)
+    # the query's probed cells (N_QUERIES × n_probe 2-int rows). r10
+    # (ADVICE r9): broadcast this bare probe list for the cell-pruning
+    # join and attach the LUT AFTERWARD with a second broadcast join on
+    # query_id — the old `q.join(lut_df)` duplicated each query's full
+    # m×k LUT once per probed cell inside the broadcast, inflating it
+    # n_probe× (at the 10⁴-10⁵-cell / large-n_probe production point
+    # that contradicted the "per-query broadcast" claim). Each LUT now
+    # ships exactly once; the duplication happens only executor-side in
+    # the joined stream, where it is a column reference, not bytes.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
             F.transform(_nearest_cells(F.col("v"), cents, n_probe),
                         lambda s: s["cell"])).alias("cell"))
-    probes = q.join(lut_df, "query_id")
 
     scored = (
-        codes.join(F.broadcast(probes), "cell")  # cell-pruned candidates
+        codes.join(F.broadcast(q), "cell")  # cell-pruned candidates
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut_df), "query_id")  # one LUT per query
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"),
             F.aggregate(

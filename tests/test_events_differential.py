@@ -36,6 +36,13 @@ def _gen_events(seed: int):
             ts += rng.choice((0, 1, 60, 1799, 1800, 1801, 7200)) * 1_000_000
             props = json.dumps({"k": rng.randrange(100)}) \
                 if rng.random() < 0.7 else "{}"
+            # value ∈ [0,1) is LOAD-BEARING (ADVICE r9): the attribution
+            # models split cents with Spark `div` (truncate toward zero)
+            # vs DuckDB `//` (floor) — identical only for cents >= 0.
+            # test_events_value_nonnegative_invariant pins the same
+            # invariant on the driver's real testdata; a generator that
+            # starts emitting refunds must switch both engines to an
+            # explicit floor first.
             rows.append((eid, ts, user, rng.choice(TYPES),
                          rng.random(), props))
             eid += 1
@@ -133,3 +140,19 @@ def test_events_ops_differential(spark, tmp_path, seed):
         res = con.execute(oracles[op])
         exp = _rowset([c[0] for c in res.description], res.fetchall())
         assert got == exp, f"{op} diverged at seed {seed}"
+
+
+def test_events_value_nonnegative_invariant():
+    """ADVICE r9: the attribution ppm splits use Spark `div`
+    (truncate toward zero) where the DuckDB oracle uses `//` (floor);
+    they agree iff cents >= 0. The non-negativity of events.value was
+    documented but unguarded — pin it on every driver testdata scale.
+    If a future testdata drop adds refunds (negative values), this
+    fails loudly and both engines must move to an explicit floor."""
+    import glob
+
+    for p in sorted(glob.glob("/root/testdata/sf*/events.parquet")):
+        t = pq.read_table(p, columns=["value"])
+        import pyarrow.compute as pc
+        mn = pc.min(t["value"]).as_py()
+        assert mn is not None and mn >= 0.0, (p, mn)
