@@ -26,6 +26,12 @@ PLANS = os.path.join(os.path.dirname(__file__), "plans")
 
 def normalize(plan: str) -> str:
     plan = re.sub(r"#\d+[A-Za-z]*", "#N", plan)          # expression ids
+    # lambda variable NAMES embed a session-global counter (lambda
+    # x_1 vs lambda x_3 for the same higher-order function, depending
+    # on how many lambdas the session compiled before this plan) — the
+    # r10 sweep's only "plan CHANGED" on the two digest keys was this
+    # counter, buried past the 300-line head (adjudicated r10)
+    plan = re.sub(r"lambda (\w+?)_\d+", r"lambda \1_N", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
     plan = re.sub(r"\[id=#?\d+\]", "[id=N]", plan)
     plan = re.sub(r"[0-9a-f]{16,}", "HASH", plan)        # artifact versions
@@ -69,6 +75,15 @@ def main() -> int:
 
     for name in args:
         fn = qs[name]
+        # r10: snapshot in a CLEAN cache state. The >250KB digest plans
+        # (dedup_* with InMemoryRelation subtrees) render those subtrees
+        # differently depending on which relations earlier keys left
+        # cached — the r9 baselines and a six-key r10 sweep produced
+        # three distinct md5s for dedup_cross_source with IDENTICAL
+        # structural heads and line counts, all converging to one
+        # stable md5 once the snapshot is taken cache-cold. Without
+        # this, a multi-key sweep reports false "plan CHANGED".
+        spark.catalog.clearCache()
         plan = normalize(
             fn(spark, sf)._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode
