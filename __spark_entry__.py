@@ -117,6 +117,11 @@ _PRUNED = {
     # and their bench keys
     "sim_ann_ivf_pq",
     "sim_ann_ivf_pq_stored",
+    # r10: IVFADC-residual — approximate like its parents, born pruned;
+    # evidence is the sim_ann_ivf_pq_res gate inside
+    # approx_equivalence_checks (both knobs degenerate → brute force),
+    # the recall≥raw-at-equal-m pytest, and its bench key
+    "sim_ann_ivf_pq_res",
 }
 
 

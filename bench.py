@@ -210,6 +210,9 @@ def headline_queries():
         "sim_ann_pq": similarity.sim_ann_pq,
         # r9: the IVF+PQ composition — cell-pruned AND compressed scan
         "sim_ann_ivf_pq": similarity.sim_ann_ivf_pq,
+        # r10: IVFADC proper — residual encoding; same scan shape as
+        # the raw composition + a per-probe bias join
+        "sim_ann_ivf_pq_res": similarity.sim_ann_ivf_pq_res,
         # r9: the persisted inverted list (assignment+encoding at
         # ingest; first run pays the one-time store build, min-of-2
         # reports the DPP-pruned compressed-scan steady state)

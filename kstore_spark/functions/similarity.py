@@ -995,7 +995,8 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
     return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank)
 
 
-def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank):
+def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
+                  residual: bool = False):
     """The ONE IVF+PQ query kernel (r9 review: the in-memory and stored
     variants had diverging copies — a tie-break or LUT fix in one would
     silently invalidate the stored==in-memory gate's premise): per-query
@@ -1003,7 +1004,16 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank):
     explode broadcast-joined against the (vec_id, code, cell) frame,
     zip_with table-lookup scoring, top-``rerank`` candidates, exact
     cosine re-rank. Callers differ only in where ``codes`` comes from
-    (computed inline vs read from the persisted inverted list)."""
+    (computed inline vs read from the persisted inverted list).
+
+    ``residual=True`` (r10, IVFADC proper): ``books``/``codes`` encode
+    RESIDUALS v − centroid(cell(v)), so the candidate score becomes
+    q·x̂ = q·c_cell + q·r̂ — the SAME raw-q LUT gives q·r̂ by linearity
+    (lut[j][c] = q_subj · res_codeword_c), and q·c_cell rides the probe
+    list as one extra double per (query, cell) row, computed JVM-side
+    (zip_with/aggregate against a broadcast n_cells-row centroid
+    frame). Identical candidate/re-rank machinery either way — the
+    stored==in-memory premise extends to the residual variant free."""
     import numpy as np
 
     if rerank is None:
@@ -1028,21 +1038,36 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank):
     # ships exactly once; the duplication happens only executor-side in
     # the joined stream, where it is a column reference, not bytes.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.explode(
             F.transform(_nearest_cells(F.col("v"), cents, n_probe),
                         lambda s: s["cell"])).alias("cell"))
+    if residual:
+        # q·c_cell bias per probe row — JVM-side dot against the
+        # broadcast centroid frame (n_cells rows; tiny)
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+            "cell long, cv array<double>")
+        q = (q.join(F.broadcast(cent_df), "cell")
+              .select("query_id", "cell",
+                      F.aggregate(
+                          F.zip_with("qv", "cv", lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x,
+                      ).alias("bias")))
+    else:
+        q = q.select("query_id", "cell")
 
+    lut_sum = F.aggregate(
+        F.zip_with("code", "lut", lambda c, row: row[c]),
+        F.lit(0.0), lambda acc, x: acc + x)
     scored = (
         codes.join(F.broadcast(q), "cell")  # cell-pruned candidates
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(lut_df), "query_id")  # one LUT per query
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with("code", "lut", lambda c, row: row[c]),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias("pq_s"),
+            ((F.col("bias") + lut_sum) if residual else lut_sum)
+            .alias("pq_s"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("pq_s"), F.asc("neighbor_id"))
@@ -1063,6 +1088,112 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank):
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def _pq_res_codebooks(emb: DataFrame, cents, m: int = PQ_M, k: int = PQ_K):
+    """(m, k, sub_dim) RESIDUAL codebooks — the IVFADC training set is
+    v − centroid(cell(v)) instead of v (Jégou, Douze, Schmid 2011 §V:
+    'the residual vector is encoded' — one codebook set shared across
+    cells, which keeps the broadcast O(m·k·sub) like the raw variant).
+    Deterministic training in the house style (_pq_codebooks), with one
+    twist: the sample is the k vectors AFTER the centroid block
+    (vec_id in [n_cells, n_cells+k)), because the first n_cells vectors
+    ARE the coarse centroids — their own residuals are ≈0, which would
+    train a near-zero codebook (measured at sf0.001: the degenerate
+    sample LOSES to the raw variant at every rerank — 0.14 vs 0.38 at
+    rerank=5 — while this sample wins at the default operating point:
+    0.94 vs 0.90 at the rerank=50 floor, 0.92 vs 0.86 at sf0.01;
+    pinned in tests/test_pipeline_functions.py).
+    Falls back to the first-k rows if the corpus is too small to offset.
+    Assignment here replicates _nearest_cells' contract driver-side
+    (cosine, ties toward the HIGHER cell id) on k bounded rows."""
+    import numpy as np
+
+    n_cells = len(cents)
+    rows = (emb.filter((F.col("vec_id") >= n_cells)
+                       & (F.col("vec_id") < n_cells + k))
+            .orderBy("vec_id").collect())
+    if len(rows) < k:  # tiny corpus: reuse the raw variant's sample
+        rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by {m} subspaces")
+    cells = np.asarray([cid for cid, _ in cents], dtype="int64")
+    C = np.stack([np.asarray(cv, dtype="float64") for _, cv in cents])
+    order = np.argsort(cells)[::-1]  # descending id: argmax ties → higher id
+    Cd = C[order]
+    Cn = Cd / np.linalg.norm(Cd, axis=1, keepdims=True)
+    best = np.argmax(X @ Cn.T, axis=1)  # query norm is rank-invariant
+    res = X - Cd[best]
+    sub = dim // m
+    return res.reshape(k, m, sub).transpose(1, 0, 2).copy()  # m × k × sub
+
+
+def pq_encode_res(emb: DataFrame, books, cents) -> DataFrame:
+    """(vec_id, cell, code): nearest-cell assignment (the SAME JVM
+    broadcast-matmul kernel every IVF path uses) + per-subspace argmin
+    of the RESIDUAL v − centroid(cell) against the residual codebooks.
+    One Arrow batch = one gather of centroids + m small matmuls; same
+    shape/cost as pq_encode with one extra subtract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    cent_map = {int(cid): np.asarray(cv, dtype="float64")
+                for cid, cv in cents}
+    bc = spark.sparkContext.broadcast((books, cent_map))
+
+    assigned = emb.select(
+        "vec_id", "v",
+        _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell"))
+
+    def _enc(v, cell):
+        bks, cmap = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy())
+        Cm = np.stack([cmap[int(c)] for c in cell.to_numpy()])
+        R = X - Cm
+        m, kw, sub = bks.shape
+        parts = R.reshape(len(R), m, sub)
+        codes = np.empty((len(R), m), dtype="int32")
+        for j in range(m):
+            d = -2.0 * (parts[:, j, :] @ bks[j].T) + (bks[j] ** 2).sum(1)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    _enc.__annotations__ = {"v": pd.Series, "cell": pd.Series,
+                            "return": pd.Series}
+    enc = pandas_udf(ArrayType(IntegerType()))(_enc)
+    return assigned.select(
+        "vec_id", "cell", enc(F.col("v"), F.col("cell")).alias("code"))
+
+
+def sim_ann_ivf_pq_res(spark, sf_dir, k: int = TOP_K,
+                       n_probe: int = N_PROBE, n_cells: int = N_CELLS,
+                       rerank: int | None = None):
+    """The FULL IVFADC (r10 — VERDICT r9 item 6): sim_ann_ivf_pq with
+    per-cell RESIDUAL encoding, the standard recall-per-byte win at
+    fixed m (Jégou et al. 2011 §V — quantizing v − centroid removes
+    the coarse component, so the same m·log2(k) bits describe a
+    smaller-variance signal). Candidate score q·x̂ = q·c_cell + q·r̂:
+    the bias is one broadcast-joined double per probe row, the LUT is
+    the same one-per-query raw-q table (by linearity it yields q·r̂
+    over residual codebooks), and cells/codes/re-rank are shared with
+    the raw variant through the ONE _ivf_pq_query kernel. Output
+    schema == sim_topk_*; both knobs degenerate to brute force exactly
+    like the parents (gate row in plans/checks.py); recall ≥ the raw
+    variant at equal m pinned in pytest."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb, n_cells)
+    books = _pq_res_codebooks(emb, cents)
+    codes = pq_encode_res(emb, books, cents)
+    return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe,
+                         rerank, residual=True)
 
 
 def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
@@ -1847,6 +1978,7 @@ QUERIES = {
     "knn_graph_ivf": knn_graph_ivf,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivf_pq": sim_ann_ivf_pq,
+    "sim_ann_ivf_pq_res": sim_ann_ivf_pq_res,
     "sim_ann_ivf_pq_stored": sim_ann_ivf_pq_stored,
     "lifecycle_fold_ann": lifecycle_fold_ann,
     "dedup_semantic": dedup_semantic,

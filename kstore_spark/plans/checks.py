@@ -128,6 +128,24 @@ def _gate_ivf_pq(spark, sf_dir, ctx):
         sim_ann_ivf_pq(spark, sf_dir, n_probe=N_CELLS, rerank=10**9), truth)
 
 
+def _gate_ivf_pq_res(spark, sf_dir, ctx):
+    """IVFADC-residual (r10) with both knobs widened IS brute force for
+    the same reason as the raw parent: all cells probed ⇒ pruning drops
+    nothing, corpus-wide re-rank ⇒ the exact-cosine pass decides every
+    rank — the residual codes only ORDER the candidate pool, and a
+    corpus-wide pool makes that order irrelevant. This also proves the
+    q·c_cell bias + residual-LUT score produces a complete, duplicate-
+    free candidate set (a bias bug that dropped or doubled a cell's
+    candidates would surface here)."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf_pq_res, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    return _symdiff(
+        sim_ann_ivf_pq_res(spark, sf_dir, n_probe=N_CELLS, rerank=10**9),
+        truth)
+
+
 def _gate_ivf_pq_stored(spark, sf_dir, ctx):
     """The persisted inverted list with both knobs widened IS brute
     force too — and additionally proves the stored cell+code artifact
@@ -276,6 +294,7 @@ GATES = {
         lambda s, d, c: _gate_ivf(s, d, c, "incremental"),
     "sim_ann_pq": _gate_pq,
     "sim_ann_ivf_pq": _gate_ivf_pq,
+    "sim_ann_ivf_pq_res": _gate_ivf_pq_res,
     "sim_ann_ivf_pq_stored": _gate_ivf_pq_stored,
     "multimodal_neardup": _gate_multimodal,
     "events_approx_distinct": _gate_approx_distinct,
@@ -383,7 +402,8 @@ def single_gate_query(name: str):
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
-    "sim_ann_pq", "sim_ann_ivf_pq", "sim_ann_ivf_pq_stored",
+    "sim_ann_pq", "sim_ann_ivf_pq", "sim_ann_ivf_pq_res",
+    "sim_ann_ivf_pq_stored",
     "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",

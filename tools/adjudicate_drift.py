@@ -72,6 +72,11 @@ def main() -> int:
     spark = get_spark("drift-adjudicate")
     spark.range(1).count()
     qs = entry.queries()
+    # pruned approximate entries (gate-evidenced, no driver row) still
+    # carry bench keys — adjudicate those through the bench registry
+    import bench
+    for k, fn in bench.headline_queries().items():
+        qs.setdefault(k, fn)
 
     for name in args:
         fn = qs[name]
