@@ -52,3 +52,21 @@ def test_compact_line_is_valid_single_line_json():
     line = bench.compact_line(_fake_times(78), 1.0, "sf")
     assert "\n" not in line
     json.loads(line)
+
+
+def test_every_bench_key_has_standing_evidence():
+    """Registry hygiene (r10): a bench key whose name matches nothing
+    in the evidence registries is either a typo or an op timed without
+    any correctness trail. Every headline key must be (a) a driver
+    oracled entry, (b) a pruned approximate entry (gate-evidenced via
+    approx_equivalence_checks), or (c) directly gate-named in
+    plans.checks.GATES (e.g. sim_ann_ivf_stored, which is benched and
+    gated but was never a driver row). kstore_perftest_* keys are the
+    baseline-gated reference workload, produced outside this dict."""
+    import __spark_entry__ as entrymod
+    from kstore_spark.plans import checks
+
+    evidenced = (set(entrymod.queries()) | entrymod._PRUNED
+                 | set(checks.GATES))
+    unknown = set(bench.headline_queries()) - evidenced
+    assert not unknown, f"bench keys with no evidence trail: {sorted(unknown)}"
