@@ -381,10 +381,11 @@ def main():
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
-    # min-of-2 on every headline key too (VERDICT r2 item 7): shared-host
-    # load inflates identical workloads up to 3× run-to-run, and the
-    # second run also absorbs one-time Python-worker spinup for the
-    # Arrow/mapInArrow paths — min reflects the steady state a cluster
+    # min-of-N on every headline key (min-of-2 since VERDICT r2 item 7;
+    # min-of-3 since r10, below): shared-host load inflates identical
+    # workloads up to 3× run-to-run, and the repeat runs also absorb
+    # one-time Python-worker spinup for the Arrow/mapInArrow paths —
+    # min reflects the steady state a cluster
     # would see. clearCache() before EVERY timed run: several dedup ops
     # return persisted frames (deliberately — callers reuse them), and
     # Spark's CacheManager matches the second run's equivalent plan to

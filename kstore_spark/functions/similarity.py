@@ -860,6 +860,25 @@ def _pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K):
     return X.reshape(k, m, sub).transpose(1, 0, 2).copy()  # m × k × sub
 
 
+def _pq_argmin_codes(X, books):
+    """The ONE per-subspace nearest-codeword kernel (r10 review: the
+    residual encoder had copy-pasted this loop — a tie-break or dtype
+    fix in one copy would silently break the 'same encoding, one extra
+    subtract' premise, the identical failure mode the r9 review fixed
+    for the query kernel). ||x - c||^2 = ||x||^2 - 2x·c + ||c||^2;
+    ||x||^2 is constant per row → argmin over (-2x·c + ||c||^2); ties →
+    lower codeword id via argmin-first. (n, dim) batch → (n, m) int32."""
+    import numpy as np
+
+    m, k, sub = books.shape
+    parts = X.reshape(len(X), m, sub)
+    codes = np.empty((len(X), m), dtype="int32")
+    for j in range(m):
+        d = -2.0 * (parts[:, j, :] @ books[j].T) + (books[j] ** 2).sum(1)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
 def pq_encode(emb: DataFrame, books) -> DataFrame:
     """(vec_id, code: array<int>[m]) — nearest codeword per subspace by
     L2 (the PQ standard; ties → lower codeword id via argmin-first).
@@ -879,15 +898,7 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
         if len(col) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(col.to_numpy())
-        m, k, sub = bks.shape
-        parts = X.reshape(len(X), m, sub)
-        codes = np.empty((len(X), m), dtype="int32")
-        for j in range(m):
-            # ||x - c||^2 = ||x||^2 - 2x·c + ||c||^2 ; ||x||^2 constant
-            # per row -> argmin over (-2x·c + ||c||^2)
-            d = -2.0 * (parts[:, j, :] @ bks[j].T) + (bks[j] ** 2).sum(1)
-            codes[:, j] = np.argmin(d, axis=1)
-        return pd.Series(list(codes))
+        return pd.Series(list(_pq_argmin_codes(X, bks)))
 
     _enc.__annotations__ = {"col": pd.Series, "return": pd.Series}
     enc = pandas_udf(ArrayType(IntegerType()))(_enc)
@@ -1157,14 +1168,8 @@ def pq_encode_res(emb: DataFrame, books, cents) -> DataFrame:
             return pd.Series([], dtype=object)
         X = np.stack(v.to_numpy())
         Cm = np.stack([cmap[int(c)] for c in cell.to_numpy()])
-        R = X - Cm
-        m, kw, sub = bks.shape
-        parts = R.reshape(len(R), m, sub)
-        codes = np.empty((len(R), m), dtype="int32")
-        for j in range(m):
-            d = -2.0 * (parts[:, j, :] @ bks[j].T) + (bks[j] ** 2).sum(1)
-            codes[:, j] = np.argmin(d, axis=1)
-        return pd.Series(list(codes))
+        # residualize, then the SAME assignment kernel as pq_encode
+        return pd.Series(list(_pq_argmin_codes(X - Cm, bks)))
 
     _enc.__annotations__ = {"v": pd.Series, "cell": pd.Series,
                             "return": pd.Series}

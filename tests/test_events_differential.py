@@ -151,8 +151,13 @@ def test_events_value_nonnegative_invariant():
     fails loudly and both engines must move to an explicit floor."""
     import glob
 
-    for p in sorted(glob.glob("/root/testdata/sf*/events.parquet")):
+    import pyarrow.compute as pc
+
+    paths = sorted(glob.glob("/root/testdata/sf*/events.parquet"))
+    # a silent empty glob would leave the invariant unenforced — fail
+    # loudly so a relocated testdata root gets noticed, not skipped
+    assert paths, "no /root/testdata/sf*/events.parquet found"
+    for p in paths:
         t = pq.read_table(p, columns=["value"])
-        import pyarrow.compute as pc
         mn = pc.min(t["value"]).as_py()
         assert mn is not None and mn >= 0.0, (p, mn)
