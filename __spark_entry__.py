@@ -122,6 +122,10 @@ _PRUNED = {
     # approx_equivalence_checks (both knobs degenerate → brute force),
     # the recall≥raw-at-equal-m pytest, and its bench key
     "sim_ann_ivf_pq_res",
+    # r10: k-means-refined PQ codebooks — approximate like sim_ann_pq,
+    # born pruned; evidence is its gate (17th), the MSE-monotonicity +
+    # 100-query recall pytest, and its bench key
+    "sim_ann_pq_kmeans",
 }
 
 

@@ -208,6 +208,9 @@ def headline_queries():
         "sim_ann_ivf_incremental": similarity.sim_ann_ivf_incremental,
         # product-quantized ANN: 8-byte codes + corpus-scaled exact re-rank
         "sim_ann_pq": similarity.sim_ann_pq,
+        # r10: k-means-refined codebooks — identical query cost, the
+        # timed delta is the 4-iteration distributed Lloyd training
+        "sim_ann_pq_kmeans": similarity.sim_ann_pq_kmeans,
         # r9: the IVF+PQ composition — cell-pruned AND compressed scan
         "sim_ann_ivf_pq": similarity.sim_ann_ivf_pq,
         # r10: IVFADC proper — residual encoding; same scan shape as

