@@ -322,6 +322,29 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         res = con.execute(similarity.ORACLES[op])
         exp = _rowset([c[0] for c in res.description], res.fetchall())
         assert got == exp, f"{op} diverged at seed {seed}"
+    # r10: the pruned ANN compositions' degeneration property, FUZZED —
+    # the standing gates prove widened-knobs == brute force on the
+    # testdata corpus; here the same identity must hold on every random
+    # Gaussian corpus (codebook/centroid quality varies with the draw,
+    # but with every vector a candidate the exact re-rank decides all
+    # ranks regardless). Spark-vs-Spark equality; no DuckDB twin needed.
+    truth = {tuple(r)
+             for r in similarity.sim_topk_bruteforce(spark, str(d)).collect()}
+    wide = similarity.N_CELLS
+    for name, fn in (
+        ("sim_ann_pq",
+         lambda: similarity.sim_ann_pq(spark, str(d), rerank=10**9)),
+        ("sim_ann_pq_kmeans",
+         lambda: similarity.sim_ann_pq_kmeans(spark, str(d), rerank=10**9)),
+        ("sim_ann_ivf_pq",
+         lambda: similarity.sim_ann_ivf_pq(
+             spark, str(d), n_probe=wide, rerank=10**9)),
+        ("sim_ann_ivf_pq_res",
+         lambda: similarity.sim_ann_ivf_pq_res(
+             spark, str(d), n_probe=wide, rerank=10**9)),
+    ):
+        got = {tuple(r) for r in fn().collect()}
+        assert got == truth, f"{name} degeneration diverged at seed {seed}"
 
 
 def test_fuzzy_multi_unions_both_neighborhoods(spark):
