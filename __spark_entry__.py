@@ -126,6 +126,10 @@ _PRUNED = {
     # born pruned; evidence is its gate (17th), the MSE-monotonicity +
     # 100-query recall pytest, and its bench key
     "sim_ann_pq_kmeans",
+    # r10: the persisted residual inverted list — stored twin of
+    # sim_ann_ivf_pq_res, same pruning; evidence is its gate (18th),
+    # the stored==inline pytest, and its bench key
+    "sim_ann_ivf_pq_res_stored",
 }
 
 

@@ -216,6 +216,9 @@ def headline_queries():
         # r10: IVFADC proper — residual encoding; same scan shape as
         # the raw composition + a per-probe bias join
         "sim_ann_ivf_pq_res": similarity.sim_ann_ivf_pq_res,
+        # r10: the persisted residual inverted list (ingest-time
+        # assignment+encoding; first run pays the one-time store build)
+        "sim_ann_ivf_pq_res_stored": similarity.sim_ann_ivf_pq_res_stored,
         # r9: the persisted inverted list (assignment+encoding at
         # ingest; first run pays the one-time store build, min-of-2
         # reports the DPP-pruned compressed-scan steady state)

@@ -1268,7 +1268,8 @@ def sim_ann_ivf_pq_res(spark, sf_dir, k: int = TOP_K,
 
 
 def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
-                     max_vec: int | None = None) -> str:
+                     max_vec: int | None = None,
+                     kind: str = "raw") -> str:
     """Materialize the FAISS inverted list exactly: (vec_id, code)
     written ``partitionBy("cell")`` — nearest-centroid cell + the
     PQ_M-byte code per vector, both computed ONCE at ingest. This is
@@ -1282,21 +1283,33 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
     compaction fold advances (centroids AND codebooks are the first
     n_cells / PQ_K ids, so both are inside any history with
     max_vec ≥ max(n_cells, PQ_K) and the slice is history-
-    deterministic, same argument as ivf_store_dir's)."""
+    deterministic, same argument as ivf_store_dir's).
+
+    ``kind="res"`` (r10) stores RESIDUAL codes (pq_encode_res over
+    _pq_res_codebooks) under a distinct params suffix — the IVFADC
+    inverted list proper. Its determinism bound is stricter: the
+    residual training sample is vec_id ∈ [n_cells, n_cells+PQ_K), so a
+    bounded slice must satisfy max_vec ≥ n_cells + PQ_K (the compaction
+    fold stays raw-only for now — extending it to residual codes is an
+    r11 candidate; the guard below refuses a res-kind slice the sample
+    doesn't fit in rather than silently falling back)."""
     import os
 
     from kstore_spark.catalog import ArtifactStore
 
+    assert kind in ("raw", "res"), kind
     # same precondition compact_ivf_pq_store asserts (r9 review: an
     # unguarded small slice died deep in _pq_codebooks with an opaque
     # reshape error — or worse, silently built a truncated-centroid
     # store under a full-geometry params string)
-    assert max_vec is None or max_vec >= max(n_cells, PQ_K), (
+    floor = (n_cells + PQ_K) if kind == "res" else max(n_cells, PQ_K)
+    assert max_vec is None or max_vec >= floor, (
         f"max_vec={max_vec} predates a full centroid/codebook set "
-        f"(need >= {max(n_cells, PQ_K)})")
+        f"(need >= {floor} for kind={kind})")
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
     params = (f"c{n_cells}m{PQ_M}k{PQ_K}"
+              + (":res" if kind == "res" else "")
               + (f":d{max_vec}" if max_vec is not None else ""))
     if max_vec is not None:  # history slice: appends must not invalidate
         version = ArtifactStore.source_version_bounded(
@@ -1309,12 +1322,18 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
         if max_vec is not None:
             emb = emb.filter(F.col("vec_id") < max_vec)
         cents = _centroids(emb, n_cells)
-        books = _pq_codebooks(emb)
-        assigned = emb.select(
-            "vec_id",
-            _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell"))
-        (pq_encode(emb, books).join(assigned, "vec_id")
-         .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+        if kind == "res":
+            # pq_encode_res assigns cells itself (the residual depends
+            # on the assignment) and returns (vec_id, cell, code)
+            books = _pq_res_codebooks(emb, cents)
+            frame = pq_encode_res(emb, books, cents)
+        else:
+            books = _pq_codebooks(emb)
+            assigned = emb.select(
+                "vec_id",
+                _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell"))
+            frame = pq_encode(emb, books).join(assigned, "vec_id")
+        frame.write.mode("overwrite").partitionBy("cell").parquet(out_dir)
 
     return store.get_or_build(f"ivfpq:{src}:{params}", version, build, src=src)
 
@@ -1399,6 +1418,28 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
     cents = _centroids(emb, n_cells)
     books = _pq_codebooks(emb)
     return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank)
+
+
+def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
+                              n_probe: int = N_PROBE,
+                              n_cells: int = N_CELLS,
+                              rerank: int | None = None):
+    """sim_ann_ivf_pq_res against the persisted RESIDUAL inverted list
+    (ivf_pq_store_dir kind="res") — the IVFADC serving shape proper:
+    residual assignment+encoding at ingest, query-time cost =
+    DPP-pruned m-byte-code partitions + the per-probe q·c_cell bias +
+    rerank×|queries| exact fetches. Same ONE _ivf_pq_query kernel with
+    residual=True — the stored==in-memory premise extends to the
+    residual pair exactly as it did for the raw pair (pinned in
+    pytest; both knobs widened degenerates to brute force through the
+    STORED path — the 18th equivalence gate)."""
+    emb = _emb(spark, sf_dir)
+    store = ivf_pq_store_dir(spark, sf_dir, n_cells, kind="res")
+    data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
+    cents = _centroids(emb, n_cells)
+    books = _pq_res_codebooks(emb, cents)
+    return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe,
+                         rerank, residual=True)
 
 
 ANN_FOLD_OLD_MIN = 400  # the ANN lifecycle entry's pre-fold boundary
@@ -2051,6 +2092,7 @@ QUERIES = {
     "sim_ann_pq_kmeans": sim_ann_pq_kmeans,
     "sim_ann_ivf_pq": sim_ann_ivf_pq,
     "sim_ann_ivf_pq_res": sim_ann_ivf_pq_res,
+    "sim_ann_ivf_pq_res_stored": sim_ann_ivf_pq_res_stored,
     "sim_ann_ivf_pq_stored": sim_ann_ivf_pq_stored,
     "lifecycle_fold_ann": lifecycle_fold_ann,
     "dedup_semantic": dedup_semantic,

@@ -160,6 +160,22 @@ def _gate_ivf_pq_res(spark, sf_dir, ctx):
         truth)
 
 
+def _gate_ivf_pq_res_stored(spark, sf_dir, ctx):
+    """The persisted RESIDUAL inverted list with both knobs widened IS
+    brute force — and proves the stored (vec_id, cell, code) artifact
+    carries the same assignments/residual codes the in-memory residual
+    composition computes (same centroids + offset-sample codebooks by
+    construction)."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, sim_ann_ivf_pq_res_stored, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    return _symdiff(
+        sim_ann_ivf_pq_res_stored(
+            spark, sf_dir, n_probe=N_CELLS, rerank=10**9),
+        truth)
+
+
 def _gate_ivf_pq_stored(spark, sf_dir, ctx):
     """The persisted inverted list with both knobs widened IS brute
     force too — and additionally proves the stored cell+code artifact
@@ -310,6 +326,7 @@ GATES = {
     "sim_ann_pq_kmeans": _gate_pq_kmeans,
     "sim_ann_ivf_pq": _gate_ivf_pq,
     "sim_ann_ivf_pq_res": _gate_ivf_pq_res,
+    "sim_ann_ivf_pq_res_stored": _gate_ivf_pq_res_stored,
     "sim_ann_ivf_pq_stored": _gate_ivf_pq_stored,
     "multimodal_neardup": _gate_multimodal,
     "events_approx_distinct": _gate_approx_distinct,
@@ -418,7 +435,8 @@ CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
     "sim_ann_pq", "sim_ann_pq_kmeans", "sim_ann_ivf_pq",
-    "sim_ann_ivf_pq_res", "sim_ann_ivf_pq_stored",
+    "sim_ann_ivf_pq_res", "sim_ann_ivf_pq_res_stored",
+    "sim_ann_ivf_pq_stored",
     "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",

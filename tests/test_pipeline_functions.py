@@ -372,6 +372,31 @@ def test_ann_ivf_pq_stored_equals_inline_and_prunes(spark):
         {tuple(r) for r in sim_ann_ivf_pq(spark, SF_DIR).collect()}
 
 
+def test_ann_ivf_pq_res_stored_equals_inline_and_prunes(spark):
+    """The persisted RESIDUAL inverted list (r10): (a) output == the
+    in-memory residual composition at equal knobs (same centroids +
+    offset-sample residual codebooks, so the stored cell assignments
+    and residual codes are bit-equal); (b) the probe join plans DPP on
+    the store scan, exactly like the raw stored variant; (c) the res
+    store refuses a bounded slice the residual training sample doesn't
+    fit in (max_vec < n_cells + PQ_K) instead of silently falling back
+    to a different codebook under the same params string."""
+    import pytest as _pytest
+
+    from kstore_spark.functions.similarity import (
+        N_CELLS, PQ_K, ivf_pq_store_dir, sim_ann_ivf_pq_res,
+        sim_ann_ivf_pq_res_stored)
+
+    df = sim_ann_ivf_pq_res_stored(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert {tuple(r) for r in df.collect()} == \
+        {tuple(r) for r in sim_ann_ivf_pq_res(spark, SF_DIR).collect()}
+    with _pytest.raises(AssertionError):
+        ivf_pq_store_dir(spark, SF_DIR, kind="res",
+                         max_vec=N_CELLS + PQ_K - 1)
+
+
 def test_ivf_pq_fold_equals_from_scratch(spark, tmp_path):
     """compact_ivf_pq_store (r9): folding the increment into the
     history inverted list must be BIT-IDENTICAL to building d{new}
