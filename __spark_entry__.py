@@ -47,7 +47,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #       dedup_soft_weights_lsh and rag_context_indexed. The other three
 #       r9-new ops (rag_context_fuzzy, events_attribution_linear/_first)
 #       stay r9-green, 1 round old — they queue behind the 39-entry
-#       r8 cohort for r11.
+#       r8 cohort for r11, alongside the first row for
+#       lifecycle_fold_ann_res (the r10 post-window oracled entry:
+#       residual store lifecycle — oracle-green at both SFs locally,
+#       tested, benched; same land-late/lead-next pattern as r9's
+#       pair).
 # That sums to exactly 50 (2+2+3+41+2), guarded by
 # tests/test_driver_surface.py::test_priority_window_invariants.
 # After this window no oracled entry's newest green row is older

@@ -226,6 +226,8 @@ def headline_queries():
         # r9: the ANN store lifecycle (history build -> fold -> exact
         # query off the folded inverted list; session artifact base)
         "lifecycle_fold_ann": similarity.lifecycle_fold_ann,
+        # r10: the residual-store lifecycle twin
+        "lifecycle_fold_ann_res": similarity.lifecycle_fold_ann_res,
         # the composed 9-stage curation pipeline end to end (exact dedup →
         # LSH near-dup → decontaminate → quality/quota/LM cut → boilerplate
         # strip → PII scrub → sample → leakage-safe split → packing) — the

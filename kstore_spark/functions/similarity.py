@@ -1339,7 +1339,8 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
 
 
 def compact_ivf_pq_store(spark, sf_dir, old_min: int, new_min: int,
-                         n_cells: int = N_CELLS) -> str:
+                         n_cells: int = N_CELLS,
+                         kind: str = "raw") -> str:
     """Fold the embeddings increment into the IVF+PQ inverted list —
     the incremental-family treatment (compact_token_index /
     compact_lsh_index / compact_ivf_store) extended to the r9 store:
@@ -1351,35 +1352,48 @@ def compact_ivf_pq_store(spark, sf_dir, old_min: int, new_min: int,
     gets (centroids = first n_cells ids, codebooks = first PQ_K ids,
     both inside any history with the guards below, so the merge is
     bit-identical to from-scratch — pinned in tests). The superseded
-    d{old_min} store is retired (tombstone + session-epoch GC)."""
+    d{old_min} store is retired (tombstone + session-epoch GC).
+
+    ``kind="res"`` (r10) folds the RESIDUAL inverted list: the
+    increment is residual-encoded with the history's codebooks
+    (training sample vec_id ∈ [n_cells, n_cells+PQ_K) — inside any
+    history satisfying the stricter res floor below, so fold ==
+    from-scratch holds by the same argument; pinned in tests)."""
     import os
 
     from kstore_spark.catalog import ArtifactStore
 
-    floor = max(n_cells, PQ_K)
+    assert kind in ("raw", "res"), kind
+    floor = (n_cells + PQ_K) if kind == "res" else max(n_cells, PQ_K)
     assert new_min >= floor, "centroid/codebook ids must lie inside history"
     assert old_min >= floor, (
         "history store predates a full centroid/codebook set — rebuild "
         "from scratch at new_min instead of folding")
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
-    old_store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=old_min)
+    old_store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=old_min,
+                                 kind=kind)
 
-    params = f"c{n_cells}m{PQ_M}k{PQ_K}:d{new_min}"
+    suffix = ":res" if kind == "res" else ""
+    params = f"c{n_cells}m{PQ_M}k{PQ_K}{suffix}:d{new_min}"
     version = ArtifactStore.source_version_bounded(
         src, params, "vec_id", new_min)
 
     def build(out_dir: str) -> None:
         emb = _emb(spark, sf_dir).filter(F.col("vec_id") < new_min)
         cents = _centroids(emb, n_cells)
-        books = _pq_codebooks(emb)
         inc_emb = emb.filter(F.col("vec_id") >= old_min)
-        inc = pq_encode(inc_emb, books).join(
-            inc_emb.select(
-                "vec_id",
-                _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
-                .alias("cell")),
-            "vec_id")
+        if kind == "res":
+            books = _pq_res_codebooks(emb, cents)
+            inc = pq_encode_res(inc_emb, books, cents)
+        else:
+            books = _pq_codebooks(emb)
+            inc = pq_encode(inc_emb, books).join(
+                inc_emb.select(
+                    "vec_id",
+                    _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
+                    .alias("cell")),
+                "vec_id")
         hist = spark.read.parquet(old_store)
         hist = hist.select(
             "vec_id", "code",
@@ -1389,7 +1403,7 @@ def compact_ivf_pq_store(spark, sf_dir, old_min: int, new_min: int,
 
     new_store = store.get_or_build(
         f"ivfpq:{src}:{params}", version, build, src=src)
-    store.retire(f"ivfpq:{src}:c{n_cells}m{PQ_M}k{PQ_K}:d{old_min}")
+    store.retire(f"ivfpq:{src}:c{n_cells}m{PQ_M}k{PQ_K}{suffix}:d{old_min}")
     return new_store
 
 
@@ -1423,7 +1437,8 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
 def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
                               n_probe: int = N_PROBE,
                               n_cells: int = N_CELLS,
-                              rerank: int | None = None):
+                              rerank: int | None = None,
+                              max_vec: int | None = None):
     """sim_ann_ivf_pq_res against the persisted RESIDUAL inverted list
     (ivf_pq_store_dir kind="res") — the IVFADC serving shape proper:
     residual assignment+encoding at ingest, query-time cost =
@@ -1434,7 +1449,10 @@ def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
     pytest; both knobs widened degenerates to brute force through the
     STORED path — the 18th equivalence gate)."""
     emb = _emb(spark, sf_dir)
-    store = ivf_pq_store_dir(spark, sf_dir, n_cells, kind="res")
+    if max_vec is not None:  # serve from a (possibly folded) history slice
+        emb = emb.filter(F.col("vec_id") < max_vec)
+    store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=max_vec,
+                             kind="res")
     data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
     cents = _centroids(emb, n_cells)
     books = _pq_res_codebooks(emb, cents)
@@ -1478,6 +1496,39 @@ def lifecycle_fold_ann(spark, sf_dir, k: int = TOP_K):
         compact_ivf_pq_store(spark, sf_dir, ANN_FOLD_OLD_MIN, n_total)
         # 3. the query reads the folded store; widened knobs ⇒ exact
         return sim_ann_ivf_pq_stored(
+            spark, sf_dir, k=k, n_probe=N_CELLS, rerank=10**9,
+            max_vec=n_total)
+
+
+def lifecycle_fold_ann_res(spark, sf_dir, k: int = TOP_K):
+    """lifecycle_fold_ann through the RESIDUAL store (r10 — completes
+    the raw/residual lifecycle matrix): build the kind="res" inverted
+    list at the history boundary, fold the increment
+    (compact_ivf_pq_store kind="res" — only increment vectors are
+    read, residual-encoded, and assigned), and answer a top-k query
+    off the FOLDED residual store with both knobs widened ⇒ EXACT
+    brute-force top-k, so the entry carries the plain SIM_TOPK oracle
+    while exercising the residual store artifacts end to end (a folded
+    store with a wrong residual code, bias, cell, or dropped row
+    cannot hash-match brute force). Residual-fold determinism: the
+    training sample vec_id ∈ [n_cells, n_cells+PQ_K) sits inside the
+    ANN_FOLD_OLD_MIN=400 history (floor 32), same argument as the raw
+    twin's; fold == from-scratch pinned in pytest."""
+    import os
+    import tempfile
+
+    from kstore_spark.catalog import artifact_base
+
+    n_total = _emb(spark, sf_dir).count()
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"kstore_foldres_{spark.sparkContext.applicationId}")
+    with artifact_base(base):
+        ivf_pq_store_dir(spark, sf_dir, max_vec=ANN_FOLD_OLD_MIN,
+                         kind="res")
+        compact_ivf_pq_store(spark, sf_dir, ANN_FOLD_OLD_MIN, n_total,
+                             kind="res")
+        return sim_ann_ivf_pq_res_stored(
             spark, sf_dir, k=k, n_probe=N_CELLS, rerank=10**9,
             max_vec=n_total)
 
@@ -2095,6 +2146,7 @@ QUERIES = {
     "sim_ann_ivf_pq_res_stored": sim_ann_ivf_pq_res_stored,
     "sim_ann_ivf_pq_stored": sim_ann_ivf_pq_stored,
     "lifecycle_fold_ann": lifecycle_fold_ann,
+    "lifecycle_fold_ann_res": lifecycle_fold_ann_res,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -2107,6 +2159,8 @@ ORACLES = {
     # widened — exact brute force by the degeneration theorem, so the
     # plain top-k SQL is its oracle (see lifecycle_fold_ann)
     "lifecycle_fold_ann": SIM_TOPK_SQL,
+    # the residual lifecycle is exact for the same widened-knobs reason
+    "lifecycle_fold_ann_res": SIM_TOPK_SQL,
     # same SQL is the matmul path's EXACT oracle: float64 ranks are
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output

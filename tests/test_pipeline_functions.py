@@ -423,6 +423,47 @@ def test_ivf_pq_fold_equals_from_scratch(spark, tmp_path):
             compact_ivf_pq_store(spark, SF_DIR, PQ_K - 1, 500)
 
 
+def test_ivf_pq_res_fold_equals_from_scratch(spark, tmp_path):
+    """compact_ivf_pq_store kind="res" (r10): folding the increment
+    into the residual inverted list must be BIT-IDENTICAL to building
+    d{new} from scratch — centroids (first N_CELLS ids) AND the offset
+    residual training sample (vec_id ∈ [N_CELLS, N_CELLS+PQ_K)) are
+    both history-deterministic under the stricter res floor; the guard
+    must refuse a boundary the residual sample doesn't fit in."""
+    import pytest as _pytest
+
+    from kstore_spark.catalog import artifact_base
+    from kstore_spark.functions.similarity import (
+        N_CELLS, PQ_K, compact_ivf_pq_store, ivf_pq_store_dir)
+
+    with artifact_base(str(tmp_path / "arts")):
+        folded = compact_ivf_pq_store(spark, SF_DIR, 400, 500, kind="res")
+        got = {(r["vec_id"], tuple(r["code"]), r["cell"])
+               for r in spark.read.parquet(folded).collect()}
+    with artifact_base(str(tmp_path / "arts2")):
+        scratch = ivf_pq_store_dir(spark, SF_DIR, max_vec=500, kind="res")
+        exp = {(r["vec_id"], tuple(r["code"]), r["cell"])
+               for r in spark.read.parquet(scratch).collect()}
+    assert got == exp and len(got) == 500
+    with artifact_base(str(tmp_path / "arts3")):
+        with _pytest.raises(AssertionError):
+            compact_ivf_pq_store(spark, SF_DIR, N_CELLS + PQ_K - 1, 500,
+                                 kind="res")
+
+
+def test_lifecycle_fold_ann_res_equals_bruteforce(spark):
+    """The residual lifecycle entry (res history store → res fold →
+    widened-knobs query off the folded residual store) must equal
+    exact brute-force top-k — the degeneration theorem applied through
+    the folded RESIDUAL artifacts."""
+    from kstore_spark.functions.similarity import (
+        lifecycle_fold_ann_res, sim_topk_bruteforce)
+
+    got = {tuple(r) for r in lifecycle_fold_ann_res(spark, SF_DIR).collect()}
+    exp = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    assert got == exp
+
+
 def test_lifecycle_fold_ann_equals_bruteforce(spark):
     """The ANN lifecycle entry (fold → widened-knobs query off the
     folded store) must equal exact brute-force top-k — the degeneration
