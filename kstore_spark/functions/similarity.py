@@ -914,29 +914,49 @@ def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     """k-means-REFINED PQ codebooks — distributed per-subspace Lloyd
     over the WHOLE corpus (the PQ twin of kmeans_centroids, same
     discipline): assignment is the shared _pq_argmin_codes Arrow
-    kernel via pq_encode; the update step slices each vector into its
-    m subvectors JVM-side (posexplode of the code column + F.slice of
-    the vector — no Python in the update) and averages per
+    kernel, with the encode projection carrying ``v`` alongside the
+    code so the update step needs NO join (r10 review: the first cut
+    joined pq_encode's (vec_id, code) back to emb — one avoidable
+    full-corpus vec_id shuffle per iteration); the update slices each
+    vector into its m subvectors JVM-side (posexplode of the code
+    column + F.slice of the vector) and averages per
     (subspace, codeword) group; only the m×k×sub codebook tensor ever
-    reaches the driver. Deterministic: init = _pq_codebooks' first-K
-    sample, fixed iteration count, empty codewords keep their previous
-    value (standard Lloyd's). The refinement adapts codewords to the
-    actual subvector distribution — the standard recall lift over the
-    first-K sample at identical query cost (codes stay m bytes; the
-    LUT stays m×k)."""
+    reaches the driver. Fixed-shape training like kmeans_centroids:
+    init = _pq_codebooks' first-K sample, fixed iteration count, empty
+    codewords keep their previous value (standard Lloyd's); the
+    codewords themselves are distributed float AVERAGES, so — exactly
+    like kmeans_centroids, and unlike the first-K sample — they are
+    NOT bit-reproducible across partition layouts (do not key a
+    persisted artifact on them without pinning the layout; everything
+    built on them here is gate-protected independently of codebook
+    values). The refinement adapts codewords to the actual subvector
+    distribution — the standard recall lift over the first-K sample at
+    identical query cost (codes stay m bytes; the LUT stays m×k)."""
     import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
 
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     books = _pq_codebooks(emb, m, k)
     sub = books.shape[2]
     for _ in range(iters):
-        codes = pq_encode(emb, books)
-        joined = emb.join(codes, "vec_id")
-        subv = joined.select(
-            F.posexplode("code").alias("j", "c"),
-            "v",
-        ).select(
-            "j", "c",
-            F.slice("v", F.col("j") * sub + 1, sub).alias("sv"))
+        bc = spark.sparkContext.broadcast(books)
+
+        def _enc(col):
+            if len(col) == 0:
+                return pd.Series([], dtype=object)
+            return pd.Series(list(_pq_argmin_codes(
+                np.stack(col.to_numpy()), bc.value)))
+
+        _enc.__annotations__ = {"col": pd.Series, "return": pd.Series}
+        enc = pandas_udf(ArrayType(IntegerType()))(_enc)
+        subv = (
+            emb.select("v", enc(F.col("v")).alias("code"))  # no join
+            .select(F.posexplode("code").alias("j", "c"), "v")
+            .select("j", "c",
+                    F.slice("v", F.col("j") * sub + 1, sub).alias("sv")))
         rows = (
             subv.groupBy("j", "c")
             .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}") for i in range(sub)])
@@ -1289,10 +1309,11 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
     _pq_res_codebooks) under a distinct params suffix — the IVFADC
     inverted list proper. Its determinism bound is stricter: the
     residual training sample is vec_id ∈ [n_cells, n_cells+PQ_K), so a
-    bounded slice must satisfy max_vec ≥ n_cells + PQ_K (the compaction
-    fold stays raw-only for now — extending it to residual codes is an
-    r11 candidate; the guard below refuses a res-kind slice the sample
-    doesn't fit in rather than silently falling back)."""
+    bounded slice must satisfy max_vec ≥ n_cells + PQ_K — the guard
+    below refuses a res-kind slice the sample doesn't fit in rather
+    than silently falling back. compact_ivf_pq_store folds BOTH kinds
+    (its kind="res" leg shares this floor; fold == from-scratch pinned
+    in tests for each)."""
     import os
 
     from kstore_spark.catalog import ArtifactStore

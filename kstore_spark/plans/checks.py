@@ -390,6 +390,17 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       (cell-partitioned codes) under the same widened knobs == brute
       force — also proves the stored assignments/codes match the
       in-memory composition's.
+    - sim_ann_pq_kmeans (r10): PQ with k-means-refined codebooks,
+      pool widened == brute force — codebook quality cannot change
+      the output when every vector is a candidate.
+    - sim_ann_ivf_pq_res (r10): the IVFADC-residual composition,
+      both knobs widened == brute force — also proves the q·c_cell
+      bias + residual-LUT score keeps a complete, duplicate-free
+      candidate set.
+    - sim_ann_ivf_pq_res_stored (r10): the persisted RESIDUAL
+      inverted list under widened knobs == brute force — also proves
+      the stored residual assignments/codes match the in-memory
+      residual composition's.
     - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
       the same media embeddings (precision is exact by the cosine
       verify; recall is the probabilistic part, pinned on planted
@@ -407,8 +418,10 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       on the collected vocab (merge table row-for-row; per-doc subword
       counts via the reference's encoded word lengths).
 
-    Each gate also earned its own ``check_<name>`` driver row in r7
-    (all 13 green — CORRECTNESS_r07). Per VERDICT r7 item 3 the split
+    Each pre-r9 gate also earned its own ``check_<name>`` driver row
+    in r7 (all 13 then-extant gates green — CORRECTNESS_r07; the five
+    r9/r10 ANN-composition gates joined this consolidated entry
+    directly). Per VERDICT r7 item 3 the split
     entries are now folded back out of the driver surface: this
     consolidated entry is the standing per-round evidence (one window
     slot for all gates), the splits stay importable via

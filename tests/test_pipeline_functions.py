@@ -269,7 +269,9 @@ def test_ann_ivf_pq_recall_and_exact_degeneration(spark):
 def test_pq_kmeans_codebooks_lift(spark):
     """k-means-refined PQ codebooks (r10): (a) quantization MSE strictly
     improves over the first-K sample (Lloyd's monotone-distortion
-    guarantee — deterministic: fixed init, fixed 4 iterations); (b)
+    guarantee; fixed init and iteration count — note the averages are
+    distributed float sums, so reproducible in value only up to
+    partial-aggregate merge order, far below the MSE margin); (b)
     candidate-stage recall at equal m/rerank improves under a 100-query
     harness (+10 pts measured at rerank 20 and 50 on sf0.01). The
     engine's own N_QUERIES=10 surface is too small to pin recall — 50
