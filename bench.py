@@ -327,6 +327,20 @@ def headline_queries():
         "text_search_fuzzy2_multi": text.text_search_fuzzy2_multi,
         # round-8: fuzzy neighborhood feeding the TF-IDF top-k
         "text_search_fuzzy_ranked": text.text_search_fuzzy_ranked,
+        # r11: the persisted KMEANS-trained inverted list — the
+        # production shape sim_ann_pq_kmeans's key lacked: training
+        # runs ONCE at ingest (first run pays store build incl. 4
+        # Lloyd sweeps; min-of-3 reports the load-books + DPP-pruned
+        # serving steady state)
+        "sim_ann_ivf_pq_kmeans_stored":
+            similarity.sim_ann_ivf_pq_kmeans_stored,
+        # r11: streaming ANN store maintenance — row-local assign +
+        # encode against broadcast ingest-time artifacts, file-sink
+        # exactly-once; consume via an aggregate like other streams
+        "stream_vector_assignments": lambda s, sf: (
+            stream_indexing.stream_vector_assignments(s, sf).agg(
+                F.sum("code_j").alias("code_sum"),
+                F.count(F.lit(1)).alias("n"))),
     }
 
 
@@ -351,7 +365,17 @@ def compact_line(times: dict, total: float, sf_dir: str) -> str:
         "full_map": "BENCH_FULL.json",
     }
     line = json.dumps(compact)
-    assert len(line) < 1900, f"final bench line too long: {len(line)}"
+    if len(line) >= 1900:
+        # Degrade, never die (ADVICE r10): raising here would kill the
+        # process AFTER the full per-key map already printed as the
+        # last complete stdout line — recreating exactly the
+        # parsed:null tail-truncation failure this contract prevents.
+        # Drop the top-5/perftest block; metric/value/n_keys/full_map
+        # (~200 chars) always fit. The <1900 invariant itself is
+        # asserted in tests/test_bench_contract.py, not in production.
+        compact = {k: compact[k] for k in
+                   ("metric", "value", "unit", "sf", "n_keys", "full_map")}
+        line = json.dumps(compact)
     return line
 
 

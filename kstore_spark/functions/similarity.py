@@ -879,11 +879,18 @@ def _pq_argmin_codes(X, books):
     return codes
 
 
-def pq_encode(emb: DataFrame, books) -> DataFrame:
-    """(vec_id, code: array<int>[m]) — nearest codeword per subspace by
-    L2 (the PQ standard; ties → lower codeword id via argmin-first).
-    One Arrow batch = m small matmuls; codes are the only thing wider
-    than an id that ever shuffles."""
+def _pq_code_udf(books):
+    """The PQ encode boundary as ONE reusable (pandas_udf, broadcast)
+    pair: v → array<int> code via the shared _pq_argmin_codes kernel
+    against a broadcast of ``books``. Shared by pq_encode (batch
+    ingest), pq_codebooks_kmeans (per-iteration Lloyd assignment — it
+    unpersists the returned handle after its collect, ADVICE r10), and
+    streaming.indexing.stream_vector_assignments (in-stream encode
+    against the history's codebooks) — the r10-review rule that encode
+    kernels must never fork. The broadcast's lifetime is the consumer's
+    responsibility: batch/stream callers leave it tied to the returned
+    plan (re-broadcastable on demand); loop callers release it per
+    iteration."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import SparkSession
@@ -901,7 +908,15 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
         return pd.Series(list(_pq_argmin_codes(X, bks)))
 
     _enc.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    enc = pandas_udf(ArrayType(IntegerType()))(_enc)
+    return pandas_udf(ArrayType(IntegerType()))(_enc), bc
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """(vec_id, code: array<int>[m]) — nearest codeword per subspace by
+    L2 (the PQ standard; ties → lower codeword id via argmin-first).
+    One Arrow batch = m small matmuls; codes are the only thing wider
+    than an id that ever shuffles."""
+    enc, _ = _pq_code_udf(books)
     return emb.select("vec_id", enc(F.col("v")).alias("code"))
 
 
@@ -932,26 +947,10 @@ def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     values). The refinement adapts codewords to the actual subvector
     distribution — the standard recall lift over the first-K sample at
     identical query cost (codes stay m bytes; the LUT stays m×k)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import SparkSession
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     books = _pq_codebooks(emb, m, k)
     sub = books.shape[2]
     for _ in range(iters):
-        bc = spark.sparkContext.broadcast(books)
-
-        def _enc(col):
-            if len(col) == 0:
-                return pd.Series([], dtype=object)
-            return pd.Series(list(_pq_argmin_codes(
-                np.stack(col.to_numpy()), bc.value)))
-
-        _enc.__annotations__ = {"col": pd.Series, "return": pd.Series}
-        enc = pandas_udf(ArrayType(IntegerType()))(_enc)
+        enc, bc = _pq_code_udf(books)
         subv = (
             emb.select("v", enc(F.col("v")).alias("code"))  # no join
             .select(F.posexplode("code").alias("j", "c"), "v")
@@ -966,6 +965,13 @@ def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
         for r in rows:
             new[r["j"], r["c"]] = [r[f"d{i}"] for i in range(sub)]
         books = new
+        # the collect() above is the ONLY action that reads this
+        # iteration's broadcast — release its executor blocks now
+        # (ADVICE r10: gates + bench + tests share one long-lived JVM;
+        # un-released per-iteration broadcasts accumulate). unpersist
+        # (not destroy) keeps the handle rebroadcastable if a retry
+        # ever re-reads it.
+        bc.unpersist()
     return books
 
 
@@ -1063,7 +1069,8 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
 
 
 def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
-                   n_cells: int = N_CELLS, rerank: int | None = None):
+                   n_cells: int = N_CELLS, rerank: int | None = None,
+                   books=None):
     """IVF + PQ composed (r9) — the FAISS-style production ANN shape
     (Jégou et al. 2011 §V, IVFADC minus the residual encoding — codes
     are over raw vectors so the SAME codebooks serve every cell, which
@@ -1083,7 +1090,8 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
     the structureless-Gaussian worst case pinned in pytest."""
     emb = _emb(spark, sf_dir)
     cents = _centroids(emb, n_cells)
-    books = _pq_codebooks(emb)
+    if books is None:
+        books = _pq_codebooks(emb)
     codes = pq_encode(emb, books).join(
         emb.select("vec_id",
                    _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
@@ -1211,6 +1219,23 @@ def _pq_res_codebooks(emb: DataFrame, cents, m: int = PQ_M, k: int = PQ_K):
                        & (F.col("vec_id") < n_cells + k))
             .orderBy("vec_id").collect())
     if len(rows) < k:  # tiny corpus: reuse the raw variant's sample
+        # ADVICE r10: this fallback trains on the centroid vectors
+        # themselves (residuals ≈ 0 → a near-zero codebook, measured
+        # LOSING to the raw variant at every rerank). Bounded store
+        # slices refuse via the kind="res" floor assert; the unbounded
+        # in-memory path stays runnable for tiny test frames but must
+        # say so loudly — a silent degraded-recall index is the failure
+        # mode (still gate-exact at widened knobs, hence a warning, not
+        # an error).
+        import warnings
+
+        warnings.warn(
+            f"residual-PQ training sample is degenerate: corpus has "
+            f"only {len(rows)} vectors past the {n_cells} centroids "
+            f"(need {k}); falling back to the first-{k} sample, which "
+            "includes the centroids (residuals ~0) and measurably "
+            "degrades candidate recall vs raw PQ",
+            stacklevel=2)
         rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     X = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
     dim = X.shape[1]
@@ -1313,12 +1338,23 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
     below refuses a res-kind slice the sample doesn't fit in rather
     than silently falling back. compact_ivf_pq_store folds BOTH kinds
     (its kind="res" leg shares this floor; fold == from-scratch pinned
-    in tests for each)."""
+    in tests for each).
+
+    ``kind="kmeans"`` (r11) runs the distributed Lloyd trainer
+    (pq_codebooks_kmeans) at build time and persists the trained
+    tensor as a ``_books`` sidecar next to the codes — see
+    sim_ann_ivf_pq_kmeans_stored for why serving loads rather than
+    retrains. Folding a kmeans store is NOT offered by
+    compact_ivf_pq_store yet: it would be sound (encode the increment
+    with the HISTORY's persisted books — no retraining), but fold ==
+    from-scratch can't hold for it (a from-scratch build retrains on
+    the widened slice), so it needs its own fold-vs-history-books
+    equality pin first."""
     import os
 
     from kstore_spark.catalog import ArtifactStore
 
-    assert kind in ("raw", "res"), kind
+    assert kind in ("raw", "res", "kmeans"), kind
     # same precondition compact_ivf_pq_store asserts (r9 review: an
     # unguarded small slice died deep in _pq_codebooks with an opaque
     # reshape error — or worse, silently built a truncated-centroid
@@ -1329,8 +1365,8 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
         f"(need >= {floor} for kind={kind})")
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
-    params = (f"c{n_cells}m{PQ_M}k{PQ_K}"
-              + (":res" if kind == "res" else "")
+    suffix = {"raw": "", "res": ":res", "kmeans": ":km"}[kind]
+    params = (f"c{n_cells}m{PQ_M}k{PQ_K}" + suffix
               + (f":d{max_vec}" if max_vec is not None else ""))
     if max_vec is not None:  # history slice: appends must not invalidate
         version = ArtifactStore.source_version_bounded(
@@ -1344,19 +1380,80 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
             emb = emb.filter(F.col("vec_id") < max_vec)
         cents = _centroids(emb, n_cells)
         if kind == "res":
+            # ADVICE r10: the bounded slice refuses a degenerate
+            # residual sample via the max_vec floor assert above, but
+            # an UNBOUNDED tiny corpus slipped through to
+            # _pq_res_codebooks' silent first-k fallback — a persisted
+            # store must never be degraded silently, so apply the same
+            # floor here (one count(), first build only; cache hits
+            # skip build entirely).
+            n = emb.count()
+            if n < n_cells + PQ_K:
+                raise ValueError(
+                    f"corpus has {n} vectors; a kind='res' store needs "
+                    f">= {n_cells + PQ_K} (centroids + a non-degenerate "
+                    "residual training sample) — refusing to persist a "
+                    "degraded-recall index")
             # pq_encode_res assigns cells itself (the residual depends
             # on the assignment) and returns (vec_id, cell, code)
             books = _pq_res_codebooks(emb, cents)
             frame = pq_encode_res(emb, books, cents)
         else:
-            books = _pq_codebooks(emb)
+            # kind="kmeans" (r11, VERDICT r10 item 4): TRAIN the
+            # codebooks here — training is an ingest-time cost, like
+            # centroid choice — and PERSIST the trained tensor as a
+            # sidecar, because Lloyd's distributed float averages are
+            # NOT bit-reproducible across partition layouts (the
+            # pq_codebooks_kmeans docstring's standing caveat): serving
+            # must READ the books, never re-derive them, or the codes
+            # in this store and the query LUT silently disagree.
+            books = (pq_codebooks_kmeans(emb) if kind == "kmeans"
+                     else _pq_codebooks(emb))
             assigned = emb.select(
                 "vec_id",
                 _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell"))
             frame = pq_encode(emb, books).join(assigned, "vec_id")
         frame.write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+        if kind == "kmeans":
+            _write_pq_books(spark, out_dir, books)
 
     return store.get_or_build(f"ivfpq:{src}:{params}", version, build, src=src)
+
+
+def _write_pq_books(spark, store_dir: str, books) -> None:
+    """Persist the trained m×k×sub codebook tensor INSIDE the store
+    artifact as a ``_books`` parquet sidecar — underscore-prefixed, so
+    Spark's file index hides it from `spark.read.parquet(store_dir)`
+    (the same convention that keeps _SUCCESS markers out of data;
+    pinned in pytest). One row per (subspace, codeword); doubles
+    round-trip bit-exactly through parquet, which is the whole point:
+    the artifact, not retraining, is the source of truth."""
+    import os
+
+    rows = [(int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(books.shape[0]) for c in range(books.shape[1])]
+    (spark.createDataFrame(rows, "j int, c int, w array<double>")
+     .coalesce(1)  # m×k rows — one tiny file
+     .write.mode("overwrite").parquet(os.path.join(store_dir, "_books")))
+
+
+def load_pq_books(spark, store_dir: str):
+    """Read a ``_books`` sidecar back into the m×k×sub ndarray shape
+    every PQ kernel consumes. Bounded driver state (m×k rows of sub
+    doubles — the same tensor the trainer collects)."""
+    import os
+
+    import numpy as np
+
+    rows = spark.read.parquet(os.path.join(store_dir, "_books")).collect()
+    if not rows:
+        raise ValueError(f"empty _books sidecar under {store_dir}")
+    m = 1 + max(r["j"] for r in rows)
+    k = 1 + max(r["c"] for r in rows)
+    books = np.empty((m, k, len(rows[0]["w"])), dtype="float64")
+    for r in rows:
+        books[r["j"], r["c"]] = r["w"]
+    return books
 
 
 def compact_ivf_pq_store(spark, sf_dir, old_min: int, new_min: int,
@@ -1479,6 +1576,41 @@ def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
     books = _pq_res_codebooks(emb, cents)
     return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe,
                          rerank, residual=True)
+
+
+def sim_ann_ivf_pq_kmeans_stored(spark, sf_dir, k: int = TOP_K,
+                                 n_probe: int = N_PROBE,
+                                 n_cells: int = N_CELLS,
+                                 rerank: int | None = None,
+                                 max_vec: int | None = None):
+    """IVF+PQ serving off the persisted KMEANS-trained inverted list
+    (r11 — VERDICT r10 item 4, the production shape sim_ann_pq_kmeans's
+    bench key was missing): ivf_pq_store_dir(kind="kmeans") trains the
+    k-means codebooks ONCE at ingest (4 Lloyd corpus sweeps — +5.5 s of
+    sim_ann_pq_kmeans's 8.25 s at 200k vectors, PERF.md r10, now off
+    the query path like centroid choice) and persists both the
+    cell-partitioned codes AND the trained codebook tensor (``_books``
+    sidecar); the query loads the tensor (m×k bounded driver state),
+    builds the per-query LUT from it, and runs the ONE _ivf_pq_query
+    kernel over the DPP-pruned code partitions. Loading — never
+    retraining — is what sidesteps the documented
+    non-bit-reproducibility of distributed Lloyd averages: the codes in
+    the store and the LUT at query time come from the SAME tensor by
+    construction. stored == inline-at-the-same-books pinned in pytest;
+    widened knobs degenerate to brute force AND equal-knobs output ==
+    sim_ann_ivf_pq(books=<loaded>) — both halves of the 19th gate in
+    plans/checks.py. Completes the training × residual × stored
+    matrix: raw/res/kmeans each now have an ingest-time store and a
+    gate-protected serving path."""
+    emb = _emb(spark, sf_dir)
+    if max_vec is not None:  # serve from a bounded history slice
+        emb = emb.filter(F.col("vec_id") < max_vec)
+    store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=max_vec,
+                             kind="kmeans")
+    data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
+    cents = _centroids(emb, n_cells)
+    books = load_pq_books(spark, store)
+    return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank)
 
 
 ANN_FOLD_OLD_MIN = 400  # the ANN lifecycle entry's pre-fold boundary
@@ -2166,6 +2298,7 @@ QUERIES = {
     "sim_ann_ivf_pq_res": sim_ann_ivf_pq_res,
     "sim_ann_ivf_pq_res_stored": sim_ann_ivf_pq_res_stored,
     "sim_ann_ivf_pq_stored": sim_ann_ivf_pq_stored,
+    "sim_ann_ivf_pq_kmeans_stored": sim_ann_ivf_pq_kmeans_stored,
     "lifecycle_fold_ann": lifecycle_fold_ann,
     "lifecycle_fold_ann_res": lifecycle_fold_ann_res,
     "dedup_semantic": dedup_semantic,

@@ -190,6 +190,36 @@ def _gate_ivf_pq_stored(spark, sf_dir, ctx):
         truth)
 
 
+def _gate_ivf_pq_kmeans_stored(spark, sf_dir, ctx):
+    """The persisted KMEANS-trained inverted list (r11), two halves in
+    one violations union:
+    (a) widened knobs == brute force — codebook quality cannot change
+        the output when every cell is probed and every vector is a
+        re-rank candidate (the degeneration theorem all PQ gates use);
+    (b) default knobs: stored == sim_ann_ivf_pq(books=<the store's own
+        persisted tensor>) — the serving path and an inline re-encode
+        from the SAME tensor must agree row-for-row, which pins both
+        the sidecar round-trip and that the store's codes really came
+        from that tensor. (An inline RETRAIN comparison would be flaky
+        by design: distributed Lloyd averages are not bit-reproducible
+        — that is exactly why the tensor is persisted.)"""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, ivf_pq_store_dir, load_pq_books, sim_ann_ivf_pq,
+        sim_ann_ivf_pq_kmeans_stored, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    widened = _symdiff(
+        sim_ann_ivf_pq_kmeans_stored(spark, sf_dir, n_probe=N_CELLS,
+                                     rerank=10**9),
+        truth)
+    books = load_pq_books(spark, ivf_pq_store_dir(spark, sf_dir,
+                                                  kind="kmeans"))
+    equal_knobs = _symdiff(
+        sim_ann_ivf_pq_kmeans_stored(spark, sf_dir),
+        sim_ann_ivf_pq(spark, sf_dir, books=books))
+    return widened.union(equal_knobs)
+
+
 def _gate_multimodal(spark, sf_dir, ctx):
     from kstore_spark.functions.multimodal import (
         MEDIA_BANDS, MEDIA_NEARDUP_COS, MEDIA_ROWS, binary_payloads,
@@ -328,6 +358,7 @@ GATES = {
     "sim_ann_ivf_pq_res": _gate_ivf_pq_res,
     "sim_ann_ivf_pq_res_stored": _gate_ivf_pq_res_stored,
     "sim_ann_ivf_pq_stored": _gate_ivf_pq_stored,
+    "sim_ann_ivf_pq_kmeans_stored": _gate_ivf_pq_kmeans_stored,
     "multimodal_neardup": _gate_multimodal,
     "events_approx_distinct": _gate_approx_distinct,
     "events_approx_quantiles": _gate_approx_quantiles,
@@ -401,6 +432,11 @@ def approx_equivalence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       inverted list under widened knobs == brute force — also proves
       the stored residual assignments/codes match the in-memory
       residual composition's.
+    - sim_ann_ivf_pq_kmeans_stored (r11): the persisted KMEANS-trained
+      inverted list — widened knobs == brute force, AND at default
+      knobs stored == inline re-encode from the store's own persisted
+      codebook tensor (see _gate_ivf_pq_kmeans_stored for why the
+      inline side loads rather than retrains).
     - multimodal_neardup: LSH pairs ⊆ brute-force cosine pairs over
       the same media embeddings (precision is exact by the cosine
       verify; recall is the probabilistic part, pinned on planted
@@ -449,7 +485,7 @@ CHECK_NAMES = (
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
     "sim_ann_pq", "sim_ann_pq_kmeans", "sim_ann_ivf_pq",
     "sim_ann_ivf_pq_res", "sim_ann_ivf_pq_res_stored",
-    "sim_ann_ivf_pq_stored",
+    "sim_ann_ivf_pq_stored", "sim_ann_ivf_pq_kmeans_stored",
     "multimodal_neardup",
     "events_approx_distinct", "events_approx_quantiles",
     "stream_hourly_approx_users",

@@ -54,6 +54,22 @@ def test_compact_line_is_valid_single_line_json():
     json.loads(line)
 
 
+def test_compact_line_degrades_instead_of_dying_on_overflow():
+    """ADVICE r10: an oversized compact line must DEGRADE (drop the
+    queries block, keep metric/value/n_keys/full_map) — raising after
+    the full map already printed would recreate the r9 parsed:null
+    failure this contract exists to prevent."""
+    times = _fake_times(60)
+    # absurd key names blow the top-5 block past the 1900-char bound
+    times["k" * 4000] = 99999.0
+    line = bench.compact_line(times, 1.0, "sf")
+    assert len(line) < 1900
+    d = json.loads(line)
+    assert d["metric"] == "total_bench_seconds"
+    assert d["n_keys"] == len(times)
+    assert d["full_map"] == "BENCH_FULL.json"
+
+
 def test_every_bench_key_has_standing_evidence():
     """Registry hygiene (r10): a bench key whose name matches nothing
     in the evidence registries is either a typo or an op timed without

@@ -399,6 +399,88 @@ def test_ann_ivf_pq_res_stored_equals_inline_and_prunes(spark):
                          max_vec=N_CELLS + PQ_K - 1)
 
 
+def test_ann_ivf_pq_kmeans_stored_equals_inline_and_prunes(spark):
+    """The persisted KMEANS-trained inverted list (r11): (a) serving ==
+    an inline re-encode from the store's OWN persisted codebook tensor
+    at equal knobs — loading, not retraining, is the contract, because
+    distributed Lloyd averages are not bit-reproducible (an
+    inline-RETRAIN comparison would be flaky by design, which is the
+    entire reason the tensor is persisted); (b) the probe join plans
+    DPP on the store scan like every stored variant; (c) the _books
+    sidecar round-trips deterministically (two loads bit-equal, right
+    m×k geometry) and stays INVISIBLE to the data read (underscore
+    convention — a sidecar row leaking into the inverted list would
+    poison every probe)."""
+    from kstore_spark.functions.similarity import (
+        PQ_K, PQ_M, ivf_pq_store_dir, load_pq_books, sim_ann_ivf_pq,
+        sim_ann_ivf_pq_kmeans_stored)
+
+    df = sim_ann_ivf_pq_kmeans_stored(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    store = ivf_pq_store_dir(spark, SF_DIR, kind="kmeans")
+    b1 = load_pq_books(spark, store)
+    b2 = load_pq_books(spark, store)
+    assert b1.shape[:2] == (PQ_M, PQ_K) and (b1 == b2).all()
+    assert set(spark.read.parquet(store).columns) == \
+        {"vec_id", "code", "cell"}
+    assert {tuple(r) for r in df.collect()} == \
+        {tuple(r) for r in sim_ann_ivf_pq(spark, SF_DIR, books=b1).collect()}
+
+
+def test_res_store_refuses_degenerate_unbounded_corpus(spark, tmp_path):
+    """ADVICE r10: kind="res" with max_vec=None on a corpus smaller
+    than n_cells+PQ_K must REFUSE to persist (the bounded path already
+    asserts its floor), and the in-memory _pq_res_codebooks fallback
+    must WARN instead of silently training the degraded near-zero
+    codebook (the centroids' own residuals ≈ 0)."""
+    import warnings
+
+    from kstore_spark.catalog import artifact_base
+    from kstore_spark.functions.similarity import (
+        N_CELLS, PQ_K, _centroids, _emb, _pq_res_codebooks,
+        ivf_pq_store_dir)
+
+    n = N_CELLS + PQ_K - 2
+    rows = [(i, [float((i * 31 + 7 * d) % 13) - 6.0 for d in range(64)])
+            for i in range(n)]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .write.mode("overwrite")
+     .parquet(str(tmp_path / "embeddings.parquet")))
+    with artifact_base(str(tmp_path / "arts")):
+        with pytest.raises(ValueError, match="refusing to persist"):
+            ivf_pq_store_dir(spark, str(tmp_path), kind="res")
+    emb = _emb(spark, str(tmp_path))
+    with pytest.warns(UserWarning, match="degenerate"):
+        _pq_res_codebooks(emb, _centroids(emb))
+
+
+def test_stream_vector_assignment_codeword_margins(spark):
+    """stream_vector_assignments carries an EXACT DuckDB oracle that
+    re-derives the per-subspace argmin in SQL; exactness requires the
+    best-vs-runner-up codeword distance gap to dwarf the ~1e-15
+    summation-order noise between the Arrow kernel's BLAS matmul and
+    DuckDB's sequential dot. Pin the minimum gap at both driver SFs —
+    the same rank-margin basis every assignment-built oracle uses."""
+    import numpy as np
+
+    from kstore_spark.functions.similarity import _emb, _pq_codebooks
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = _emb(spark, sf)
+        books = _pq_codebooks(emb)
+        X = np.stack([np.asarray(r["v"], dtype="float64")
+                      for r in emb.collect()])
+        m, k, sub = books.shape
+        parts = X.reshape(len(X), m, sub)
+        worst = np.inf
+        for j in range(m):
+            d = -2.0 * (parts[:, j, :] @ books[j].T) + (books[j] ** 2).sum(1)
+            s = np.sort(d, axis=1)
+            worst = min(worst, float((s[:, 1] - s[:, 0]).min()))
+        assert worst > 1e-9, (sf, worst)
+
+
 def test_ivf_pq_fold_equals_from_scratch(spark, tmp_path):
     """compact_ivf_pq_store (r9): folding the increment into the
     history inverted list must be BIT-IDENTICAL to building d{new}

@@ -440,6 +440,25 @@ def test_stream_token_postings_equals_batch_index(spark):
     assert got == want and got
 
 
+def test_stream_vector_assignments_equals_batch_store(spark):
+    """The streamed (vec_id, cell, code) rows must equal the batch
+    inverted list (ivf_pq_store_dir kind="raw") row-for-row regardless
+    of micro-batch boundaries — the ANN twin of the
+    stream_token_postings == batch-index pin, closing the vector
+    store's lifecycle the same way (build → probe → fold → STREAMING
+    maintenance)."""
+    from kstore_spark.functions.similarity import ivf_pq_store_dir
+    from kstore_spark.streaming.indexing import stream_vector_assignments
+
+    got = sorted((r["vec_id"], int(r["cell"]), r["j"], r["code_j"])
+                 for r in stream_vector_assignments(spark, SF_DIR).collect())
+    batch = spark.read.parquet(ivf_pq_store_dir(spark, SF_DIR))
+    want = sorted((r["vec_id"], int(r["cell"]), j, int(c))
+                  for r in batch.collect()
+                  for j, c in enumerate(r["code"]))
+    assert got == want and got
+
+
 def test_stream_attribution_matches_batch(spark):
     """Last-touch credited at arrival over the 4-chunk ts-ordered
     replay (state carries the touch across 3 micro-batch boundaries)

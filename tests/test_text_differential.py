@@ -322,6 +322,18 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
         res = con.execute(similarity.ORACLES[op])
         exp = _rowset([c[0] for c in res.description], res.fetchall())
         assert got == exp, f"{op} diverged at seed {seed}"
+    # r11: the streaming ANN maintainer's exact SQL twin on the random
+    # corpus — assignment and per-subspace argmin margins are
+    # continuous Gaussian draws, orders of magnitude above engine
+    # summation-order noise (the same margin basis the batch
+    # assignment oracles ride)
+    from kstore_spark.streaming import indexing as stream_indexing
+
+    df = stream_indexing.QUERIES["stream_vector_assignments"](spark, str(d))
+    got = _rowset(df.columns, [tuple(r) for r in df.collect()])
+    res = con.execute(stream_indexing.ORACLES["stream_vector_assignments"])
+    exp = _rowset([c[0] for c in res.description], res.fetchall())
+    assert got == exp, f"stream_vector_assignments diverged at seed {seed}"
     # r10: the pruned ANN compositions' degeneration property, FUZZED —
     # the standing gates prove widened-knobs == brute force on the
     # testdata corpus; here the same identity must hold on every random
@@ -345,6 +357,17 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
     ):
         got = {tuple(r) for r in fn().collect()}
         assert got == truth, f"{name} degeneration diverged at seed {seed}"
+    # r11: the persisted kmeans store's degeneration, fuzzed through a
+    # seed-local artifact base (each random corpus trains + persists its
+    # own codebooks; the store must serve brute force at widened knobs
+    # whatever the trained tensor looks like)
+    from kstore_spark.catalog import artifact_base
+
+    with artifact_base(str(d / "arts")):
+        got = {tuple(r) for r in similarity.sim_ann_ivf_pq_kmeans_stored(
+            spark, str(d), n_probe=wide, rerank=10**9).collect()}
+    assert got == truth, (
+        f"sim_ann_ivf_pq_kmeans_stored degeneration diverged at seed {seed}")
 
 
 def test_fuzzy_multi_unions_both_neighborhoods(spark):

@@ -32,6 +32,19 @@ def normalize(plan: str) -> str:
     # r10 sweep's only "plan CHANGED" on the two digest keys was this
     # counter, buried past the 300-line head (adjudicated r10)
     plan = re.sub(r"lambda (\w+?)_\d+", r"lambda \1_N", plan)
+    # WholeStageCodegen stage ids are a session-global counter too —
+    # both the tree header "WholeStageCodegen (3)" and the node detail
+    # "Arguments: 3" (a bare integer line; real argument lists always
+    # carry more than one token, so the anchor can't eat them). The r10
+    # adjudication flapped IDENTICAL↔CHANGED on two consecutive runs of
+    # the SAME code with only these lines swapped (VERDICT r10 wrong #2).
+    plan = re.sub(r"WholeStageCodegen \(\d+\)", "WholeStageCodegen (N)", plan)
+    plan = re.sub(r"^(\s*Arguments: )\d+\s*$", r"\1N", plan, flags=re.M)
+    # ...and the per-node "[codegen id : 3]" marker: under AQE the ids
+    # are assigned as query stages materialize, so two runs of the SAME
+    # code can number the same spans differently (observed on
+    # text_lm_score in this round's re-verification sweep)
+    plan = re.sub(r"codegen id : \d+", "codegen id : N", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
     plan = re.sub(r"\[id=#?\d+\]", "[id=N]", plan)
     plan = re.sub(r"[0-9a-f]{16,}", "HASH", plan)        # artifact versions
