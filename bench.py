@@ -228,6 +228,9 @@ def headline_queries():
         "lifecycle_fold_ann": similarity.lifecycle_fold_ann,
         # r10: the residual-store lifecycle twin
         "lifecycle_fold_ann_res": similarity.lifecycle_fold_ann_res,
+        # r11: the kmeans-store lifecycle (train-on-history -> persist
+        # -> fold WITHOUT retraining -> widened-knobs exact query)
+        "lifecycle_fold_ann_kmeans": similarity.lifecycle_fold_ann_kmeans,
         # the composed 9-stage curation pipeline end to end (exact dedup →
         # LSH near-dup → decontaminate → quality/quota/LM cut → boilerplate
         # strip → PII scrub → sample → leakage-safe split → packing) — the

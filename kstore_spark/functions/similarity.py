@@ -1578,6 +1578,72 @@ def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
                          rerank, residual=True)
 
 
+def compact_ivf_pq_store_kmeans(spark, sf_dir, old_min: int, new_min: int,
+                                n_cells: int = N_CELLS) -> str:
+    """Fold the embeddings increment into the KMEANS inverted list —
+    WITHOUT retraining: the history artifact's persisted ``_books``
+    tensor encodes the increment (this is exactly what persisting
+    bought — history codes and increment codes come from the SAME
+    tensor, so the folded list is self-consistent), and the sidecar is
+    carried verbatim into the folded artifact. Only old_min ≤ vec_id <
+    new_min is read, encoded, and assigned; history vectors are never
+    re-read. Centroids are the first n_cells ids — inside any history
+    with old_min ≥ the floor — so the increment's assignments use the
+    history store's exact quantizer.
+
+    Unlike compact_ivf_pq_store (raw/res), this fold CANNOT register
+    under the canonical d{new_min} content version: a from-scratch
+    kind="kmeans" build at new_min would RETRAIN on the widened slice
+    and produce legitimately different codes — two different artifacts
+    under one content key would violate the store's version contract.
+    The fold registers under LINEAGE-keyed params
+    (``:km:d{new}<-d{old}``) instead, and its correctness pins are
+    (a) folded rows == history rows ∪ increment-encoded-with-the-
+    history-tensor (construction equality + books-carried-verbatim,
+    pytest) and (b) a widened-knobs query off the folded store ==
+    exact brute force (lifecycle_fold_ann_kmeans's SIM_TOPK oracle —
+    true regardless of codebook values). The superseded d{old_min}
+    store is retired like every fold's."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    floor = max(n_cells, PQ_K)
+    assert old_min >= floor, "history must contain centroids + init sample"
+    assert new_min >= old_min
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    store = ArtifactStore()
+    old_store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=old_min,
+                                 kind="kmeans")
+    params = f"c{n_cells}m{PQ_M}k{PQ_K}:km:d{new_min}<-d{old_min}"
+    version = ArtifactStore.source_version_bounded(
+        src, params, "vec_id", new_min)
+
+    def build(out_dir: str) -> None:
+        books = load_pq_books(spark, old_store)
+        emb = _emb(spark, sf_dir).filter(F.col("vec_id") < new_min)
+        cents = _centroids(emb, n_cells)  # first n_cells ids == history's
+        inc_emb = emb.filter(F.col("vec_id") >= old_min)
+        inc = pq_encode(inc_emb, books).join(
+            inc_emb.select(
+                "vec_id",
+                _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
+                .alias("cell")),
+            "vec_id")
+        hist = spark.read.parquet(old_store)
+        hist = hist.select(
+            "vec_id", "code",
+            F.col("cell").cast(dict(inc.dtypes)["cell"]).alias("cell"))
+        (hist.unionByName(inc.select("vec_id", "code", "cell"))
+         .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+        _write_pq_books(spark, out_dir, books)
+
+    new_store = store.get_or_build(
+        f"ivfpq:{src}:{params}", version, build, src=src)
+    store.retire(f"ivfpq:{src}:c{n_cells}m{PQ_M}k{PQ_K}:km:d{old_min}")
+    return new_store
+
+
 def sim_ann_ivf_pq_kmeans_stored(spark, sf_dir, k: int = TOP_K,
                                  n_probe: int = N_PROBE,
                                  n_cells: int = N_CELLS,
@@ -1684,6 +1750,44 @@ def lifecycle_fold_ann_res(spark, sf_dir, k: int = TOP_K):
         return sim_ann_ivf_pq_res_stored(
             spark, sf_dir, k=k, n_probe=N_CELLS, rerank=10**9,
             max_vec=n_total)
+
+
+def lifecycle_fold_ann_kmeans(spark, sf_dir, k: int = TOP_K):
+    """The KMEANS store LIFECYCLE as one driver-visible, ORACLED op
+    (r11 — completes the raw/res/kmeans lifecycle matrix): build the
+    kind="kmeans" inverted list at the history boundary (training the
+    codebooks ON THE HISTORY and persisting the tensor), FOLD the
+    increment into it with compact_ivf_pq_store_kmeans — the increment
+    is encoded with the history's PERSISTED tensor, no retraining, the
+    sidecar carried verbatim — and answer a top-k query off the FOLDED
+    store with both knobs widened ⇒ EXACT brute-force top-k, so the
+    entry carries the plain SIM_TOPK oracle while exercising the full
+    train-at-ingest → persist → fold-without-retraining → load-and-
+    serve path end to end (a folded store with a wrong code, a
+    re-derived-instead-of-loaded tensor, a dropped/duplicated row, or
+    a leaked sidecar row cannot hash-match brute force). Construction
+    equality of the folded rows and the carried tensor are pinned in
+    pytest; session-scoped artifact base like the other lifecycles."""
+    import os
+    import tempfile
+
+    from kstore_spark.catalog import artifact_base
+
+    emb = _emb(spark, sf_dir)
+    n_total = emb.count()
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"kstore_foldkm_{spark.sparkContext.applicationId}")
+    with artifact_base(base):
+        ivf_pq_store_dir(spark, sf_dir, max_vec=ANN_FOLD_OLD_MIN,
+                         kind="kmeans")
+        folded = compact_ivf_pq_store_kmeans(
+            spark, sf_dir, ANN_FOLD_OLD_MIN, n_total)
+        data = spark.read.parquet(folded)
+        books = load_pq_books(spark, folded)
+        cents = _centroids(emb)
+        return _ivf_pq_query(spark, emb, data, cents, books, k,
+                             N_CELLS, 10**9)
 
 
 # -- cluster-balanced (diversity) sampling -----------------------------
@@ -2301,6 +2405,7 @@ QUERIES = {
     "sim_ann_ivf_pq_kmeans_stored": sim_ann_ivf_pq_kmeans_stored,
     "lifecycle_fold_ann": lifecycle_fold_ann,
     "lifecycle_fold_ann_res": lifecycle_fold_ann_res,
+    "lifecycle_fold_ann_kmeans": lifecycle_fold_ann_kmeans,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -2315,6 +2420,9 @@ ORACLES = {
     "lifecycle_fold_ann": SIM_TOPK_SQL,
     # the residual lifecycle is exact for the same widened-knobs reason
     "lifecycle_fold_ann_res": SIM_TOPK_SQL,
+    # the kmeans lifecycle too: whatever the trained tensor, widened
+    # knobs make every vector an exact-re-rank candidate
+    "lifecycle_fold_ann_kmeans": SIM_TOPK_SQL,
     # same SQL is the matmul path's EXACT oracle: float64 ranks are
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output

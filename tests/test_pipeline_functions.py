@@ -535,6 +535,62 @@ def test_ivf_pq_res_fold_equals_from_scratch(spark, tmp_path):
                                  kind="res")
 
 
+def test_ivf_pq_kmeans_fold_carries_books_and_rows(spark, tmp_path):
+    """compact_ivf_pq_store_kmeans (r11): the fold must NOT retrain —
+    (a) the folded artifact's _books tensor is bit-equal to the
+    history's; (b) folded rows == history rows ∪ the increment encoded
+    with the HISTORY tensor and assigned with the shared quantizer
+    (construction equality — the fold's correctness contract, since
+    fold == from-scratch cannot hold for a trainer that would retrain
+    on the widened slice); (c) the floor guard refuses a boundary that
+    predates the centroids/init sample."""
+    import pytest as _pytest
+
+    from kstore_spark.catalog import artifact_base
+    from kstore_spark.functions.similarity import (
+        PQ_K, _centroids, _emb, _nearest_cells, compact_ivf_pq_store_kmeans,
+        ivf_pq_store_dir, load_pq_books, pq_encode)
+    from pyspark.sql import functions as F
+
+    with artifact_base(str(tmp_path / "arts")):
+        hist_store = ivf_pq_store_dir(spark, SF_DIR, max_vec=400,
+                                      kind="kmeans")
+        hist_books = load_pq_books(spark, hist_store)
+        hist_rows = {(r["vec_id"], tuple(r["code"]), int(r["cell"]))
+                     for r in spark.read.parquet(hist_store).collect()}
+        folded = compact_ivf_pq_store_kmeans(spark, SF_DIR, 400, 500)
+        assert (load_pq_books(spark, folded) == hist_books).all()
+        got = {(r["vec_id"], tuple(r["code"]), int(r["cell"]))
+               for r in spark.read.parquet(folded).collect()}
+    emb = _emb(spark, SF_DIR)
+    cents = _centroids(emb)
+    inc_emb = emb.filter(F.col("vec_id") >= 400)
+    inc = pq_encode(inc_emb, hist_books).join(
+        inc_emb.select(
+            "vec_id",
+            _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell")),
+        "vec_id")
+    exp = hist_rows | {(r["vec_id"], tuple(r["code"]), int(r["cell"]))
+                       for r in inc.collect()}
+    assert got == exp and len(got) == 500
+    with artifact_base(str(tmp_path / "arts2")):
+        with _pytest.raises(AssertionError):
+            compact_ivf_pq_store_kmeans(spark, SF_DIR, PQ_K - 1, 500)
+
+
+def test_lifecycle_fold_ann_kmeans_equals_bruteforce(spark):
+    """The kmeans lifecycle entry (train-on-history → persist → fold
+    without retraining → widened-knobs query off the folded store)
+    must equal exact brute-force top-k — the degeneration theorem
+    applied through the folded KMEANS artifacts."""
+    from kstore_spark.functions.similarity import (
+        lifecycle_fold_ann_kmeans, sim_topk_bruteforce)
+
+    got = {tuple(r) for r in lifecycle_fold_ann_kmeans(spark, SF_DIR).collect()}
+    exp = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    assert got == exp and got
+
+
 def test_lifecycle_fold_ann_res_equals_bruteforce(spark):
     """The residual lifecycle entry (res history store → res fold →
     widened-knobs query off the folded residual store) must equal
