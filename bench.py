@@ -330,6 +330,12 @@ def headline_queries():
         "text_search_fuzzy2_multi": text.text_search_fuzzy2_multi,
         # round-8: fuzzy neighborhood feeding the TF-IDF top-k
         "text_search_fuzzy_ranked": text.text_search_fuzzy_ranked,
+        # r11 proximity (slop) search: two pruned postings reads + one
+        # doc_id join + row-local pair count over sorted positions
+        "text_search_near": text.text_search_near,
+        # r11 MMR diversification: top-pool pass + pool^2-per-query
+        # grid + one applyInPandas greedy per query
+        "sim_mmr_diversify": similarity.sim_mmr_diversify,
         # r11: the persisted KMEANS-trained inverted list — the
         # production shape sim_ann_pq_kmeans's key lacked: training
         # runs ONCE at ingest (first run pays store build incl. 4

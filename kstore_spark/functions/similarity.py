@@ -1861,6 +1861,162 @@ SELECT vec_id, cell FROM sized WHERE rn <= CAST(CEIL(SQRT(n)) AS BIGINT)
 """
 
 
+# -- MMR result diversification ----------------------------------------
+
+MMR_POOL = 20            # relevance pool per query (top-pool by cosine)
+MMR_LAMBDA_PPM = 700_000  # λ in ppm: 0.7·relevance − 0.3·redundancy
+
+
+def sim_mmr_diversify(spark, sf_dir, k: int = TOP_K, pool: int = MMR_POOL,
+                      lam_ppm: int = MMR_LAMBDA_PPM):
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) over the top-``pool`` cosine candidates — the
+    standard de-redundancy pass between retrieval and a RAG context
+    window (without it, near-duplicate passages crowd out coverage):
+    greedily pick k docs maximizing λ·rel(d) − (1−λ)·max_{s∈selected}
+    sim(d, s), ties toward the lower doc id. All scoring is INTEGER
+    ppm arithmetic (rel/sim = floor(10⁶·cosine), row-local in both
+    engines; λ·rel − (1−λ)·max_sim products stay < 2⁶³), so the greedy
+    path is exactly reproducible and the oracle is the same greedy
+    UNROLLED into k SQL steps (_mmr_sql — house pattern: iterative-but-
+    k-bounded ops get k chained CTEs, like the BPE merge table gets a
+    reference loop). ppm boundary safety is pinned in pytest: no pool
+    cosine lands within 10⁻⁶ of an integer ppm, eight orders above the
+    engines' summation-order noise.
+
+    Scale shape: pool selection is one brute-force top-pool pass here
+    (the oracle-grade twin); at index-backed scale the pool comes from
+    sim_ann_ivf_pq_stored's DPP-pruned probe — MMR only ever sees
+    pool rows per query. The pairwise grid is pool²·|queries| rows
+    built by one query_id-keyed self-join of the pool (vectors ride
+    pool rows, never the corpus), and the greedy runs per-query in ONE
+    applyInPandas group — bounded pool² state, queries scale out."""
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("doc_id"), "v",
+        _cosine(F.col("qv"), F.col("v")).alias("s"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    pool_df = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("query_id", "doc_id", "v",
+                F.floor(F.lit(1_000_000.0) * F.col("s")).cast("long")
+                .alias("rel_ppm")))
+    a = pool_df.select("query_id", F.col("doc_id").alias("doc_a"),
+                       F.col("rel_ppm").alias("rel_a"),
+                       F.col("v").alias("va"))
+    b = pool_df.select("query_id", F.col("doc_id").alias("doc_b"),
+                       F.col("v").alias("vb"))
+    grid = (
+        a.join(b, "query_id").filter(F.col("doc_a") != F.col("doc_b"))
+        .select("query_id", "doc_a", "rel_a", "doc_b",
+                F.floor(F.lit(1_000_000.0)
+                        * _cosine(F.col("va"), F.col("vb"))).cast("long")
+                .alias("sim_ppm")))
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel, sim = {}, {}
+        for da, r, db, sp in zip(pdf["doc_a"], pdf["rel_a"],
+                                 pdf["doc_b"], pdf["sim_ppm"]):
+            rel[int(da)] = int(r)
+            sim[(int(da), int(db))] = int(sp)
+        remaining, selected = sorted(rel), []
+        inv = 1_000_000 - lam_ppm
+        for _ in range(min(k, len(remaining))):
+            best = None
+            for d in remaining:
+                if selected:
+                    ms = max(sim[(d, s2)] for s2 in selected)
+                    score = lam_ppm * rel[d] - inv * ms
+                else:
+                    score = lam_ppm * rel[d]  # step 1 ≡ pure rel argmax
+                if (best is None or score > best[0]
+                        or (score == best[0] and d < best[1])):
+                    best = (score, d)
+            selected.append(best[1])
+            remaining.remove(best[1])
+        return pd.DataFrame({
+            "query_id": [qid] * len(selected),
+            "doc_id": selected,
+            "rank": list(range(1, len(selected) + 1))})
+
+    return grid.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, doc_id long, rank int")
+
+
+def _mmr_sql(k: int = TOP_K, pool: int = MMR_POOL,
+             lam: int = MMR_LAMBDA_PPM) -> str:
+    """The MMR greedy unrolled into k chained CTE steps (k is a fixed
+    engine constant, so the oracle is static SQL): sel1 = pure-rel
+    argmax; sel{t} = argmax over the not-yet-selected pool of
+    λ·rel − (1−λ)·max(sim to selected), integer ppm throughout, ties
+    toward the lower doc id — term for term the Spark greedy."""
+    inv = 1_000_000 - lam
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, e.vec_id AS doc_id, e.v,
+         list_cosine_similarity(qv, e.v) AS s,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, e.v) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM q, e WHERE e.vec_id <> q.query_id
+), pool AS (
+  SELECT query_id, doc_id, v,
+         CAST(FLOOR(1000000 * s) AS BIGINT) AS rel
+  FROM scored WHERE rn <= {pool}
+), sims AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         CAST(FLOOR(1000000 * list_cosine_similarity(a.v, b.v)) AS BIGINT)
+           AS sp
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+), sel1 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM pool) WHERE rn = 1
+)"""
+    for t in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, doc_id FROM sel{i}" for i in range(1, t))
+        sql += f""", all{t - 1} AS (
+  {prev_union}
+), sel{t} AS (
+  SELECT query_id, doc_id FROM (
+    SELECT x.query_id, x.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY x.query_id
+                              ORDER BY x.score DESC, x.doc_id ASC) AS rn
+    FROM (
+      SELECT p.query_id, p.doc_id,
+             {lam} * p.rel - {inv} * MAX(s.sp) AS score
+      FROM pool p
+      JOIN sims s ON s.query_id = p.query_id AND s.da = p.doc_id
+      JOIN all{t - 1} sel
+        ON sel.query_id = s.query_id AND sel.doc_id = s.db
+      WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} z
+                        WHERE z.query_id = p.query_id
+                          AND z.doc_id = p.doc_id)
+      GROUP BY p.query_id, p.doc_id, p.rel
+    ) x) WHERE rn = 1
+)"""
+    sql += "\n" + "\nUNION ALL ".join(
+        f"SELECT query_id, doc_id, CAST({t} AS INTEGER) AS rank FROM sel{t}"
+        for t in range(1, k + 1))
+    return sql
+
+
 # -- semantic dedup (SemDeDup-style) -----------------------------------
 
 
@@ -2406,6 +2562,7 @@ QUERIES = {
     "lifecycle_fold_ann": lifecycle_fold_ann,
     "lifecycle_fold_ann_res": lifecycle_fold_ann_res,
     "lifecycle_fold_ann_kmeans": lifecycle_fold_ann_kmeans,
+    "sim_mmr_diversify": sim_mmr_diversify,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -2423,6 +2580,9 @@ ORACLES = {
     # the kmeans lifecycle too: whatever the trained tensor, widened
     # knobs make every vector an exact-re-rank candidate
     "lifecycle_fold_ann_kmeans": SIM_TOPK_SQL,
+    # MMR: integer-ppm greedy, unrolled into k CTE steps — pool ranks
+    # ride the pinned cosine margins, ppm floors are boundary-pinned
+    "sim_mmr_diversify": _mmr_sql(),
     # same SQL is the matmul path's EXACT oracle: float64 ranks are
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output

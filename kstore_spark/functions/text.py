@@ -1588,6 +1588,60 @@ GROUP BY doc_id
 """
 
 
+NEAR_TERMS = ("dup", "join")  # rare anchor + common term — the shape
+                              # where proximity actually prunes
+NEAR_SLOP = 5                 # max token distance (Lucene slop)
+
+
+def text_search_near(spark, sf_dir, terms: tuple[str, str] = NEAR_TERMS,
+                     slop: int = NEAR_SLOP, buckets: int = TOKEN_BUCKETS):
+    """Proximity (slop) search through the positional inverted index —
+    the Lucene `"a b"~slop` operator, the last classic positional
+    query text_search_phrase's machinery didn't yet expose: docs where
+    the two terms occur within ``slop`` tokens of each other IN ANY
+    ORDER, with n_pairs counting every qualifying (pos_a, pos_b) pair.
+    Same access path as the phrase search: two partition-pruned
+    postings reads, one doc_id join (AQE broadcasts the rare term's
+    side), then a row-local pair count over the two per-doc SORTED
+    position arrays — O(|A|·|B|) on posting-list lengths, document
+    text never read. Exact oracle: the scan-path SQL self-joins
+    per-position rows with the same |i−j| ≤ slop bound (0- vs 1-based
+    positions cancel in the difference)."""
+    a, b = terms
+    assert a != b, "proximity terms must differ (use phrase for repeats)"
+    hits = _index_postings(
+        spark, sf_dir, tuple(dict.fromkeys(terms)), buckets
+    ).select("tok", "doc_id", "positions")
+    pa = hits.filter(F.col("tok") == a).select(
+        "doc_id", F.col("positions").alias("pa"))
+    pb = hits.filter(F.col("tok") == b).select(
+        "doc_id", F.col("positions").alias("pb"))
+    n_pairs = F.aggregate(
+        F.col("pa"), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.size(
+            F.filter(F.col("pb"), lambda y: F.abs(x - y) <= F.lit(slop))))
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", n_pairs.alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+TEXT_SEARCH_NEAR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), p AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, tok[i] AS w
+  FROM t, unnest(range(1, len(tok) + 1)) r(i)
+)
+SELECT a.doc_id, COUNT(*) AS n_pairs
+FROM p a JOIN p b ON a.doc_id = b.doc_id
+WHERE a.w = '{NEAR_TERMS[0]}' AND b.w = '{NEAR_TERMS[1]}'
+  AND abs(a.i - b.i) <= {NEAR_SLOP}
+GROUP BY a.doc_id
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_tokens_regex": text_tokens_regex,
@@ -1611,6 +1665,7 @@ QUERIES = {
     "text_search_fuzzy2_multi": text_search_fuzzy2_multi,
     "text_search_fuzzy_ranked": text_search_fuzzy_ranked,
     "text_search_phrase": text_search_phrase,
+    "text_search_near": text_search_near,
     "text_search_incremental": text_search_incremental,
     "lifecycle_fold_search": lifecycle_fold_search,
 }
@@ -1650,6 +1705,9 @@ ORACLES = {
     "text_search_fuzzy2_multi": TEXT_SEARCH_FUZZY2_MULTI_SQL,
     "text_search_fuzzy_ranked": TEXT_SEARCH_FUZZY_RANKED_SQL,
     "text_search_phrase": TEXT_SEARCH_PHRASE_SQL,
+    # positions are 0-based in the index, 1-based in the SQL unnest —
+    # the |i−j| ≤ slop bound only sees the difference
+    "text_search_near": TEXT_SEARCH_NEAR_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim
     "text_search_incremental": TEXT_SEARCH_RANKED_SQL,

@@ -578,6 +578,78 @@ def test_ivf_pq_kmeans_fold_carries_books_and_rows(spark, tmp_path):
             compact_ivf_pq_store_kmeans(spark, SF_DIR, PQ_K - 1, 500)
 
 
+def test_mmr_ppm_boundary_margins(spark):
+    """sim_mmr_diversify's oracle reproduces the greedy over
+    floor(10⁶·cosine) integers; exactness needs every pool cosine to
+    sit AWAY from an integer-ppm boundary (a 1-ulp engine difference
+    must not flip a floor). Pin the minimum distance at both driver
+    SFs over pool relevances AND pairwise sims — the same margin basis
+    as every float-boundary oracle in the repo."""
+    import numpy as np
+
+    from kstore_spark.functions.similarity import (
+        MMR_POOL, N_QUERIES, _emb)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = _emb(spark, sf)
+        X = np.stack([np.asarray(r["v"], dtype="float64")
+                      for r in emb.orderBy("vec_id").collect()])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        vals = []
+        for qid in range(N_QUERIES):
+            s = S[qid].copy()
+            s[qid] = -np.inf
+            top = np.argsort(-s, kind="stable")[:MMR_POOL]
+            vals.append(s[top] * 1e6)          # pool relevances
+            sub = S[np.ix_(top, top)] * 1e6    # pairwise sims
+            vals.append(sub[~np.eye(len(top), dtype=bool)])
+        v = np.concatenate(vals)
+        dist = np.abs(v - np.round(v))
+        assert float(dist.min()) > 1e-6, (sf, float(dist.min()))
+
+
+def test_mmr_demotes_redundant_candidate(spark, tmp_path):
+    """The semantic pin: on a planted corpus where the two most
+    relevant docs are near-copies of each other, plain top-k returns
+    both back-to-back while MMR's rank-2 skips the copy for the
+    diverse runner-up (λ=0.7: the ~0.3·10⁶ redundancy penalty dwarfs
+    the tiny relevance edge). Also pins rank-1 == pure relevance
+    argmax."""
+    import numpy as np
+
+    from kstore_spark.functions.similarity import sim_mmr_diversify
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    q = rng.standard_normal(dim)
+    u = rng.standard_normal(dim)
+    u -= (u @ q) / (q @ q) * q                   # u ⊥ q
+    # Geometry that makes the trade-off real: a duplicate of the
+    # winner keeps ~all its relevance but pays the full (1−λ)
+    # redundancy penalty, while a challenger on the OTHER side of q
+    # (q − 0.9u vs the winner's q + 0.8u) keeps ~equal relevance with
+    # near-zero similarity to the winner. (A duplicate of a doc that
+    # IS ≈ q can never be demoted: relevance to q and similarity to
+    # the winner are then the same number.)
+    a = q + 0.8 * u                              # winner, rel ≈ .78
+    b = a + 0.01 * u                             # near-copy, sim(a,b) ≈ 1
+    c = q - 0.9 * u                              # diverse, rel ≈ .74,
+    others = [rng.standard_normal(dim) for _ in range(12)]  # sim(a,c) ≈ .1
+    # vec_ids 0-9 play the query role (N_QUERIES); plant the corpus at
+    # ids 10+ so query 0 = q and docs a/b/c sit at known ids
+    vecs = [q] + others[:9] + [a, b, c] + others[9:]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .write.mode("overwrite")
+     .parquet(str(tmp_path / "embeddings.parquet")))
+    out = {(r["query_id"], r["rank"]): r["doc_id"]
+           for r in sim_mmr_diversify(spark, str(tmp_path)).collect()}
+    assert out[(0, 1)] == 10          # rank 1 = pure relevance argmax (a)
+    assert out[(0, 2)] == 12          # diverse c beats the near-copy b
+    assert len({d for (qid, _), d in out.items() if qid == 0}) == 5
+
+
 def test_lifecycle_fold_ann_kmeans_equals_bruteforce(spark):
     """The kmeans lifecycle entry (train-on-history → persist → fold
     without retraining → widened-knobs query off the folded store)

@@ -198,6 +198,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # phrase default ('join','key') is two VOCAB tokens →
                # word salad plants real (and back-to-back) occurrences
                "text_search_phrase",
+               # r11 proximity: ('dup','join') both land in the fuzz
+               # vocab; random position scatter exercises the
+               # |i−j| ≤ slop bound from both sides of each anchor
+               "text_search_near",
                # incremental == full-corpus ranked SQL (fuzz corpora sit
                # entirely below INCR_DOC_MIN → all-history degenerate)
                "text_search_incremental")
@@ -313,6 +317,10 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
                # test (same guarantee embedding_neardup rides)
                "decontaminate_semantic",
                "cluster_balanced_sample", "knn_label_vote",
+               # r11 MMR: the greedy is integer-ppm on both sides, so
+               # random corpora only stress the pinned float seams
+               # (pool ranks + ppm floors)
+               "sim_mmr_diversify",
                "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search",
                # RRF fuses this corpus's BM25 list (the 'scan' RANKED
                # term lands in ~half the docs) with the cosine top-k
