@@ -336,6 +336,10 @@ def headline_queries():
         # r11 MMR diversification: top-pool pass + pool^2-per-query
         # grid + one applyInPandas greedy per query
         "sim_mmr_diversify": similarity.sim_mmr_diversify,
+        # r11 takedown lifecycle: first run pays the one-time
+        # retraction rewrite (index bytes only); min-of-3 reports the
+        # pruned probe off the retracted artifacts
+        "text_search_retracted": text.text_search_retracted,
         # r11: the persisted KMEANS-trained inverted list — the
         # production shape sim_ann_pq_kmeans's key lacked: training
         # runs ONCE at ingest (first run pays store build incl. 4

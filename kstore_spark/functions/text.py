@@ -688,6 +688,15 @@ def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
     import os
 
     base = token_index_dir(spark, sf_dir, buckets, max_doc)
+    return _pruned_postings(spark, base, terms, buckets)
+
+
+def _pruned_postings(spark, base, terms, buckets):
+    """The O(|terms|) pruned read of _index_postings against an
+    EXPLICIT index dir — split out (r11) so derived indexes (the
+    retracted takedown artifacts) share the identical probe path."""
+    import os
+
     term_buckets = sorted({
         r["b"] for r in spark.createDataFrame(
             [(t,) for t in terms], "tok string"
@@ -1588,6 +1597,126 @@ GROUP BY doc_id
 """
 
 
+def retract_token_index(spark, sf_dir, deleted_ids,
+                        buckets: int = TOKEN_BUCKETS) -> tuple[str, str]:
+    """Tombstone-style document RETRACTION from the index family — the
+    DELETE leg the lifecycle was missing (build → probe → fold →
+    streaming ADD existed; takedown/right-to-be-forgotten is the
+    production reality this closes, and DELETE is a §2 operator the
+    table layer already carries): drop every posting and norm row of
+    ``deleted_ids`` WITHOUT re-tokenizing anything — one
+    partition-parallel anti-filter pass over ids+counts rows, the
+    Lucene applyDeletes/segment-rewrite shape. At 100 TB a takedown
+    costs an index rewrite (bytes of ids and counts), never a corpus
+    re-ingest; document text is not touched. The norms artifact takes
+    the same pass: dl rows filtered, corpus stats (n_docs /
+    total_tokens → BM25's avgdl) recomputed from the SURVIVORS, so a
+    BM25 off the retracted pair normalizes against the post-takedown
+    corpus, not a ghost of it.
+
+    Registered under retraction-set-keyed params (md5 of the sorted id
+    list) with the standard content-derived source version — the same
+    takedown set on the same corpus reuses the artifact verbatim; the
+    SOURCE index is NOT retired (it stays the canonical artifact — a
+    retraction is a derived view, and other retraction sets derive
+    from the same parent). Construction equality (retracted postings
+    == a fresh build over corpus-minus-deleted) pinned in pytest."""
+    import hashlib
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    ids = sorted({int(i) for i in deleted_ids})
+    assert ids, "empty retraction set — nothing to do"
+    tag = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    base_idx = token_index_dir(spark, sf_dir, buckets)
+    base_norms = token_norms_dir(spark, sf_dir)
+
+    params = f"b{buckets}p2r{tag}"
+    version = ArtifactStore.source_version(src, params)
+
+    def build_idx(out_dir: str) -> None:
+        hist = (spark.read.option("basePath", base_idx).parquet(base_idx)
+                .withColumn("bucket", F.col("bucket").cast("long")))
+        (hist.filter(~F.col("doc_id").isin(ids))
+         .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+
+    idx_dir = store.get_or_build(
+        f"tokidx:{src}:{params}", version, build_idx, src=src)
+
+    nparams = f"norms1r{tag}"
+    nversion = ArtifactStore.source_version(src, nparams)
+
+    def build_norms(out_dir: str) -> None:
+        dl = (spark.read.parquet(os.path.join(base_norms, "dl"))
+              .filter(~F.col("doc_id").isin(ids)))
+        dl.write.mode("overwrite").parquet(os.path.join(out_dir, "dl"))
+        (spark.read.parquet(os.path.join(out_dir, "dl"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("dl").alias("total_tokens"))
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "stats")))
+
+    norms_dir = store.get_or_build(
+        f"toknorms:{src}:{nparams}", nversion, build_norms, src=src)
+    return idx_dir, norms_dir
+
+
+RETRACT_IDS = (8, 45, 77, 200, 323)  # the fixed takedown set — 8/45/323
+                                     # sit in the unretracted top ranks,
+                                     # so the retraction visibly reshapes
+                                     # the result, not just shrinks it
+
+
+def text_search_retracted(spark, sf_dir,
+                          deleted_ids: tuple[int, ...] = RETRACT_IDS,
+                          terms: tuple[str, ...] = RANKED_TERMS,
+                          k: int = RANKED_K, buckets: int = TOKEN_BUCKETS):
+    """Ranked retrieval off the RETRACTED index — the driver-visible
+    DELETE lifecycle: full build → takedown retraction
+    (retract_token_index — index bytes only) → the same pruned-probe
+    ranked search, which must neither resurface a deleted doc NOR
+    score as if it still existed (per-term df is the postings-row
+    count of the retracted partitions, so every idf shifts with the
+    takedown — the subtle half of delete-correctness). Exact oracle:
+    the full ranked SQL with the takedown set excluded BEFORE df is
+    computed, mirroring the engine's survivor-derived scores."""
+    idx_dir, _ = retract_token_index(spark, sf_dir, deleted_ids, buckets)
+    hits = _pruned_postings(spark, idx_dir, terms, buckets)
+    return _ranked_topk(hits.select("tok", "doc_id", "tf"), k)
+
+
+def _ranked_retracted_sql(terms, k, ids) -> str:
+    """_ranked_sql with the takedown set excluded in the tf CTE — df
+    (and every downstream score) derives from survivors only, exactly
+    like the retracted index's postings-row counts."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE doc_id NOT IN ({", ".join(map(str, sorted(ids)))})
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM t
+  WHERE tok IN ({", ".join("'" + t + "'" for t in terms)})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), s AS (
+  SELECT doc_id, CAST(SUM((tf * 1000000) // df) AS BIGINT) AS score_ppm
+  FROM tf JOIN df USING (tok) GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank,
+       doc_id, score_ppm
+FROM s
+ORDER BY score_ppm DESC, doc_id
+LIMIT {k}
+"""
+
+
+TEXT_SEARCH_RETRACTED_SQL = _ranked_retracted_sql(
+    RANKED_TERMS, RANKED_K, RETRACT_IDS)
+
+
 NEAR_TERMS = ("dup", "join")  # rare anchor + common term — the shape
                               # where proximity actually prunes
 NEAR_SLOP = 5                 # max token distance (Lucene slop)
@@ -1666,6 +1795,7 @@ QUERIES = {
     "text_search_fuzzy_ranked": text_search_fuzzy_ranked,
     "text_search_phrase": text_search_phrase,
     "text_search_near": text_search_near,
+    "text_search_retracted": text_search_retracted,
     "text_search_incremental": text_search_incremental,
     "lifecycle_fold_search": lifecycle_fold_search,
 }
@@ -1708,6 +1838,9 @@ ORACLES = {
     # positions are 0-based in the index, 1-based in the SQL unnest —
     # the |i−j| ≤ slop bound only sees the difference
     "text_search_near": TEXT_SEARCH_NEAR_SQL,
+    # the takedown set is excluded BEFORE df in both engines, so the
+    # survivor-derived idf shift is part of the hash comparison
+    "text_search_retracted": TEXT_SEARCH_RETRACTED_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim
     "text_search_incremental": TEXT_SEARCH_RANKED_SQL,

@@ -488,6 +488,54 @@ def test_lifecycle_fold_search_matches_ranked(spark):
     assert got == exp and got
 
 
+def test_retract_token_index_construction_and_no_resurfacing(spark):
+    """The DELETE leg of the index lifecycle (r11): (a) retracted
+    postings == a fresh postings build over corpus-minus-takedown
+    (construction equality — the anti-filter must drop exactly the
+    deleted docs' rows and nothing else, positions and dl included);
+    (b) the retracted norms exclude the ids and the recomputed stats
+    match the survivors (BM25's avgdl reflects the takedown); (c) the
+    retracted ranked search resurfaces no deleted doc AND differs from
+    the unretracted ranking (8/45/323 sit in the unretracted top-k, so
+    a search that merely hid rows post-hoc without re-deriving df
+    would disagree with the oracle — the driver row pins that; here we
+    pin the visible reshape)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.text import (
+        RETRACT_IDS, _postings_frame, retract_token_index,
+        text_search_ranked, text_search_retracted, token_norms_dir)
+
+    sf = "/root/testdata/sf0.001"
+    idx_dir, norms_dir = retract_token_index(spark, sf, RETRACT_IDS)
+    got = sorted(
+        (r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]), r["dl"])
+        for r in spark.read.parquet(idx_dir).collect())
+    exp = sorted(
+        (r["tok"], r["doc_id"], r["tf"], tuple(r["positions"]), r["dl"])
+        for r in _postings_frame(spark, sf, 64)
+        .filter(~F.col("doc_id").isin(list(RETRACT_IDS))).collect())
+    assert got == exp and got
+
+    dl = {r["doc_id"]: r["dl"] for r in spark.read.parquet(
+        os.path.join(norms_dir, "dl")).collect()}
+    assert not set(RETRACT_IDS) & set(dl)
+    full_dl = {r["doc_id"]: r["dl"] for r in spark.read.parquet(
+        os.path.join(token_norms_dir(spark, sf), "dl")).collect()}
+    assert dl == {d: l for d, l in full_dl.items() if d not in RETRACT_IDS}
+    stats = spark.read.parquet(os.path.join(norms_dir, "stats")).collect()[0]
+    assert stats["n_docs"] == len(dl)
+    assert stats["total_tokens"] == sum(dl.values())
+
+    retracted = [r["doc_id"] for r in
+                 text_search_retracted(spark, sf).collect()]
+    assert not set(retracted) & set(RETRACT_IDS)
+    unret = [r["doc_id"] for r in text_search_ranked(spark, sf).collect()]
+    assert retracted != unret and set(unret) & set(RETRACT_IDS)
+
+
 def _mk_embeddings(emb_dir, n=80, dim=8):
     """Deterministic float vectors: v[i][j] = hash-ish derivation."""
     import pyarrow as pa

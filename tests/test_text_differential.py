@@ -202,6 +202,10 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # vocab; random position scatter exercises the
                # |i−j| ≤ slop bound from both sides of each anchor
                "text_search_near",
+               # r11 takedown: the fixed retraction set lands on
+               # different random docs each seed — the survivor-derived
+               # df shift is inside the hash comparison
+               "text_search_retracted",
                # incremental == full-corpus ranked SQL (fuzz corpora sit
                # entirely below INCR_DOC_MIN → all-history degenerate)
                "text_search_incremental")
