@@ -340,6 +340,9 @@ def headline_queries():
         # retraction rewrite (index bytes only); min-of-3 reports the
         # pruned probe off the retracted artifacts
         "text_search_retracted": text.text_search_retracted,
+        # r11 ANN takedown twin: anti-filter rewrite of the inverted
+        # list, widened-knobs exact query over the survivors
+        "sim_ann_retracted": similarity.sim_ann_retracted,
         # r11: the persisted KMEANS-trained inverted list — the
         # production shape sim_ann_pq_kmeans's key lacked: training
         # runs ONCE at ingest (first run pays store build incl. 4

@@ -1752,6 +1752,108 @@ def lifecycle_fold_ann_res(spark, sf_dir, k: int = TOP_K):
             max_vec=n_total)
 
 
+RETRACT_VEC_IDS = (107, 209, 343)  # the fixed takedown set — all three
+                                   # sit in the UNRETRACTED top-k at
+                                   # both driver SFs, so the takedown
+                                   # visibly reshapes the ranking (ids
+                                   # that never rank would make the
+                                   # exclusion vacuous); kept clear of
+                                   # the quantizer ids (< N_CELLS +
+                                   # PQ_K) — retracting LIST rows is a
+                                   # takedown, re-shaping the quantizer
+                                   # is retraining (a different op)
+
+
+def retract_ivf_pq_store(spark, sf_dir, deleted_ids,
+                         n_cells: int = N_CELLS, kind: str = "raw") -> str:
+    """Tombstone-style vector RETRACTION from the IVF+PQ inverted list
+    — the ANN twin of text.retract_token_index (r11: with it, BOTH
+    index families carry the DELETE leg): drop every (vec_id, code,
+    cell) row of ``deleted_ids`` in one partition-parallel anti-filter
+    rewrite — m-byte codes only, vectors never re-read, assignments
+    never recomputed. The quantizer geometry (centroids, codebooks =
+    ingest-time artifacts) deliberately survives the takedown — the
+    Lucene posture: deletes drop rows, merges/retrains reshape
+    structure — so the floor assert refuses a set that touches
+    quantizer ids. Registered under retraction-set-keyed params; the
+    parent store stays canonical (a retraction is a derived view)."""
+    import hashlib
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    assert kind == "raw", "retraction of res/kmeans stores: same pass + "\
+        "their sidecar/bias plumbing — add when a consumer needs it"
+    ids = sorted({int(i) for i in deleted_ids})
+    assert ids, "empty retraction set — nothing to do"
+    floor = max(n_cells, PQ_K)
+    assert min(ids) >= floor, (
+        f"retraction set touches quantizer ids (< {floor}) — that is "
+        "retraining, not takedown")
+    tag = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    store = ArtifactStore()
+    parent = ivf_pq_store_dir(spark, sf_dir, n_cells)
+    params = f"c{n_cells}m{PQ_M}k{PQ_K}:r{tag}"
+    version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        data = (spark.read.option("basePath", parent).parquet(parent)
+                .withColumn("cell", F.col("cell").cast("long")))
+        (data.filter(~F.col("vec_id").isin(ids))
+         .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+
+    return store.get_or_build(f"ivfpq:{src}:{params}", version, build,
+                              src=src)
+
+
+def sim_ann_retracted(spark, sf_dir, k: int = TOP_K,
+                      deleted_ids: tuple[int, ...] = RETRACT_VEC_IDS,
+                      n_cells: int = N_CELLS):
+    """Top-k off the RETRACTED inverted list — the driver-visible ANN
+    DELETE lifecycle: full store build → takedown retraction
+    (retract_ivf_pq_store — code bytes only) → query. Runs with both
+    approximation knobs WIDENED, so the answer is EXACT brute-force
+    top-k over the survivors and the entry carries a plain
+    SIM_TOPK-minus-takedown SQL oracle (a retracted store that
+    resurfaces a deleted vector, drops a survivor, or corrupts a code
+    cannot hash-match). The re-rank still fetches raw vectors from the
+    full embeddings table BY ID — candidates come from the retracted
+    store, so deleted ids never enter the pool; quantizer artifacts
+    are shared with the parent (takedown ≠ retrain)."""
+    emb = _emb(spark, sf_dir)
+    store = retract_ivf_pq_store(spark, sf_dir, deleted_ids, n_cells)
+    data = spark.read.parquet(store)
+    cents = _centroids(emb, n_cells)
+    books = _pq_codebooks(emb)
+    return _ivf_pq_query(spark, emb, data, cents, books, k,
+                         n_cells, 10**9)
+
+
+def _sim_topk_retracted_sql(ids) -> str:
+    """SIM_TOPK_SQL with the takedown set excluded from the CANDIDATE
+    side only (queries keep their role — a deleted doc can still be
+    someone's query upstream; it just can't be returned)."""
+    not_in = ", ".join(map(str, sorted(ids)))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, v) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM q, e
+  WHERE e.vec_id <> q.query_id AND e.vec_id NOT IN ({not_in})
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= {TOP_K}
+"""
+
+
 def lifecycle_fold_ann_kmeans(spark, sf_dir, k: int = TOP_K):
     """The KMEANS store LIFECYCLE as one driver-visible, ORACLED op
     (r11 — completes the raw/res/kmeans lifecycle matrix): build the
@@ -2563,6 +2665,7 @@ QUERIES = {
     "lifecycle_fold_ann_res": lifecycle_fold_ann_res,
     "lifecycle_fold_ann_kmeans": lifecycle_fold_ann_kmeans,
     "sim_mmr_diversify": sim_mmr_diversify,
+    "sim_ann_retracted": sim_ann_retracted,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -2583,6 +2686,8 @@ ORACLES = {
     # MMR: integer-ppm greedy, unrolled into k CTE steps — pool ranks
     # ride the pinned cosine margins, ppm floors are boundary-pinned
     "sim_mmr_diversify": _mmr_sql(),
+    # ANN takedown: widened knobs ⇒ exact brute force over survivors
+    "sim_ann_retracted": _sim_topk_retracted_sql(RETRACT_VEC_IDS),
     # same SQL is the matmul path's EXACT oracle: float64 ranks are
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output

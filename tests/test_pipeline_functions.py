@@ -650,6 +650,42 @@ def test_mmr_demotes_redundant_candidate(spark, tmp_path):
     assert len({d for (qid, _), d in out.items() if qid == 0}) == 5
 
 
+def test_ann_retraction_construction_and_no_resurfacing(spark):
+    """The ANN DELETE leg (r11, the vector twin of the text takedown):
+    (a) the retracted store == parent store minus exactly the takedown
+    rows (codes and cells untouched for survivors); (b) the
+    widened-knobs query resurfaces no deleted id AND differs from the
+    unretracted brute force (the fixed set sits in the unretracted
+    top-k at both SFs by construction — vacuous exclusion would pin
+    nothing); (c) the floor assert refuses a set that touches
+    quantizer ids (takedown ≠ retrain)."""
+    import pytest as _pytest
+
+    from kstore_spark.functions.similarity import (
+        RETRACT_VEC_IDS, ivf_pq_store_dir, retract_ivf_pq_store,
+        sim_ann_retracted, sim_topk_bruteforce)
+
+    store = retract_ivf_pq_store(spark, SF_DIR, RETRACT_VEC_IDS)
+    got = {(r["vec_id"], tuple(r["code"]), int(r["cell"]))
+           for r in spark.read.parquet(store).collect()}
+    parent = {(r["vec_id"], tuple(r["code"]), int(r["cell"]))
+              for r in spark.read.parquet(
+                  ivf_pq_store_dir(spark, SF_DIR)).collect()}
+    assert got == {t for t in parent if t[0] not in RETRACT_VEC_IDS}
+    assert len(parent) - len(got) == len(RETRACT_VEC_IDS)
+
+    res = [(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in sim_ann_retracted(spark, SF_DIR).collect()]
+    assert not {n for _, n, _ in res} & set(RETRACT_VEC_IDS)
+    brute = [(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in sim_topk_bruteforce(spark, SF_DIR).collect()]
+    assert sorted(res) != sorted(brute)
+    assert {n for _, n, _ in brute} & set(RETRACT_VEC_IDS)
+
+    with _pytest.raises(AssertionError):
+        retract_ivf_pq_store(spark, SF_DIR, (3, 107))
+
+
 def test_lifecycle_fold_ann_kmeans_equals_bruteforce(spark):
     """The kmeans lifecycle entry (train-on-history → persist → fold
     without retraining → widened-knobs query off the folded store)

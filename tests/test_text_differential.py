@@ -325,6 +325,9 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
                # random corpora only stress the pinned float seams
                # (pool ranks + ppm floors)
                "sim_mmr_diversify",
+               # r11 ANN takedown: widened knobs ⇒ exact over the
+               # survivors of the fixed retraction set on every draw
+               "sim_ann_retracted",
                "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search",
                # RRF fuses this corpus's BM25 list (the 'scan' RANKED
                # term lands in ~half the docs) with the cosine top-k
