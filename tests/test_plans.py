@@ -412,6 +412,41 @@ def test_text_search_phrase_prunes_per_term(spark):
     assert read_lines and all("text" not in ln for ln in read_lines)
 
 
+def test_text_search_near_prunes_and_stays_row_local(spark):
+    """Proximity search (r11) must keep the phrase family's plan
+    contract: both terms' branches reach the index scan with literal
+    bucket PartitionFilters, the |i−j| ≤ slop pair count is row-local
+    over the positions arrays (no positional explode — no Generate
+    node), and document text is never read."""
+    from kstore_spark.functions.text import text_search_near
+
+    df = text_search_near(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert len(part_lines) >= 2 and all(
+        "bucket" in ln and "dynamic" not in ln for ln in part_lines
+    ), txt
+    assert "Generate" not in txt, txt
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines)
+
+
+def test_text_search_retracted_prunes_retracted_partitions(spark):
+    """The takedown search (r11) probes the RETRACTED artifacts with
+    the same O(|terms|) literal bucket pruning as every index search —
+    retraction rewrites the artifact, never the access path — and
+    document text stays unread."""
+    from kstore_spark.functions.text import text_search_retracted
+
+    df = text_search_retracted(spark, SF_DIR)
+    txt = _formatted(spark, df)
+    part_lines = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any(
+        "bucket" in ln and "dynamic" not in ln for ln in part_lines), txt
+    read_lines = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines)
+
+
 def test_hybrid_search_indexed_never_reads_text(spark):
     """hybrid_search_indexed's keyword stage is the pruned postings
     partition: NO scan in the whole plan reads document text (the
