@@ -33,8 +33,16 @@ production retrieval service runs:
                             compact_token_index folds the increment
                             into the boundary artifacts — query cost
                             returns to the indexed floor
+      8. takedown (DELETE)  retract_token_index rewrites postings +
+                            norms minus the takedown set (index bytes
+                            only); the ranked search off the retracted
+                            artifacts re-derives df from survivors —
+                            and the vector store takes the same
+                            tombstone pass (sim_ann_retracted)
 
-Every stage is either index/artifact-resident or k-bounded — document
+Stage 3 also runs the proximity (slop) query and stage 4 the MMR
+de-redundancy pass over the cosine pool. Every stage is either
+index/artifact-resident or k-bounded — document
 text is read only by the point-gathers in stages 5-6. Run:
 
     python examples/search_corpus.py [sf_dir]   # default sf0.001
@@ -52,14 +60,16 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
     from kstore_spark.functions.similarity import (
-        hybrid_search_rrf, rerank_cross_encoder)
+        RETRACT_VEC_IDS, hybrid_search_rrf, rerank_cross_encoder,
+        sim_ann_retracted, sim_mmr_diversify)
     from kstore_spark.functions.text import (
-        INCR_DOC_MIN, compact_token_index, text_search_bm25,
+        INCR_DOC_MIN, RETRACT_IDS, compact_token_index, text_search_bm25,
         text_search_bm25_incremental, text_search_fuzzy,
         text_search_fuzzy_multi, text_search_fuzzy2,
         text_search_fuzzy2_multi, text_search_fuzzy_ranked,
-        text_search_indexed, text_search_min_should_match,
-        text_search_phrase, text_search_ranked, text_search_snippets)
+        text_search_indexed, text_search_min_should_match, text_search_near,
+        text_search_phrase, text_search_ranked, text_search_retracted,
+        text_search_snippets)
     from kstore_spark.session import get_spark
 
     spark = get_spark("search-example")
@@ -95,8 +105,14 @@ def main() -> None:
     print("== 3e. exact phrase")
     text_search_phrase(spark, sf_dir).orderBy("doc_id").show(5)
 
+    print("== 3f. proximity: 'dup' within 5 tokens of 'join'")
+    text_search_near(spark, sf_dir).orderBy("doc_id").show(5)
+
     print("== 4. hybrid fusion (BM25 ⊕ cosine, RRF)")
     hybrid_search_rrf(spark, sf_dir).orderBy("query_id", "rank").show(10)
+
+    print("== 4b. MMR de-redundancy over the cosine pool (λ=0.7)")
+    sim_mmr_diversify(spark, sf_dir).orderBy("query_id", "rank").show(10)
 
     print("== 5. cross-encoder rerank of the BM25 top-k")
     rerank_cross_encoder(spark, sf_dir).show(5)
@@ -115,6 +131,13 @@ def main() -> None:
     compact_token_index(spark, sf_dir, INCR_DOC_MIN, n_docs)
     print("   7c. same query served entirely from the folded index:")
     text_search_bm25_incremental(spark, sf_dir, new_min=n_docs).show(5)
+
+    print("== 8. takedown: retract docs/vectors, search the survivors")
+    print(f"   8a. ranked search minus the takedown set {RETRACT_IDS}:")
+    text_search_retracted(spark, sf_dir).show(5)
+    print("   8b. ANN top-k off the retracted inverted list "
+          f"(minus {RETRACT_VEC_IDS}):")
+    sim_ann_retracted(spark, sf_dir).orderBy("query_id", "rank").show(10)
 
 
 if __name__ == "__main__":
