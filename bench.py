@@ -343,6 +343,8 @@ def headline_queries():
         # r11 ANN takedown twin: anti-filter rewrite of the inverted
         # list, widened-knobs exact query over the survivors
         "sim_ann_retracted": similarity.sim_ann_retracted,
+        # r11 BM25 off the retracted artifacts (survivor avgdl/stats)
+        "text_search_bm25_retracted": text.text_search_bm25_retracted,
         # r11: the persisted KMEANS-trained inverted list — the
         # production shape sim_ann_pq_kmeans's key lacked: training
         # runs ONCE at ingest (first run pays store build incl. 4

@@ -1111,9 +1111,16 @@ def text_search_bm25_incremental(spark, sf_dir,
     return _bm25_topk(hist.unionByName(inc), stats, k)
 
 
-TEXT_SEARCH_BM25_SQL = f"""
+def _bm25_sql(terms, k, not_in=()) -> str:
+    """The float-free BM25 scan oracle, optionally minus a takedown
+    set: the exclusion lands in the t CTE, so dl, stats (N,
+    total_tokens → avgdl), tf AND df all derive from survivors —
+    mirroring what the retracted artifacts carry."""
+    excl = (f"\n  WHERE doc_id NOT IN ({', '.join(map(str, sorted(not_in)))})"
+            if not_in else "")
+    return f"""
 WITH t AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents{excl}
 ), dl AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
 ), stats AS (
@@ -1121,7 +1128,7 @@ WITH t AS (
          CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl
 ), tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM t
-  WHERE tok IN ({", ".join("'" + t + "'" for t in RANKED_TERMS)})
+  WHERE tok IN ({", ".join("'" + t + "'" for t in terms)})
   GROUP BY doc_id, tok
 ), df AS (
   SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
@@ -1143,8 +1150,11 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank,
        doc_id, score_ppm
 FROM s
 ORDER BY score_ppm DESC, doc_id
-LIMIT {RANKED_K}
+LIMIT {k}
 """
+
+
+TEXT_SEARCH_BM25_SQL = _bm25_sql(RANKED_TERMS, RANKED_K)
 
 
 FUZZY_TERM = "joib"   # a 1-substitution typo of the common term 'join'
@@ -1717,6 +1727,37 @@ TEXT_SEARCH_RETRACTED_SQL = _ranked_retracted_sql(
     RANKED_TERMS, RANKED_K, RETRACT_IDS)
 
 
+def text_search_bm25_retracted(spark, sf_dir,
+                               deleted_ids: tuple[int, ...] = RETRACT_IDS,
+                               terms: tuple[str, ...] = RANKED_TERMS,
+                               k: int = RANKED_K,
+                               buckets: int = TOKEN_BUCKETS):
+    """BM25 off the RETRACTED artifacts — the piece that makes
+    delete-correctness TOTAL for the search family: the TF-IDF twin
+    (text_search_retracted) already re-derives df from survivors; BM25
+    additionally needs the corpus CONSTANTS (N, total_tokens → avgdl)
+    to reflect the takedown, and they come from the retracted norms'
+    recomputed 1-row stats table — which is the entire reason
+    retract_token_index rewrites norms at all (a stale avgdl would
+    misnormalize every surviving doc's length). Same pruned-probe +
+    posting-resident-dl plan as text_search_bm25; exact oracle: the
+    float-free BM25 scan SQL with the takedown excluded at the token
+    level, so dl/stats/tf/df all derive from survivors in both
+    engines."""
+    import os
+
+    idx_dir, norms_dir = retract_token_index(spark, sf_dir, deleted_ids,
+                                             buckets)
+    hits = _pruned_postings(spark, idx_dir, terms, buckets).select(
+        "tok", "doc_id", "tf", "dl")
+    stats = spark.read.parquet(os.path.join(norms_dir, "stats"))
+    return _bm25_topk(hits, stats, k)
+
+
+TEXT_SEARCH_BM25_RETRACTED_SQL = _bm25_sql(
+    RANKED_TERMS, RANKED_K, not_in=RETRACT_IDS)
+
+
 NEAR_TERMS = ("dup", "join")  # rare anchor + common term — the shape
                               # where proximity actually prunes
 NEAR_SLOP = 5                 # max token distance (Lucene slop)
@@ -1796,6 +1837,7 @@ QUERIES = {
     "text_search_phrase": text_search_phrase,
     "text_search_near": text_search_near,
     "text_search_retracted": text_search_retracted,
+    "text_search_bm25_retracted": text_search_bm25_retracted,
     "text_search_incremental": text_search_incremental,
     "lifecycle_fold_search": lifecycle_fold_search,
 }
@@ -1841,6 +1883,9 @@ ORACLES = {
     # the takedown set is excluded BEFORE df in both engines, so the
     # survivor-derived idf shift is part of the hash comparison
     "text_search_retracted": TEXT_SEARCH_RETRACTED_SQL,
+    # ...and BM25's avgdl shift too: dl/stats/tf/df all derive from
+    # survivors on both sides (the retracted norms' recomputed stats)
+    "text_search_bm25_retracted": TEXT_SEARCH_BM25_RETRACTED_SQL,
     # history-index ∪ increment == full-corpus postings for the query
     # terms, so the full-corpus ranked SQL is the oracle verbatim
     "text_search_incremental": TEXT_SEARCH_RANKED_SQL,

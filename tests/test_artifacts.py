@@ -535,6 +535,21 @@ def test_retract_token_index_construction_and_no_resurfacing(spark):
     unret = [r["doc_id"] for r in text_search_ranked(spark, sf).collect()]
     assert retracted != unret and set(unret) & set(RETRACT_IDS)
 
+    # BM25 leg: no resurfacing, and the SCORES shift too (survivor
+    # avgdl + df — not just rows hidden from an unretracted ranking)
+    from kstore_spark.functions.text import (
+        text_search_bm25, text_search_bm25_retracted)
+
+    bm = {r["doc_id"]: r["score_ppm"]
+          for r in text_search_bm25(spark, sf).collect()}
+    bmr = {r["doc_id"]: r["score_ppm"]
+           for r in text_search_bm25_retracted(spark, sf).collect()}
+    assert not set(bmr) & set(RETRACT_IDS)
+    common = set(bm) & set(bmr)
+    assert common and any(bm[d] != bmr[d] for d in common), (
+        "retraction must shift surviving docs' BM25 scores "
+        "(df/avgdl re-derived), not merely hide rows")
+
 
 def _mk_embeddings(emb_dir, n=80, dim=8):
     """Deterministic float vectors: v[i][j] = hash-ish derivation."""

@@ -206,6 +206,8 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # different random docs each seed — the survivor-derived
                # df shift is inside the hash comparison
                "text_search_retracted",
+               # ...and the BM25 leg: survivor avgdl/stats too
+               "text_search_bm25_retracted",
                # incremental == full-corpus ranked SQL (fuzz corpora sit
                # entirely below INCR_DOC_MIN → all-history degenerate)
                "text_search_incremental")
