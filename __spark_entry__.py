@@ -52,12 +52,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # than r9.
 #
 # r12 queue (the land-late/lead-next pattern, third round running):
-# first rows for the five r11 ops that landed after this window filled
+# first rows for the six r11 ops that landed after this window filled
 # — lifecycle_fold_ann_kmeans, text_search_near, sim_mmr_diversify,
-# text_search_retracted, sim_ann_retracted (each oracle-green at both
-# SFs locally, tested, fuzzed, benched) — then the r9-green cohort
-# (the oldest evidence after this window lands), re-rows for whatever
-# r12 code touches, and the 3 standing suites.
+# text_search_retracted, sim_ann_retracted, text_search_bm25_retracted
+# (each oracle-green at both SFs locally — including in the round's
+# closing all-189 sweeps — tested, fuzzed, benched) — then the
+# r9-green cohort (the oldest evidence after this window lands),
+# re-rows for whatever r12 code touches, and the 3 standing suites.
 #
 # The r8 cohort below is ordered family-wise for readability; the
 # driver compares each windowed entry independently, so order within
