@@ -336,6 +336,9 @@ def headline_queries():
         # r11 MMR diversification: top-pool pass + pool^2-per-query
         # grid + one applyInPandas greedy per query
         "sim_mmr_diversify": similarity.sim_mmr_diversify,
+        # r12 index-served MMR: pool candidates from the persisted
+        # store's pruned probe instead of the corpus cross-product
+        "sim_mmr_diversify_indexed": similarity.sim_mmr_diversify_indexed,
         # r11 takedown lifecycle: first run pays the one-time
         # retraction rewrite (index bytes only); min-of-3 reports the
         # pruned probe off the retracted artifacts
@@ -345,6 +348,10 @@ def headline_queries():
         "sim_ann_retracted": similarity.sim_ann_retracted,
         # r11 BM25 off the retracted artifacts (survivor avgdl/stats)
         "text_search_bm25_retracted": text.text_search_bm25_retracted,
+        # r12 takedown against the production kmeans store: sidecar
+        # carried verbatim, serving loads the tensor from the
+        # RETRACTED artifact (VERDICT r11 item 3)
+        "sim_ann_retracted_kmeans": similarity.sim_ann_retracted_kmeans,
         # r11: the persisted KMEANS-trained inverted list — the
         # production shape sim_ann_pq_kmeans's key lacked: training
         # runs ONCE at ingest (first run pays store build incl. 4

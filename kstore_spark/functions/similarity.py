@@ -1399,6 +1399,20 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
             books = _pq_res_codebooks(emb, cents)
             frame = pq_encode_res(emb, books, cents)
         else:
+            # ADVICE r11: kind="kmeans" inherited the unguarded
+            # unbounded-tiny-corpus path the res kind was fixed for in
+            # r10 — _pq_codebooks' first-K init reshape dies opaquely
+            # (or under-fills) below PQ_K vectors, and kmeans refines
+            # FROM that init. Same explicit refusal, same posture:
+            # a persisted store must never degrade silently. Applies
+            # to kind="raw" too (its sample is the same first-K).
+            n = emb.count()
+            if n < floor:
+                raise ValueError(
+                    f"corpus has {n} vectors; a kind='{kind}' store "
+                    f"needs >= {floor} (full centroid set + the "
+                    "first-K codebook init sample) — refusing to "
+                    "persist a degraded-recall index")
             # kind="kmeans" (r11, VERDICT r10 item 4): TRAIN the
             # codebooks here — training is an ingest-time cost, like
             # centroid choice — and PERSIST the trained tensor as a
@@ -1776,32 +1790,51 @@ def retract_ivf_pq_store(spark, sf_dir, deleted_ids,
     Lucene posture: deletes drop rows, merges/retrains reshape
     structure — so the floor assert refuses a set that touches
     quantizer ids. Registered under retraction-set-keyed params; the
-    parent store stays canonical (a retraction is a derived view)."""
+    parent store stays canonical (a retraction is a derived view).
+
+    ALL THREE store kinds take the same pass (r12 — VERDICT r11 item
+    3 lifted the kind="raw" assert): residual codes are still just
+    m-byte rows (the residual geometry lives in the codebooks + the
+    query-time q·c_cell bias, both untouched by a row drop), and the
+    kmeans store's persisted ``_books`` sidecar is carried VERBATIM
+    into the retracted artifact — serving loads the tensor from the
+    store dir, so a takedown that dropped the sidecar would silently
+    retrain at query time, the exact failure the sidecar exists to
+    prevent. The anti-filter itself is text.anti_filter_ids: an isin
+    literal for bounded sets, a broadcast anti-join past
+    RETRACT_ISIN_MAX (GDPR-batch scale; both paths construction-equal,
+    pinned in pytest)."""
     import hashlib
     import os
 
     from kstore_spark.catalog import ArtifactStore
+    from kstore_spark.functions.text import anti_filter_ids
 
-    assert kind == "raw", "retraction of res/kmeans stores: same pass + "\
-        "their sidecar/bias plumbing — add when a consumer needs it"
+    assert kind in ("raw", "res", "kmeans"), kind
     ids = sorted({int(i) for i in deleted_ids})
     assert ids, "empty retraction set — nothing to do"
-    floor = max(n_cells, PQ_K)
+    # the res sample is vec_id ∈ [n_cells, n_cells+PQ_K) — same floor
+    # logic as ivf_pq_store_dir's build guard (retracting a row that
+    # DEFINES the persisted quantizer is retraining, not takedown)
+    floor = (n_cells + PQ_K) if kind == "res" else max(n_cells, PQ_K)
     assert min(ids) >= floor, (
         f"retraction set touches quantizer ids (< {floor}) — that is "
         "retraining, not takedown")
     tag = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
     src = os.path.join(sf_dir, "embeddings.parquet")
     store = ArtifactStore()
-    parent = ivf_pq_store_dir(spark, sf_dir, n_cells)
-    params = f"c{n_cells}m{PQ_M}k{PQ_K}:r{tag}"
+    parent = ivf_pq_store_dir(spark, sf_dir, n_cells, kind=kind)
+    suffix = {"raw": "", "res": ":res", "kmeans": ":km"}[kind]
+    params = f"c{n_cells}m{PQ_M}k{PQ_K}{suffix}:r{tag}"
     version = ArtifactStore.source_version(src, params)
 
     def build(out_dir: str) -> None:
         data = (spark.read.option("basePath", parent).parquet(parent)
                 .withColumn("cell", F.col("cell").cast("long")))
-        (data.filter(~F.col("vec_id").isin(ids))
+        (anti_filter_ids(data, "vec_id", ids)
          .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+        if kind == "kmeans":
+            _write_pq_books(spark, out_dir, load_pq_books(spark, parent))
 
     return store.get_or_build(f"ivfpq:{src}:{params}", version, build,
                               src=src)
@@ -1826,6 +1859,35 @@ def sim_ann_retracted(spark, sf_dir, k: int = TOP_K,
     data = spark.read.parquet(store)
     cents = _centroids(emb, n_cells)
     books = _pq_codebooks(emb)
+    return _ivf_pq_query(spark, emb, data, cents, books, k,
+                         n_cells, 10**9)
+
+
+def sim_ann_retracted_kmeans(spark, sf_dir, k: int = TOP_K,
+                             deleted_ids: tuple[int, ...] = RETRACT_VEC_IDS,
+                             n_cells: int = N_CELLS):
+    """Top-k off the retracted KMEANS-trained inverted list (r12 —
+    VERDICT r11 item 3): the takedown lifecycle against the store
+    you'd actually serve from in production — kind="kmeans" build
+    (tensor trained at ingest, persisted as the ``_books`` sidecar) →
+    retraction (retract_ivf_pq_store, code rows anti-filtered, sidecar
+    carried verbatim) → serve by LOADING the tensor from the RETRACTED
+    artifact. Knobs widened ⇒ exact brute-force top-k over survivors,
+    so the entry carries the same SIM_TOPK-minus-takedown SQL oracle
+    as the raw twin — true regardless of codebook values, which is
+    what makes a kmeans-kind entry oracle-able at all (the trained
+    floats are not bit-reproducible; the EXACT answer is). A carried
+    sidecar that was dropped, re-derived, or row-corrupted cannot
+    hash-match: the codes in the store and the query LUT would
+    disagree and the widened rerank would still save it — so the
+    construction-equality pin (sidecar bytes == parent's) lives in
+    pytest alongside this entry's oracle."""
+    emb = _emb(spark, sf_dir)
+    store = retract_ivf_pq_store(spark, sf_dir, deleted_ids, n_cells,
+                                 kind="kmeans")
+    data = spark.read.parquet(store)
+    cents = _centroids(emb, n_cells)
+    books = load_pq_books(spark, store)
     return _ivf_pq_query(spark, emb, data, cents, books, k,
                          n_cells, 10**9)
 
@@ -1993,8 +2055,6 @@ def sim_mmr_diversify(spark, sf_dir, k: int = TOP_K, pool: int = MMR_POOL,
     built by one query_id-keyed self-join of the pool (vectors ride
     pool rows, never the corpus), and the greedy runs per-query in ONE
     applyInPandas group — bounded pool² state, queries scale out."""
-    import pandas as pd
-
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
@@ -2009,14 +2069,36 @@ def sim_mmr_diversify(spark, sf_dir, k: int = TOP_K, pool: int = MMR_POOL,
         .select("query_id", "doc_id", "v",
                 F.floor(F.lit(1_000_000.0) * F.col("s")).cast("long")
                 .alias("rel_ppm")))
+    return _mmr_over_pool(pool_df, k, lam_ppm)
+
+
+def _mmr_over_pool(pool_df, k: int, lam_ppm: int):
+    """The MMR pairwise grid + per-query greedy over an arbitrary
+    (query_id, doc_id, v, rel_ppm) pool frame — shared by the
+    brute-force-pool oracle twin and the index-served composition so
+    a tie-break or ppm fix in one cannot silently diverge the other
+    (the _ivf_pq_query single-kernel discipline)."""
+    import pandas as pd
+
     a = pool_df.select("query_id", F.col("doc_id").alias("doc_a"),
                        F.col("rel_ppm").alias("rel_a"),
                        F.col("v").alias("va"))
     b = pool_df.select("query_id", F.col("doc_id").alias("doc_b"),
                        F.col("v").alias("vb"))
+    # LEFT join so a degenerate pool of exactly one doc still yields a
+    # (doc_a, rel_a, doc_b=null) row — an inner join's empty pair group
+    # would make applyInPandas emit NOTHING for that query while the
+    # SQL oracle's sel1 still returns the lone doc (ADVICE r11). Pools
+    # of ≥2 docs get the identical rows as the inner join (every doc_a
+    # has at least one partner, so no null rows are added).
     grid = (
-        a.join(b, "query_id").filter(F.col("doc_a") != F.col("doc_b"))
-        .select("query_id", "doc_a", "rel_a", "doc_b",
+        a.alias("ga").join(
+            b.alias("gb"),
+            [F.col("ga.query_id") == F.col("gb.query_id"),
+             F.col("ga.doc_a") != F.col("gb.doc_b")],
+            "left")
+        .select(F.col("ga.query_id").alias("query_id"), "doc_a", "rel_a",
+                "doc_b",
                 F.floor(F.lit(1_000_000.0)
                         * _cosine(F.col("va"), F.col("vb"))).cast("long")
                 .alias("sim_ppm")))
@@ -2027,7 +2109,8 @@ def sim_mmr_diversify(spark, sf_dir, k: int = TOP_K, pool: int = MMR_POOL,
         for da, r, db, sp in zip(pdf["doc_a"], pdf["rel_a"],
                                  pdf["doc_b"], pdf["sim_ppm"]):
             rel[int(da)] = int(r)
-            sim[(int(da), int(db))] = int(sp)
+            if not pd.isna(db):  # single-doc pools carry a null partner
+                sim[(int(da), int(db))] = int(sp)
         remaining, selected = sorted(rel), []
         inv = 1_000_000 - lam_ppm
         for _ in range(min(k, len(remaining))):
@@ -2050,6 +2133,46 @@ def sim_mmr_diversify(spark, sf_dir, k: int = TOP_K, pool: int = MMR_POOL,
 
     return grid.groupBy("query_id").applyInPandas(
         greedy, "query_id long, doc_id long, rank int")
+
+
+def sim_mmr_diversify_indexed(spark, sf_dir, k: int = TOP_K,
+                              pool: int = MMR_POOL,
+                              lam_ppm: int = MMR_LAMBDA_PPM,
+                              n_cells: int = N_CELLS,
+                              n_probe: int | None = None,
+                              rerank: int | None = None):
+    """MMR served off the PERSISTED inverted list (r12 — VERDICT r11
+    item 4: the docstring's own scale path, now an exercised, oracled
+    composition): the candidate pool comes from
+    sim_ann_ivf_pq_stored's partition-pruned probe of the ingest-time
+    store — candidate GENERATION reads m-byte codes from the probed
+    cell partitions, never a corpus×queries vector cross-product (the
+    brute twin's BroadcastNestedLoopJoin; plan-pinned absent here) —
+    then pool relevances are re-derived as exact ppm cosines on the
+    pool·|queries| gathered rows and the SAME _mmr_over_pool grid +
+    greedy runs. Default knobs are WIDENED (all cells probed,
+    corpus-wide re-rank) so the pool is EXACTLY the brute twin's
+    top-pool set and the entry inherits the unrolled-greedy _mmr_sql
+    oracle verbatim; production knobs (n_probe, rerank) trade pool
+    recall for probe cost exactly like every ANN serving path —
+    indexed == brute at widened knobs is also pinned in pytest."""
+    ranked = sim_ann_ivf_pq_stored(
+        spark, sf_dir, k=pool,
+        n_probe=n_cells if n_probe is None else n_probe,
+        n_cells=n_cells,
+        rerank=10**9 if rerank is None else rerank)
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    pool_df = (
+        ranked.select("query_id", F.col("neighbor_id").alias("doc_id"))
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "v"), "doc_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "doc_id", "v",
+                F.floor(F.lit(1_000_000.0)
+                        * _cosine(F.col("qv"), F.col("v"))).cast("long")
+                .alias("rel_ppm")))
+    return _mmr_over_pool(pool_df, k, lam_ppm)
 
 
 def _mmr_sql(k: int = TOP_K, pool: int = MMR_POOL,
@@ -2665,7 +2788,9 @@ QUERIES = {
     "lifecycle_fold_ann_res": lifecycle_fold_ann_res,
     "lifecycle_fold_ann_kmeans": lifecycle_fold_ann_kmeans,
     "sim_mmr_diversify": sim_mmr_diversify,
+    "sim_mmr_diversify_indexed": sim_mmr_diversify_indexed,
     "sim_ann_retracted": sim_ann_retracted,
+    "sim_ann_retracted_kmeans": sim_ann_retracted_kmeans,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -2686,8 +2811,16 @@ ORACLES = {
     # MMR: integer-ppm greedy, unrolled into k CTE steps — pool ranks
     # ride the pinned cosine margins, ppm floors are boundary-pinned
     "sim_mmr_diversify": _mmr_sql(),
+    # the index-served composition's widened-knobs pool == the brute
+    # twin's top-pool set (degeneration theorem), so the SAME unrolled
+    # greedy is its exact oracle (r12, VERDICT r11 item 4)
+    "sim_mmr_diversify_indexed": _mmr_sql(),
     # ANN takedown: widened knobs ⇒ exact brute force over survivors
     "sim_ann_retracted": _sim_topk_retracted_sql(RETRACT_VEC_IDS),
+    # the kmeans-store takedown degenerates to the SAME exact answer —
+    # whatever the trained tensor, widened knobs re-rank every
+    # surviving candidate exactly (r12, VERDICT r11 item 3)
+    "sim_ann_retracted_kmeans": _sim_topk_retracted_sql(RETRACT_VEC_IDS),
     # same SQL is the matmul path's EXACT oracle: float64 ranks are
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output

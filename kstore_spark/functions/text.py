@@ -1607,6 +1607,34 @@ GROUP BY doc_id
 """
 
 
+RETRACT_ISIN_MAX = 64  # above this, the takedown anti-filter switches
+                       # from an In(...) literal predicate to a
+                       # broadcast anti-join (VERDICT r11 item 5): isin
+                       # plan-pins best and is ideal for bounded sets,
+                       # but a GDPR-scale batch (10⁶ ids) would compile
+                       # a megaliteral predicate into the plan tree
+
+
+def anti_filter_ids(df, col: str, ids):
+    """The takedown anti-filter, scale-safe: drop every row whose
+    ``col`` is in ``ids``. Small sets (≤ RETRACT_ISIN_MAX) stay the
+    literal ``~isin`` predicate — it pushes to the scan and reads as a
+    plain Filter in plan snapshots; larger sets become a broadcast
+    LEFT ANTI join against a takedown-set DataFrame, so the predicate
+    size is O(1) in the plan and the id set ships once per executor as
+    a broadcast hash relation (the corpus side never shuffles on
+    either path). The two paths are construction-equal by definition
+    (same survivor set); pinned in pytest on the retraction builds. At
+    true takedown-service scale the kill set would arrive as a TABLE —
+    pass it straight to the anti-join seam instead of a Python list."""
+    ids = sorted({int(i) for i in ids})
+    if len(ids) <= RETRACT_ISIN_MAX:
+        return df.filter(~F.col(col).isin(ids))
+    kill = df.sparkSession.createDataFrame(
+        [(i,) for i in ids], f"{col} long")
+    return df.join(F.broadcast(kill), col, "left_anti")
+
+
 def retract_token_index(spark, sf_dir, deleted_ids,
                         buckets: int = TOKEN_BUCKETS) -> tuple[str, str]:
     """Tombstone-style document RETRACTION from the index family — the
@@ -1650,7 +1678,7 @@ def retract_token_index(spark, sf_dir, deleted_ids,
     def build_idx(out_dir: str) -> None:
         hist = (spark.read.option("basePath", base_idx).parquet(base_idx)
                 .withColumn("bucket", F.col("bucket").cast("long")))
-        (hist.filter(~F.col("doc_id").isin(ids))
+        (anti_filter_ids(hist, "doc_id", ids)
          .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
 
     idx_dir = store.get_or_build(
@@ -1660,8 +1688,9 @@ def retract_token_index(spark, sf_dir, deleted_ids,
     nversion = ArtifactStore.source_version(src, nparams)
 
     def build_norms(out_dir: str) -> None:
-        dl = (spark.read.parquet(os.path.join(base_norms, "dl"))
-              .filter(~F.col("doc_id").isin(ids)))
+        dl = anti_filter_ids(
+            spark.read.parquet(os.path.join(base_norms, "dl")),
+            "doc_id", ids)
         dl.write.mode("overwrite").parquet(os.path.join(out_dir, "dl"))
         (spark.read.parquet(os.path.join(out_dir, "dl"))
          .agg(F.count(F.lit(1)).alias("n_docs"),

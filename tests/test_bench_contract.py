@@ -86,3 +86,21 @@ def test_every_bench_key_has_standing_evidence():
                  | set(checks.GATES))
     unknown = set(bench.headline_queries()) - evidenced
     assert not unknown, f"bench keys with no evidence trail: {sorted(unknown)}"
+
+
+def test_every_bench_key_has_plan_baseline():
+    """Drift-adjudication hygiene (r12, VERDICT r11 item 7): every
+    bench key — headline AND the four kstore_perftest_* reference
+    keys — must have a committed plan snapshot under tools/plans/
+    NAMED EXACTLY LIKE the key, so `tools/adjudicate_drift.py <key>`
+    diffs against a baseline instead of silently writing a fresh one
+    (the r11 gap: perftest tree/loop had none and hash/sort hid under
+    a different prefix)."""
+    import os
+
+    plans = os.path.join(os.path.dirname(__file__), "..", "tools", "plans")
+    keys = set(bench.headline_queries()) | {
+        f"kstore_perftest_{a}" for a in ("hash", "sort", "tree", "loop")}
+    missing = sorted(k for k in keys
+                     if not os.path.exists(os.path.join(plans, f"{k}.txt")))
+    assert not missing, f"bench keys with no plan baseline: {missing}"

@@ -596,17 +596,28 @@ def test_mmr_ppm_boundary_margins(spark):
                       for r in emb.orderBy("vec_id").collect()])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         S = Xn @ Xn.T
-        vals = []
+        vals, cut_gaps = [], []
         for qid in range(N_QUERIES):
             s = S[qid].copy()
             s[qid] = -np.inf
-            top = np.argsort(-s, kind="stable")[:MMR_POOL]
+            order = np.argsort(-s, kind="stable")
+            top = order[:MMR_POOL]
             vals.append(s[top] * 1e6)          # pool relevances
             sub = S[np.ix_(top, top)] * 1e6    # pairwise sims
             vals.append(sub[~np.eye(len(top), dtype=bool)])
+            # the pool CUT itself is a float comparison too (ADVICE
+            # r11): a near-tie between rank MMR_POOL and MMR_POOL+1
+            # could give the engines different pool MEMBERSHIP — which
+            # flips the whole greedy and the ppm pin can't see it.
+            # Pin the adjacent-rank cosine gap at the boundary, same
+            # basis as the repo's other rank-margin pins.
+            if len(order) > MMR_POOL:
+                cut_gaps.append(s[order[MMR_POOL - 1]]
+                                - s[order[MMR_POOL]])
         v = np.concatenate(vals)
         dist = np.abs(v - np.round(v))
         assert float(dist.min()) > 1e-6, (sf, float(dist.min()))
+        assert min(cut_gaps) > 1e-9, (sf, float(min(cut_gaps)))
 
 
 def test_mmr_demotes_redundant_candidate(spark, tmp_path):
@@ -650,6 +661,80 @@ def test_mmr_demotes_redundant_candidate(spark, tmp_path):
     assert len({d for (qid, _), d in out.items() if qid == 0}) == 5
 
 
+def test_mmr_indexed_equals_brute_and_scans_store(spark):
+    """sim_mmr_diversify_indexed (r12, VERDICT r11 item 4): (a) at the
+    widened default knobs the index-served composition's output ==
+    the brute-force twin's, row for row (the pool sets coincide by the
+    degeneration theorem, and _mmr_over_pool is the literal same
+    kernel); (b) the plan pin the verdict asked for — candidate
+    generation reads the persisted inverted list (the 'ivfpq' artifact
+    path appears in the scan) and NO BroadcastNestedLoopJoin remains
+    (that's the brute twin's corpus×queries cross-product join)."""
+    from kstore_spark.functions.similarity import (
+        sim_mmr_diversify, sim_mmr_diversify_indexed)
+
+    idx = sim_mmr_diversify_indexed(spark, SF_DIR)
+    brute = sim_mmr_diversify(spark, SF_DIR)
+    rows_idx = sorted((r["query_id"], r["doc_id"], r["rank"])
+                      for r in idx.collect())
+    rows_brute = sorted((r["query_id"], r["doc_id"], r["rank"])
+                        for r in brute.collect())
+    assert rows_idx == rows_brute
+
+    import re
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # the persisted inverted list's scan: m-byte codes + cell, never
+    # the corpus embedding column, feeds candidate generation
+    assert re.search(r"FileScan parquet \[vec_id#\d+L,code#\d+,cell#\d+\]",
+                     plan), plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    brute_plan = brute._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in brute_plan  # the pin is meaningful
+
+
+def test_mmr_single_doc_pool_emits_rank_one(spark, tmp_path):
+    """Degenerate-pool regression (ADVICE r11): with a 2-vector corpus
+    every query's candidate pool is exactly ONE doc, so the pairwise
+    grid (doc_a != doc_b) is empty for the group — the old inner join
+    made applyInPandas emit NOTHING while the SQL oracle's sel1 still
+    returned the lone doc. The left-joined grid keeps the (doc_a,
+    null-partner) row, so rank 1 is always emitted."""
+    rows = [(0, [1.0, 0.0, 0.5]), (1, [0.9, 0.1, 0.4])]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .write.mode("overwrite")
+     .parquet(str(tmp_path / "embeddings.parquet")))
+
+    from kstore_spark.functions.similarity import sim_mmr_diversify
+
+    out = sorted((r["query_id"], r["doc_id"], r["rank"])
+                 for r in sim_mmr_diversify(spark, str(tmp_path)).collect())
+    assert out == [(0, 1, 1), (1, 0, 1)]
+
+
+def test_ivf_pq_store_refuses_degenerate_corpus(spark, tmp_path):
+    """ADVICE r11: kind="kmeans" (and raw) persisted stores refuse an
+    unbounded corpus smaller than the centroid/codebook floor with an
+    explicit ValueError instead of dying deep in _pq_codebooks'
+    reshape — the same guard the res kind got in r10."""
+    import pytest as _pytest
+
+    from kstore_spark.catalog import artifact_base
+    from kstore_spark.functions.similarity import (
+        N_CELLS, PQ_K, ivf_pq_store_dir)
+
+    n = max(N_CELLS, PQ_K) - 2
+    rows = [(i, [float((i * 31 + 7 * d) % 13) - 6.0 for d in range(64)])
+            for i in range(n)]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .write.mode("overwrite")
+     .parquet(str(tmp_path / "embeddings.parquet")))
+    with artifact_base(str(tmp_path / "arts")):
+        for kind in ("kmeans", "raw"):
+            with _pytest.raises(ValueError, match="refusing to persist"):
+                ivf_pq_store_dir(spark, str(tmp_path), kind=kind)
+
+
 def test_ann_retraction_construction_and_no_resurfacing(spark):
     """The ANN DELETE leg (r11, the vector twin of the text takedown):
     (a) the retracted store == parent store minus exactly the takedown
@@ -684,6 +769,81 @@ def test_ann_retraction_construction_and_no_resurfacing(spark):
 
     with _pytest.raises(AssertionError):
         retract_ivf_pq_store(spark, SF_DIR, (3, 107))
+
+
+def test_ann_retraction_res_and_kmeans_kinds(spark):
+    """r12 (VERDICT r11 item 3): the takedown pass extends to the
+    res/kmeans stores. Pins per kind: (a) construction equality —
+    retracted rows == parent rows minus exactly the takedown set;
+    (b) kmeans only: the ``_books`` sidecar is carried VERBATIM
+    (byte-equal tensor — a dropped or re-derived sidecar would make
+    serving silently retrain); (c) the widened-knobs kmeans query
+    resurfaces no deleted id and == brute force minus the takedown;
+    (d) the res floor refuses ids inside the residual training sample
+    (quantizer ids ∈ [n_cells, n_cells+PQ_K) for kind="res")."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kstore_spark.functions.similarity import (
+        N_CELLS, PQ_K, RETRACT_VEC_IDS, ivf_pq_store_dir, load_pq_books,
+        retract_ivf_pq_store, sim_ann_retracted_kmeans,
+        sim_topk_bruteforce)
+
+    for kind in ("res", "kmeans"):
+        store = retract_ivf_pq_store(spark, SF_DIR, RETRACT_VEC_IDS,
+                                     kind=kind)
+        got = {(r["vec_id"], tuple(r["code"]), int(r["cell"]))
+               for r in spark.read.parquet(store).collect()}
+        parent_dir = ivf_pq_store_dir(spark, SF_DIR, kind=kind)
+        parent = {(r["vec_id"], tuple(r["code"]), int(r["cell"]))
+                  for r in spark.read.parquet(parent_dir).collect()}
+        assert got == {t for t in parent if t[0] not in RETRACT_VEC_IDS}
+        assert len(parent) - len(got) == len(RETRACT_VEC_IDS)
+        if kind == "kmeans":
+            np.testing.assert_array_equal(
+                load_pq_books(spark, store),
+                load_pq_books(spark, parent_dir))
+
+    res = [(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in sim_ann_retracted_kmeans(spark, SF_DIR).collect()]
+    assert not {n for _, n, _ in res} & set(RETRACT_VEC_IDS)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    surviving_top = {(q, n) for q, n in brute
+                     if n not in RETRACT_VEC_IDS}
+    # removing rows only promotes survivors: every surviving
+    # brute-force top-k hit must still rank in the retracted top-k
+    assert surviving_top <= {(q, n) for q, n, _ in res}
+    assert len(brute - surviving_top) > 0  # the takedown actually bit
+
+    with _pytest.raises(AssertionError, match="retraining"):
+        retract_ivf_pq_store(spark, SF_DIR, (N_CELLS + PQ_K - 1,),
+                             kind="res")
+
+
+def test_anti_filter_ids_paths_equal(spark):
+    """text.anti_filter_ids (r12, VERDICT r11 item 5): the isin
+    literal path (≤ RETRACT_ISIN_MAX ids) and the broadcast anti-join
+    path (above it) produce the same survivor set, and the broadcast
+    path plans as BroadcastHashJoin LeftAnti — never a corpus
+    shuffle."""
+    from kstore_spark.functions.text import (
+        RETRACT_ISIN_MAX, anti_filter_ids)
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    big = list(range(100, 100 + RETRACT_ISIN_MAX + 40))
+    small = big[:10]
+    for ids in (small, big):
+        survivors = anti_filter_ids(df, "doc_id", ids)
+        got = {r["doc_id"] for r in survivors.collect()}
+        assert got == set(range(5000)) - set(ids)
+    plan = anti_filter_ids(df, "doc_id", big)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    small_plan = anti_filter_ids(df, "doc_id", small)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in small_plan  # literal predicate, no join at all
 
 
 def test_lifecycle_fold_ann_kmeans_equals_bruteforce(spark):

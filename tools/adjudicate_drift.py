@@ -39,7 +39,13 @@ def normalize(plan: str) -> str:
     # adjudication flapped IDENTICAL↔CHANGED on two consecutive runs of
     # the SAME code with only these lines swapped (VERDICT r10 wrong #2).
     plan = re.sub(r"WholeStageCodegen \(\d+\)", "WholeStageCodegen (N)", plan)
-    plan = re.sub(r"^(\s*Arguments: )\d+\s*$", r"\1N", plan, flags=re.M)
+    # horizontal whitespace ONLY at the tail (ADVICE r11): a greedy
+    # \s*$ under re.M also consumed the trailing newline, silently
+    # deleting the blank separator line after "Arguments: N" in every
+    # recorded snapshot — harmless while both sides normalize alike,
+    # but it coupled committed digests to the quirk. Baselines that
+    # contained the bare-int form were regenerated with this fix.
+    plan = re.sub(r"^(\s*Arguments: )\d+[ \t]*$", r"\1N", plan, flags=re.M)
     # ...and the per-node "[codegen id : 3]" marker: under AQE the ids
     # are assigned as query stages materialize, so two runs of the SAME
     # code can number the same spans differently (observed on
@@ -47,6 +53,19 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"codegen id : \d+", "codegen id : N", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
     plan = re.sub(r"\[id=#?\d+\]", "[id=N]", plan)
+    # r12 counter sweep (observed in the r12 re-adjudication of the 12
+    # drifted keys — every one a session-global counter, none a plan):
+    # (a) localCheckpoint scans render the backing RDD's session-wide
+    #     id (MapPartitionsRDD[1199] vs [294] for the SAME plan);
+    plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", plan)
+    # (b) formatted-explain OPERATOR ids — "(161) HashAggregate" detail
+    #     headers and "+- * Project (160)" tree refs — are sequential
+    #     over the whole rendered tree, so ONE extra AQE cache-stage
+    #     rendering shifts every id after it (dedup_ngram_prefix's
+    #     only head diff was a uniform +2). Ids carry no structure;
+    #     the node names and tree shape do.
+    plan = re.sub(r"^(\s*)\((\d+)\) ", r"\1(N) ", plan, flags=re.M)
+    plan = re.sub(r" \(\d+\)(?=$|,)", " (N)", plan, flags=re.M)
     plan = re.sub(r"[0-9a-f]{16,}", "HASH", plan)        # artifact versions
     plan = re.sub(r"/tmp/[^\s,\]）)]*", "/tmp/X", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(X)", plan)
@@ -54,10 +73,16 @@ def normalize(plan: str) -> str:
     # giant literal blobs (e.g. minhash permutation tables) blow the
     # snapshot to MBs; collapse any very long line to its md5 — a
     # byte-diff still detects any change, the file stays reviewable
+    # md5 markers are truncated to 12 hex chars so they survive the
+    # [0-9a-f]{16,} artifact-hash rule above if a snapshot is ever
+    # re-normalized (r12: perftest baselines recorded via a double
+    # normalize had md5=HASH while fresh ones kept the hex — the same
+    # bytes, two renderings)
     import hashlib
     plan = "\n".join(
         ln if len(ln) <= 2000 else
-        f"<long-line md5={hashlib.md5(ln.encode()).hexdigest()} len={len(ln)}>"
+        f"<long-line md5={hashlib.md5(ln.encode()).hexdigest()[:12]}"
+        f" len={len(ln)}>"
         for ln in plan.splitlines())
     # some plans (cached-subtree expansion at every InMemoryRelation
     # reference) are tens of MB of SHORT lines; past 250 KB store the
@@ -65,7 +90,7 @@ def normalize(plan: str) -> str:
     # byte-diff, and the head shows where a change begins
     if len(plan) > 250_000:
         lines = plan.splitlines()
-        plan = (f"<plan md5={hashlib.md5(plan.encode()).hexdigest()}"
+        plan = (f"<plan md5={hashlib.md5(plan.encode()).hexdigest()[:12]}"
                 f" lines={len(lines)} (digest snapshot; head below)>\n"
                 + "\n".join(lines[:300]))
     return plan
@@ -78,6 +103,13 @@ def main() -> int:
         i = args.index("--sf")
         sf = args[i + 1]
         args = args[:i] + args[i + 2:]
+    # --regen: overwrite each key's baseline with a fresh cold
+    # snapshot and skip the min-of-3 timings (used after a normalize
+    # change — every baseline must be re-recorded under the new rules,
+    # and timing 90 keys would duplicate bench.py's job)
+    regen = "--regen" in args
+    if regen:
+        args.remove("--regen")
 
     import __spark_entry__ as entry
     from kstore_spark.session import get_spark
@@ -90,6 +122,18 @@ def main() -> int:
     import bench
     for k, fn in bench.headline_queries().items():
         qs.setdefault(k, fn)
+    # the four reference perftest keys are bench keys too (VERDICT r11
+    # item 7: they lacked snapshots under their bench-key names) —
+    # their plan builder lives in perftest_plan_dump
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import perftest_plan_dump
+    for algo in ("hash", "sort", "tree", "loop"):
+        qs.setdefault(f"kstore_perftest_{algo}",
+                      lambda s, _sf, a=algo: perftest_plan_dump.build(s, a))
+    if args == ["--all"]:
+        args = sorted(set(bench.headline_queries())
+                      | {f"kstore_perftest_{a}"
+                         for a in ("hash", "sort", "tree", "loop")})
 
     for name in args:
         fn = qs[name]
@@ -107,6 +151,11 @@ def main() -> int:
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode
                 .fromString("formatted")))
         snap = os.path.join(PLANS, f"{name}.txt")
+        if regen:
+            with open(snap, "w") as f:
+                f.write(plan)
+            print(f"{name}: snapshot regenerated", flush=True)
+            continue
         if os.path.exists(snap):
             old = open(snap).read()
             if old == plan:
