@@ -23,79 +23,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies the FIRST 50 queries() entries against the DuckDB
 # oracle (observed in round 1: entries 51+ got no CORRECTNESS row).
-# Round-11 rotation (VERDICT r10 item 1 endorsed the plan written at
-# r10; adjusted for the two r11-new ops):
-#   (a) first rows: lifecycle_fold_ann_res (landed post-window in r10 —
-#       residual store lifecycle, oracle-green at both SFs locally
-#       since r10, judge-swept ok) and the two r11-new entries'
-#       evidence: stream_vector_assignments (streaming ANN store
-#       maintenance — exact SQL twin, VERDICT r10 item 5);
-#   (b) code-changed re-row: approx_equivalence_checks (r11 adds the
-#       19th gate — the persisted kmeans-codebook inverted list,
-#       VERDICT r10 item 4 — so the VALUES oracle changed);
+# Round-12 rotation (VERDICT r11 item 1 / wrong #1: the actual stalest
+# cohort is the 28-entry r7-green set, skipped for four windows by
+# "r8/r9 is oldest" arithmetic that the committed CORRECTNESS files
+# disprove; this window is computed FROM those files — see
+# _WINDOW_BASIS_ROUND and tests/test_driver_surface.py::
+# test_priority_window_staleness, which now re-derives newest-green
+# per entry and would have caught the r10/r11 mistake):
+#   (a) first rows for the six r11 ops that landed after the r11
+#       window filled: lifecycle_fold_ann_kmeans, text_search_near,
+#       sim_mmr_diversify, text_search_retracted, sim_ann_retracted,
+#       text_search_bm25_retracted (each oracle-green at both SFs
+#       locally incl. the r11 closing all-189 sweeps; the judge's own
+#       r11 sweep hit all six: ok);
+#   (b) first rows for the two r12-opening ops (VERDICT r11 items
+#       3-4, landed before this window was finalized):
+#       sim_ann_retracted_kmeans (takedown against the production
+#       kmeans store, sidecar carried) and sim_mmr_diversify_indexed
+#       (MMR pool served from the persisted inverted list's pruned
+#       probe — the docstring's own scale path);
 #   (c) the 3 parity suites (standing per-round §2 evidence: all 21
 #       §2 parity operators, checksum-folded — kparity._SUITES);
-#   (d) the full 38-entry r8-green cohort — the oldest evidence in the
-#       repo after r10's rotation (VERDICT r10 said "39"; the set
-#       difference CORRECTNESS_r08 − r09 − r10 is 38 names, listed
-#       below — nothing else's newest green row is r8);
-#   (e) second rows for the five single-green-row ops the r10 plan
-#       queued: rag_context_fuzzy, events_attribution_linear /
-#       _first / _position, lifecycle_fold_ann;
-#   (f) the one remaining slot: lifecycle_fold_search — the text twin
-#       of the ANN lifecycles, re-rowed in the round that touches the
-#       store-artifact layout (the _books sidecar), so all four
-#       lifecycle entries are green on the same code state.
-# That sums to exactly 50 (2+1+3+38+5+1), guarded by
-# tests/test_driver_surface.py::test_priority_window_invariants.
-# After this window no oracled entry's newest green row is older
-# than r9.
+#   (d) the FULL 28-entry r7-green cohort — the stalest driver
+#       evidence in the repo (newest-green histogram from
+#       CORRECTNESS_r01..r11: r5:14 + r6:7 suite-covered, then
+#       r7:28, r9:40, r10:44, r11:50);
+#   (e) the 11 alphabetically-first entries of the 40-entry r9-green
+#       cohort (next-stalest after r7; deterministic rule so the r13
+#       window picks up exactly the remaining 29).
+# That sums to exactly 50 (6+2+3+28+11), guarded by
+# tests/test_driver_surface.py::test_priority_window_invariants and
+# the newest-green staleness test. After this window the oracled
+# staleness floor moves from r7 to r9 (29 r9 entries remain).
 #
-# r12 queue (the land-late/lead-next pattern, third round running):
-# first rows for the six r11 ops that landed after this window filled
-# — lifecycle_fold_ann_kmeans, text_search_near, sim_mmr_diversify,
-# text_search_retracted, sim_ann_retracted, text_search_bm25_retracted
-# (each oracle-green at both SFs locally — including in the round's
-# closing all-189 sweeps — tested, fuzzed, benched) — then the
-# r9-green cohort (the oldest evidence after this window lands),
-# re-rows for whatever r12 code touches, and the 3 standing suites.
+# r13 queue (the land-late/lead-next pattern, fourth round running):
+# first rows for whatever r12 lands after this window filled, then
+# the REMAINING 29 r9-green entries (anti_join_customers..chunk_
+# documents cohort minus the 11 below — compute it from the committed
+# CORRECTNESS files, not from memory), re-rows for r13-touched code,
+# and the 3 standing suites.
 #
-# The r8 cohort below is ordered family-wise for readability; the
-# driver compares each windowed entry independently, so order within
-# the window carries no meaning beyond the first-50 cut.
+# Cohorts below are ordered family-wise for readability; the driver
+# compares each windowed entry independently, so order within the
+# window carries no meaning beyond the first-50 cut.
 _PRIORITY = [
-    # (a) first rows
-    "lifecycle_fold_ann_res", "stream_vector_assignments",
-    # (b) code-changed re-row (19th gate joins the VALUES table)
-    "approx_equivalence_checks",
+    # (a) first rows: the six r11 post-window ops
+    "lifecycle_fold_ann_kmeans", "text_search_near",
+    "sim_mmr_diversify", "text_search_retracted",
+    "sim_ann_retracted", "text_search_bm25_retracted",
+    # (b) first rows: the two r12-opening ops (VERDICT r11 items 3-4)
+    "sim_ann_retracted_kmeans", "sim_mmr_diversify_indexed",
     # (c) §2 parity suites — all 21 §2 operators, every round
     "parity_suite_scan_agg", "parity_suite_math_mutation",
     "parity_suite_join",
-    # (d) the 38 r8-green entries — oldest evidence in the repo
-    "q2_min_cost_supplier", "q5_local_supplier", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_parts", "q12_shipmode_priority", "q14_promo_revenue",
-    "q17_small_quantity", "q18_large_volume",
-    "rollup_orders", "pivot_event_types", "semi_join_customers",
-    "events_attribution", "events_cumulative_users",
-    "events_gapfill_locf", "events_retention", "events_user_overlap",
-    "dedup_keep_best", "dedup_soft_weights", "dedup_substring_spans",
-    "dedup_substring_strip", "multimodal_dedup_exact",
-    "text_heavy_hitters", "text_lm_buckets", "text_lm_score",
-    "text_rarity", "text_search_bm25_incremental", "text_search_fuzzy2",
-    "text_search_fuzzy_multi",
-    "corpus_temperature_sample", "corpus_temperature_weights",
-    "sample_weighted", "source_quota_cap", "split_train_holdout",
-    "sim_ann_ivf", "stream_token_postings",
-    # (e) second rows for the five single-green-row ops
-    "rag_context_fuzzy", "events_attribution_linear",
-    "events_attribution_first", "events_attribution_position",
-    "lifecycle_fold_ann",
-    # (f) the text-lifecycle twin, green on the same code state as the
-    # three ANN lifecycles above
-    "lifecycle_fold_search",
+    # (d) the 28 r7-green entries — stalest driver evidence in the
+    # repo (VERDICT r11 wrong #1 lists exactly these)
+    "text_search_bm25", "text_search_indexed", "text_search_ranked",
+    "text_search_phrase", "text_search_snippets", "text_search_fuzzy",
+    "text_search_min_should_match", "text_search_incremental",
+    "hybrid_search", "hybrid_search_indexed", "hybrid_search_rrf",
+    "rerank_cross_encoder", "knn_graph_ivf", "sim_ann_ivf_incremental",
+    "curate_survivors", "decontaminate_bloom",
+    "importance_weights_hashed", "text_gopher_quality",
+    "text_ngram_novelty", "bpe_pair_counts",
+    "corpus_collocations", "corpus_trigrams",
+    "events_ab_conversion", "events_anomaly_hours", "events_top_paths",
+    "events_funnel_windowed",
+    "stream_topk_trending", "stream_anomaly_hours",
+    # (e) the 11 alphabetically-first r9-green entries (of 40)
+    "anti_join_customers", "chunk_documents", "corpus_mixture",
+    "decontaminate_ngram", "decontaminate_semantic", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_passages", "embedding_neardup",
+    "embedding_neardup_lsh", "events_distinct_users",
     # -- 50-entry window ends here --
 ]
+
+# The newest committed CORRECTNESS_r*.json round this window's
+# staleness ordering was computed from. tests/test_driver_surface.py::
+# test_priority_window_staleness recomputes newest-green per entry
+# over files <= this basis and asserts the window really contains the
+# stalest cohort; it also asserts the basis lags the newest file on
+# disk by at most one round (the driver writes r{N} AFTER the r{N}
+# window is finalized), so a window that stops rotating fails the
+# suite one round later.
+_WINDOW_BASIS_ROUND = 11
 
 # Rows-only approximate entries folded into their check_* twins (the
 # twin runs the SAME operator inside an exact-twin equivalence gate and
