@@ -366,6 +366,23 @@ def headline_queries():
             stream_indexing.stream_vector_assignments(s, sf).agg(
                 F.sum("code_j").alias("code_sum"),
                 F.count(F.lit(1)).alias("n"))),
+        # r12 range search: brute twin = one broadcast-query corpus
+        # scan (no shuffle, no window); pruned twin adds the exact
+        # spherical-triangle cell bound off the IVF-Flat store (first
+        # run pays store+sidecar build; min-of-3 reports the
+        # partition-pruned steady state)
+        "sim_range_search": similarity.sim_range_search,
+        "sim_range_search_pruned": similarity.sim_range_search_pruned,
+        # r12 streaming DELETE: tombstone-log maintenance (per-id
+        # dedup state bounded by the takedown set) + broadcast
+        # anti-join serve off the ingest-time store/index
+        "stream_store_retractions":
+            stream_indexing.stream_store_retractions,
+        "stream_index_retractions":
+            stream_indexing.stream_index_retractions,
+        # r12 diversified RAG: one scoring scan + pool²-bounded
+        # token-Jaccard grid + single-group greedy + O(k) stitch
+        "rag_context_diverse": corpus.rag_context_diverse,
     }
 
 

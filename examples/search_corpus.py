@@ -59,9 +59,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
+    from kstore_spark.functions.corpus import rag_context_diverse
     from kstore_spark.functions.similarity import (
-        RETRACT_VEC_IDS, hybrid_search_rrf, rerank_cross_encoder,
-        sim_ann_retracted, sim_mmr_diversify)
+        RANGE_COS, RETRACT_VEC_IDS, hybrid_search_rrf,
+        rerank_cross_encoder, sim_ann_retracted, sim_mmr_diversify,
+        sim_range_search_pruned)
+    from kstore_spark.streaming.indexing import stream_store_retractions
     from kstore_spark.functions.text import (
         INCR_DOC_MIN, RETRACT_IDS, compact_token_index, text_search_bm25,
         text_search_bm25_incremental, text_search_fuzzy,
@@ -138,6 +141,20 @@ def main() -> None:
     print("   8b. ANN top-k off the retracted inverted list "
           f"(minus {RETRACT_VEC_IDS}):")
     sim_ann_retracted(spark, sf_dir).orderBy("query_id", "rank").show(10)
+    print("   8c. STREAMING takedown: tombstone log + anti-join serve "
+          "(== the batch rewrite):")
+    stream_store_retractions(spark, sf_dir).orderBy(
+        "query_id", "rank").show(10)
+
+    print(f"== 9. range search: all neighbors with cos >= {RANGE_COS} "
+          "(exact cell-bound pruning off the IVF-Flat store)")
+    sim_range_search_pruned(spark, sf_dir).orderBy(
+        "query_id", "neighbor_id").show(10)
+
+    print("== 10. MMR-diversified RAG contexts (token-Jaccard "
+          "redundancy, λ=0.7)")
+    rag_context_diverse(spark, sf_dir).orderBy("rank").show(
+        5, truncate=60)
 
 
 if __name__ == "__main__":

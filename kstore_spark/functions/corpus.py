@@ -695,6 +695,182 @@ GROUP BY t.rank, t.doc_id, t.chunk_idx, t.n_hits
 """
 
 
+RAG_MMR_POOL = 20  # diversification pool: top-n_hits chunks fed to MMR
+
+
+def rag_context_diverse(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
+                        k: int = RAG_K, pool: int = RAG_MMR_POOL,
+                        lam_ppm: int | None = None,
+                        width: int = CHUNK_WIDTH,
+                        stride: int = CHUNK_STRIDE):
+    """MMR-DIVERSIFIED RAG context assembly (r12) — the fourth member
+    of the rag_context family (scan / indexed / fuzzy / diverse): a
+    relevance-only top-k hands the generator k near-copies whenever
+    one boilerplate pattern dominates the hit list; this entry takes
+    the top-``pool`` chunks by query-term occurrences, then selects k
+    by Carbonell–Goldstein MMR where REDUNDANCY is the token-set
+    Jaccard between chunks — integer ppm on BOTH axes (rel_ppm =
+    n_hits·10⁶ DIV max-pool-hits, sim_ppm = |A∩B|·10⁶ DIV |A∪B|), so
+    the greedy is float-free and exact on any data, unlike the
+    embedding MMR whose floats need margin pins. The selection loop IS
+    similarity._mmr_greedy_from_grid — the same kernel the embedding
+    entries run (single-kernel discipline: a tie-break fix there fixes
+    this entry too); the winner stitch is rag_context's ±1-neighbor
+    assembly verbatim. Exact oracle: the greedy unrolled into k
+    chained CTEs over the same integer quantities, then the assembly
+    join. Scale shape: one corpus-scan scoring pass (the indexed probe
+    composes exactly as in rag_context_indexed), a pool²-bounded grid,
+    one single-group greedy, O(k) assembly — diversification adds
+    nothing corpus-sized."""
+    from pyspark.sql import Window
+
+    from kstore_spark.functions.similarity import (
+        MMR_LAMBDA_PPM, _mmr_greedy_from_grid)
+
+    if lam_ppm is None:
+        lam_ppm = MMR_LAMBDA_PPM
+    chunks = chunk_documents(spark, sf_dir, width, stride)
+    tok = F.split("chunk_text", " ")
+    n_hits = None
+    for t in terms:
+        h = F.size(F.filter(tok, lambda x: x == F.lit(t)))
+        n_hits = h if n_hits is None else n_hits + h
+    scored = (
+        chunks.select("doc_id", "chunk_idx",
+                      n_hits.cast("long").alias("n_hits"),
+                      F.array_distinct(tok).alias("toks"))
+        .filter(F.col("n_hits") > 0)
+    )
+    top = scored.orderBy(F.col("n_hits").desc(), "doc_id",
+                         "chunk_idx").limit(pool)
+    # composite chunk key for the shared greedy kernel (decoded by the
+    # winner join below; chunk_idx < 10⁶ by the chunk-id contract)
+    pool_df = (
+        top.withColumn("key", F.col("doc_id") * F.lit(1_000_000)
+                       + F.col("chunk_idx"))
+        .withColumn("max_hits",
+                    F.max("n_hits").over(Window.partitionBy(F.lit(0))))
+        .withColumn("rel", F.expr(
+            "CAST((n_hits * 1000000) DIV max_hits AS BIGINT)"))
+    )
+    a = pool_df.select(F.lit(0).alias("query_id"),
+                       F.col("key").alias("doc_a"),
+                       F.col("rel").alias("rel_a"),
+                       F.col("toks").alias("ta"))
+    b = pool_df.select(F.col("key").alias("doc_b"),
+                       F.col("toks").alias("tb"))
+    # LEFT join: a single-chunk pool still emits its rank-1 row via
+    # the null-partner path (same shape as _mmr_over_pool's grid)
+    grid = a.join(b, F.col("doc_a") != F.col("doc_b"), "left").select(
+        "query_id", "doc_a", "rel_a", "doc_b",
+        F.expr("CAST((size(array_intersect(ta, tb)) * 1000000) "
+               "DIV size(array_union(ta, tb)) AS BIGINT)")
+        .alias("sim_ppm"))
+    sel = _mmr_greedy_from_grid(grid, k, lam_ppm)
+    winners = (
+        sel.select("rank", F.col("doc_id").alias("key"))
+        .join(F.broadcast(pool_df.select("key", "doc_id", "chunk_idx",
+                                         "n_hits")), "key")
+    )
+    nb = chunks.select(F.col("doc_id").alias("nb_doc"),
+                       F.col("chunk_idx").alias("nb_idx"), "chunk_text")
+    stitched = (
+        nb.join(F.broadcast(winners),
+                (F.col("nb_doc") == F.col("doc_id"))
+                & (F.abs(F.col("nb_idx") - F.col("chunk_idx")) <= 1))
+        .groupBy("rank", "doc_id", "chunk_idx", "n_hits")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("nb_idx", "chunk_text"))),
+                lambda s: s["chunk_text"]),
+            " ").alias("context_text"))
+    )
+    return stitched.select("rank", "doc_id", "chunk_idx", "n_hits",
+                           "context_text")
+
+
+def _rag_diverse_sql(terms=RAG_TERMS, k: int = RAG_K,
+                     pool: int = RAG_MMR_POOL,
+                     lam: int | None = None) -> str:
+    """rag_context_diverse's greedy unrolled into k chained CTE steps
+    (the _mmr_sql pattern over chunk keys): pool cut by (n_hits DESC,
+    doc_id, chunk_idx) — all-integer, so no margin pins are needed
+    anywhere — then sel{t} = argmax of λ·rel − (1−λ)·max token-set
+    Jaccard to the selected, ties toward the lower composite key,
+    then rag_context's assembly join keyed by greedy rank."""
+    if lam is None:
+        from kstore_spark.functions.similarity import MMR_LAMBDA_PPM
+        lam = MMR_LAMBDA_PPM
+    inv = 1_000_000 - lam
+    hits_expr = " + ".join(
+        "len(list_filter(string_split(chunk_text, ' '), "
+        f"x -> x = '{t}'))" for t in terms)
+    sql = f"""
+WITH chunks AS MATERIALIZED (
+  {CHUNK_DOCUMENTS_SQL}
+), scored AS MATERIALIZED (
+  SELECT doc_id, chunk_idx, CAST({hits_expr} AS BIGINT) AS n_hits,
+         list_distinct(string_split(chunk_text, ' ')) AS toks
+  FROM chunks
+), cut AS MATERIALIZED (
+  SELECT doc_id, chunk_idx, n_hits, toks,
+         doc_id * 1000000 + chunk_idx AS key,
+         ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id, chunk_idx)
+           AS rn
+  FROM scored WHERE n_hits > 0
+), pool AS MATERIALIZED (
+  SELECT doc_id, chunk_idx, n_hits, toks, key,
+         CAST((n_hits * 1000000) // MAX(n_hits) OVER () AS BIGINT)
+           AS rel
+  FROM cut WHERE rn <= {pool}
+), sims AS MATERIALIZED (
+  SELECT a.key AS da, b.key AS db,
+         CAST((len(list_intersect(a.toks, b.toks)) * 1000000)
+              // len(list_distinct(list_concat(a.toks, b.toks)))
+              AS BIGINT) AS sp
+  FROM pool a JOIN pool b ON a.key <> b.key
+), sel1 AS MATERIALIZED (
+  SELECT key FROM (
+    SELECT key, ROW_NUMBER() OVER (ORDER BY rel DESC, key ASC) AS rn
+    FROM pool) WHERE rn = 1
+)"""
+    for t in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT key FROM sel{i}" for i in range(1, t))
+        sql += f""", all{t - 1} AS MATERIALIZED (
+  {prev_union}
+), sel{t} AS MATERIALIZED (
+  SELECT key FROM (
+    SELECT x.key, ROW_NUMBER() OVER (ORDER BY x.score DESC, x.key ASC)
+             AS rn
+    FROM (
+      SELECT p.key, {lam} * p.rel - {inv} * MAX(s.sp) AS score
+      FROM pool p
+      JOIN sims s ON s.da = p.key
+      JOIN all{t - 1} sel ON sel.key = s.db
+      WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} z WHERE z.key = p.key)
+      GROUP BY p.key, p.rel
+    ) x) WHERE rn = 1
+)"""
+    ranked_union = "\nUNION ALL ".join(
+        f"SELECT key, CAST({t} AS INTEGER) AS rank FROM sel{t}"
+        for t in range(1, k + 1))
+    sql += f""", ranked AS (
+{ranked_union}
+)
+SELECT r.rank, p.doc_id, p.chunk_idx, p.n_hits,
+       string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
+         AS context_text
+FROM ranked r
+JOIN pool p ON p.key = r.key
+JOIN chunks c
+  ON c.doc_id = p.doc_id AND abs(c.chunk_idx - p.chunk_idx) <= 1
+GROUP BY r.rank, p.doc_id, p.chunk_idx, p.n_hits
+"""
+    return sql
+
+
 TRIGRAM_K = 20  # top-k corpus trigrams
 
 
@@ -897,6 +1073,7 @@ QUERIES = {
     "rag_context": rag_context,
     "rag_context_indexed": rag_context_indexed,
     "rag_context_fuzzy": rag_context_fuzzy,
+    "rag_context_diverse": rag_context_diverse,
     "corpus_trigrams": corpus_trigrams,
     "corpus_collocations": corpus_collocations,
     "text_ngram_novelty": text_ngram_novelty,
@@ -916,6 +1093,10 @@ ORACLES = {
     # typo-robust RAG: brute-force-levenshtein vocab resolution + the
     # same RAG assembly, mirrored exactly
     "rag_context_fuzzy": RAG_CONTEXT_FUZZY_SQL,
+    # MMR-diversified RAG: every quantity integer (n_hits, ppm rel,
+    # token-set Jaccard), the greedy unrolled into k CTE steps — exact
+    # on any data, no margin pins required
+    "rag_context_diverse": _rag_diverse_sql(),
     "corpus_trigrams": CORPUS_TRIGRAMS_SQL,
     "corpus_collocations": CORPUS_COLLOCATIONS_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,

@@ -1954,6 +1954,164 @@ def lifecycle_fold_ann_kmeans(spark, sf_dir, k: int = TOP_K):
                              N_CELLS, 10**9)
 
 
+# -- cosine range search (radius query) --------------------------------
+
+RANGE_COS = 0.30        # sits in an empirical gap of the query-corpus
+                        # cosine distribution (no (query, neighbor)
+                        # cosine within 4.5e-4 of the threshold at
+                        # sf0.001/sf0.01 — pinned in
+                        # test_range_threshold_margins), eight orders
+                        # above cross-engine summation noise
+RANGE_PRUNE_EPS = 1e-6  # pruning slack ≫ double acos/cos rounding —
+                        # only ever WIDENS the probe, never the result
+
+
+def sim_range_search(spark, sf_dir, threshold: float = RANGE_COS):
+    """Cosine RANGE search (radius query): every corpus vector with
+    cos(q, x) >= threshold, per query — the query-set twin of
+    embedding_neardup's all-pairs threshold scan and the third member
+    of the similarity query-type matrix (top-k / MMR-diversified /
+    range; the reference's SELECT_RANGE is the 1-D ancestor of this
+    shape, ref src/common/include/operators.h:9-56 SELECT semantics).
+    Brute baseline: broadcast the bounded query side, ONE corpus scan,
+    JVM-side cosine filter — no shuffle and no window (a range query
+    has no rank to compute, so it is strictly cheaper than top-k).
+    Exact SQL oracle: a filter decision flips only if an exact cosine
+    lands within engine summation noise (~1e-15) of the threshold; the
+    data margin is pinned 11 orders above that."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(_cosine(F.col("qv"), F.col("v")) >= threshold)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+SIM_RANGE_SEARCH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+)
+SELECT query_id, e.vec_id AS neighbor_id
+FROM q, e
+WHERE e.vec_id <> q.query_id
+  AND list_cosine_similarity(qv, v) >= {RANGE_COS}
+"""
+
+
+def ivf_cellstats_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
+    """Per-cell ANGULAR RADIUS sidecar of the IVF-Flat store
+    (ivf_store_dir — the cell-partitioned vector layout): for each
+    cell, the minimum over members of cos(angle(u, ĉ)) (u, ĉ unit
+    vectors), i.e. the cosine of the cell's widest member angle,
+    persisted as an n_cells-row artifact under the standard
+    ArtifactStore contract. One aggregate over the already-built store
+    at ingest; range search reads it to prune cells EXACTLY (see
+    sim_range_search_pruned — spherical triangle inequality, not a
+    probability bound). Keyed separately from the store so existing
+    registered stores stay valid; content-versioned against the same
+    source, so appends version both apart together."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    store = ArtifactStore()
+    params = f"cs{n_cells}"
+    version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        emb = _emb(spark, sf_dir)
+        cents = _centroids(emb, n_cells)
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+            "cell long, cv array<double>")
+        data = spark.read.parquet(ivf_store_dir(spark, sf_dir, n_cells))
+        (data.withColumn("cell", F.col("cell").cast("long"))
+         .join(F.broadcast(cent_df), "cell")
+         .groupBy("cell")
+         .agg(F.min(_cosine(F.col("v"), F.col("cv"))).alias("min_ucos"))
+         .coalesce(1).write.mode("overwrite").parquet(out_dir))
+
+    return store.get_or_build(f"ivfstats:{src}:{params}", version, build,
+                              src=src)
+
+
+def _range_probe_frame(spark, sf_dir, q, threshold: float,
+                       n_cells: int = N_CELLS):
+    """The surviving (query_id, cell) probe list of
+    sim_range_search_pruned — the bound computation factored out so
+    the pruning pins can count survivors on the exact frame the op
+    joins (tests assert bound validity via pruned==brute AND that
+    pruning bites on clustered corpora)."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb, n_cells)
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cell long, cv array<double>")
+    stats = (spark.read.parquet(ivf_cellstats_dir(spark, sf_dir, n_cells))
+             .join(cent_df, "cell"))
+
+    def _clamp(x):
+        return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x))
+
+    theta_qc = F.acos(_clamp(_cosine(F.col("qv"), F.col("cv"))))
+    r_c = F.acos(_clamp(F.col("min_ucos")))
+    bound = F.cos(F.greatest(F.lit(0.0), theta_qc - r_c))
+    return (
+        q.crossJoin(F.broadcast(stats))
+        .filter(bound >= F.lit(threshold - RANGE_PRUNE_EPS))
+        .select("query_id", "cell")
+    )
+
+
+def sim_range_search_pruned(spark, sf_dir, threshold: float = RANGE_COS,
+                            n_cells: int = N_CELLS):
+    """Range search off the IVF-Flat store with EXACT cell pruning —
+    unlike the top-k family (where bounded probes are an approximation
+    traded against recall), a range query admits a LOSSLESS index
+    bound: for any member u of cell c, the spherical triangle
+    inequality gives angle(q̂, u) >= angle(q̂, ĉ) − r_c (r_c = the
+    cell's widest member angle, persisted at ingest by
+    ivf_cellstats_dir), so cos(q, x) <= cos(max(0, θ_qc − r_c)). A
+    cell whose bound falls below threshold − eps cannot contain a
+    qualifying vector and its files are never read: the surviving
+    (query, cell) probe list is broadcast, the store scan is
+    partition-pruned to surviving cells (same DPP shape as
+    sim_ann_ivf_stored), and survivors get the exact cosine filter —
+    output IDENTICAL to the brute twin on every input (pinned on the
+    testdata, on planted clustered corpora, and per-seed in the
+    embeddings fuzzer), so it shares the exact SQL oracle.
+
+    Scale shape: the bound grid is |queries|×n_cells rows computed
+    JVM-side against two broadcast n_cells-row frames (centroids +
+    radii); pruning bites when the corpus is CLUSTERED (cells tighter
+    than the threshold angle) — on near-uniform random data radii
+    approach 90° and the bound keeps every cell, which is honest:
+    no exact method can prune uniform data, and the fallback cost is
+    the brute twin's one scan. The eps slack only ever KEEPS an extra
+    cell (widens reads), never drops one — correctness does not
+    depend on float rounding in acos/cos."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    probe = _range_probe_frame(spark, sf_dir, q, threshold, n_cells)
+    data = (spark.read.parquet(ivf_store_dir(spark, sf_dir, n_cells))
+            .withColumn("cell", F.col("cell").cast("long")))
+    return (
+        data.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .filter(_cosine(F.col("qv"), F.col("v")) >= threshold)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
 # -- cluster-balanced (diversity) sampling -----------------------------
 
 _MIX, _MIX_MOD = 2654435761, 2**32  # Knuth multiplicative hash (2^32/φ)
@@ -2102,6 +2260,19 @@ def _mmr_over_pool(pool_df, k: int, lam_ppm: int):
                 F.floor(F.lit(1_000_000.0)
                         * _cosine(F.col("va"), F.col("vb"))).cast("long")
                 .alias("sim_ppm")))
+
+    return _mmr_greedy_from_grid(grid, k, lam_ppm)
+
+
+def _mmr_greedy_from_grid(grid, k: int, lam_ppm: int):
+    """The per-query Carbonell–Goldstein greedy over a prepared
+    (query_id, doc_a, rel_a, doc_b, sim_ppm) pairwise grid — factored
+    out of _mmr_over_pool (r12) so pools whose similarity is NOT
+    embedding cosine (rag_context_diverse's token-Jaccard chunks) run
+    the IDENTICAL selection loop: integer ppm scores, ties toward the
+    lower doc key, single-doc pools emit rank 1 via the grid's null
+    partner row. State per query is pool²-bounded, corpus-independent."""
+    import pandas as pd
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -2791,6 +2962,8 @@ QUERIES = {
     "sim_mmr_diversify_indexed": sim_mmr_diversify_indexed,
     "sim_ann_retracted": sim_ann_retracted,
     "sim_ann_retracted_kmeans": sim_ann_retracted_kmeans,
+    "sim_range_search": sim_range_search,
+    "sim_range_search_pruned": sim_range_search_pruned,
     "dedup_semantic": dedup_semantic,
     "decontaminate_semantic": decontaminate_semantic,
     "dedup_semantic_strong": dedup_semantic_strong,
@@ -2821,6 +2994,14 @@ ORACLES = {
     # whatever the trained tensor, widened knobs re-rank every
     # surviving candidate exactly (r12, VERDICT r11 item 3)
     "sim_ann_retracted_kmeans": _sim_topk_retracted_sql(RETRACT_VEC_IDS),
+    # range search: a filter decision flips only if an exact cosine
+    # lands within ~1e-15 of the threshold; the data margin is pinned
+    # at 4.5e-4 (test_range_threshold_margins) — exact SQL oracle
+    "sim_range_search": SIM_RANGE_SEARCH_SQL,
+    # the pruned path drops only cells PROVABLY below the threshold
+    # (spherical triangle inequality + keep-only eps slack) — output
+    # identical to the brute twin on every input, same oracle
+    "sim_range_search_pruned": SIM_RANGE_SEARCH_SQL,
     # same SQL is the matmul path's EXACT oracle: float64 ranks are
     # identical to the fold's (summation-order noise ~1e-15 vs a 1.9e-5
     # minimum adjacent-rank gap at sf0.01) and only ids/ranks are output

@@ -287,10 +287,116 @@ FROM assigned a JOIN coded ON a.vec_id = coded.vec_id
 """
 
 
+def _stage_id_stream(ids, name: str) -> str:
+    """Stage a takedown-request stream: each id written as its own
+    single-row parquet file, and each id TWICE (two files) — real
+    tombstone feeds carry duplicates (client retries, multi-region
+    fan-in), so the maintainer's idempotence is exercised by
+    construction. Replayed under maxFilesPerTrigger=1 the requests
+    arrive across micro-batches; the stage dir is keyed by a stable
+    digest of the id set (one dir per set, reused across sessions)."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted({int(i) for i in ids})
+    tag = hashlib.md5(f"{name}:{','.join(map(str, ids))}".encode())
+    stage = os.path.join("/tmp", f"kstore_retractreq_{tag.hexdigest()[:16]}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(stage, exist_ok=True)
+        for n, i in enumerate(ids + ids):  # every id twice
+            pq.write_table(
+                pa.table({"doc_id": pa.array([i], pa.int64())}),
+                os.path.join(stage, f"req_{n:04d}.parquet"))
+        with open(done, "w") as f:
+            f.write("")
+    return stage
+
+
+def _tombstone_log(spark: SparkSession, ids, name: str) -> DataFrame:
+    """Run the streaming tombstone maintainer over the staged request
+    feed: per-id stateful dedup (state bounded by the TAKEDOWN set,
+    never the corpus — the same bound the batch anti-filter carries by
+    definition) appended to the log sink with file-sink exactly-once.
+    The log content is the distinct request set regardless of
+    micro-batch boundaries (pinned in pytest: 1-file-per-trigger ==
+    all-in-one-batch)."""
+    from kstore_spark.streaming.dedup import _run_to_parquet
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_id_stream(ids, name))
+        .dropDuplicates(["doc_id"])
+    )
+    return _run_to_parquet(stream, f"tomb_{name}")
+
+
+def stream_store_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TAKEDOWN maintenance of the vector store — the DELETE
+    leg of streaming index maintenance, closing the streaming half of
+    the lifecycle matrix (batch ADD/DELETE and streaming ADD existed
+    for both index families; this and stream_index_retractions add
+    streaming DELETE): deletion requests arrive as a stream and append
+    to a TOMBSTONE LOG (the log-structured half of the Lucene
+    applyDeletes design — the batch rewrite retract_ivf_pq_store is
+    this log's COMPACTION, and log-served == compacted-served is
+    pinned in pytest); serving anti-joins the ingest-time store
+    against the broadcast log (takedown-sized, never corpus-sized) and
+    answers top-k with both knobs widened ⇒ EXACT brute force over
+    survivors, so the entry carries the same SIM_TOPK-minus-takedown
+    SQL oracle as the batch twin. A tombstone that failed to dedup,
+    dropped a request, or leaked a deleted id back into the candidates
+    cannot hash-match. Cost shape: micro-batch = its own request
+    count; serve = one broadcast anti-join over code rows."""
+    from kstore_spark.functions.similarity import (
+        N_CELLS, RETRACT_VEC_IDS, TOP_K, _centroids, _emb,
+        _ivf_pq_query, _pq_codebooks, ivf_pq_store_dir)
+
+    log = _tombstone_log(spark, RETRACT_VEC_IDS, "vec").select(
+        F.col("doc_id").alias("vec_id"))
+    emb = _emb(spark, sf_dir)
+    store = ivf_pq_store_dir(spark, sf_dir, N_CELLS)
+    data = (spark.read.parquet(store)
+            .join(F.broadcast(log), "vec_id", "left_anti"))
+    cents = _centroids(emb, N_CELLS)
+    books = _pq_codebooks(emb)
+    return _ivf_pq_query(spark, emb, data, cents, books, TOP_K,
+                         N_CELLS, 10**9)
+
+
+def stream_index_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming takedown maintenance of the TEXT index — the text
+    twin of stream_store_retractions: tombstone doc_ids stream into
+    the log; serving reads the parent index's pruned per-term
+    partitions, anti-joins the broadcast log, and ranks — df (the
+    postings-row count) derives from SURVIVING rows automatically
+    because the anti-join happens before scoring, which is exactly the
+    survivor-derived-stats contract the batch rewrite
+    (retract_token_index) keeps. Same exact oracle as
+    text_search_retracted: ranked SQL with the takedown excluded
+    before df is computed. The batch rewrite is the log's compaction
+    (log-served == rewritten-index-served, pinned in pytest)."""
+    from kstore_spark.functions.text import (
+        RANKED_K, RANKED_TERMS, RETRACT_IDS, TOKEN_BUCKETS,
+        _pruned_postings, _ranked_topk, token_index_dir)
+
+    log = _tombstone_log(spark, RETRACT_IDS, "doc")
+    idx_dir = token_index_dir(spark, sf_dir, TOKEN_BUCKETS)
+    hits = (_pruned_postings(spark, idx_dir, RANKED_TERMS, TOKEN_BUCKETS)
+            .join(F.broadcast(log), "doc_id", "left_anti"))
+    return _ranked_topk(hits.select("tok", "doc_id", "tf"), RANKED_K)
+
+
 QUERIES = {
     "stream_token_postings": stream_token_postings,
     "stream_deletion_variants": stream_deletion_variants,
     "stream_vector_assignments": stream_vector_assignments,
+    "stream_store_retractions": stream_store_retractions,
+    "stream_index_retractions": stream_index_retractions,
 }
 
 ORACLES = {
@@ -303,3 +409,26 @@ ORACLES = {
     # assignment + encode — exact SQL twin (margins pinned in pytest)
     "stream_vector_assignments": _stream_vector_assignments_sql(),
 }
+
+
+def _late_oracles():
+    """Oracles that import from the functions modules at call time
+    (module-top imports would cycle: functions.similarity imports
+    nothing from streaming, but keeping the streaming module light
+    means the SQL builders load lazily like the entries themselves)."""
+    from kstore_spark.functions.similarity import (
+        RETRACT_VEC_IDS, _sim_topk_retracted_sql)
+    from kstore_spark.functions.text import TEXT_SEARCH_RETRACTED_SQL
+
+    return {
+        # widened knobs over log-survivors ⇒ exact brute-force
+        # top-k minus the takedown set
+        "stream_store_retractions":
+            _sim_topk_retracted_sql(RETRACT_VEC_IDS),
+        # anti-join before scoring ⇒ survivor-derived df, the same
+        # SQL the batch rewrite's entry carries
+        "stream_index_retractions": TEXT_SEARCH_RETRACTED_SQL,
+    }
+
+
+ORACLES.update(_late_oracles())

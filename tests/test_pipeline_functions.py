@@ -1473,3 +1473,134 @@ def test_decontaminate_semantic_kills_planted_paraphrase(spark, tmp_path):
     got = sorted(r["vec_id"] for r in decontaminate_semantic(
         spark, str(d), eval_max=2).collect())
     assert got == [11, 13]
+
+
+def test_range_threshold_margins(spark):
+    """Oracle-safety for SIM_RANGE_SEARCH_SQL: a threshold filter
+    flips only if an exact cosine lands within engine summation noise
+    (~1e-15) of RANGE_COS — pin the data margin orders of magnitude
+    above that at both small SFs, the same boundary-pin basis every
+    cosine-rank oracle rides."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.similarity import (
+        N_QUERIES, RANGE_COS, _cosine, _emb)
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        emb = _emb(spark, sf)
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        m = (emb.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select(F.abs(_cosine(F.col("qv"), F.col("v"))
+                           - F.lit(RANGE_COS)).alias("d"))
+             .agg(F.min("d")).first()[0])
+        assert m > 1e-4, f"range threshold knife-edge at {sf}: {m}"
+
+
+def test_range_pruned_equals_brute_on_testdata(spark, tmp_path):
+    """The exact-bound pruned path must return EXACTLY the brute
+    twin's rows on the near-uniform testdata — where cell radii
+    approach 90° and the bound legitimately keeps most cells (no
+    exact method can prune uniform data); equality here pins the
+    no-false-prune half on the worst case for the bound."""
+    from kstore_spark.catalog import artifact_base
+    from kstore_spark.functions.similarity import (
+        sim_range_search, sim_range_search_pruned)
+
+    brute = {tuple(r) for r in sim_range_search(spark, SF_DIR).collect()}
+    with artifact_base(str(tmp_path / "arts")):
+        pruned = {tuple(r)
+                  for r in sim_range_search_pruned(spark, SF_DIR).collect()}
+    assert pruned == brute
+    assert brute, "degenerate pin: empty result set"
+
+
+def test_range_pruning_bites_on_clustered_corpus(spark, tmp_path):
+    """On a CLUSTERED corpus (cells tighter than the threshold angle)
+    the spherical-triangle bound must (a) prune most of the
+    |queries|×n_cells probe grid and (b) still return exactly the
+    brute answer — the pruning-bites half of the bound's contract,
+    which the near-uniform testdata cannot exercise."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kstore_spark.catalog import artifact_base
+    from kstore_spark.functions.similarity import (
+        N_CELLS, N_QUERIES, _emb, _range_probe_frame, sim_range_search,
+        sim_range_search_pruned)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim, per, noise, thresh = 64, 30, 0.02, 0.5
+    dirs = rng.standard_normal((N_CELLS, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = [dirs[c] for c in range(N_CELLS)]  # ids 0..15 = the
+    # cluster directions themselves → they are BOTH the deterministic
+    # centroids (first n_cells ids) and the queries (first N_QUERIES)
+    for c in range(N_CELLS):
+        for _ in range(per):
+            v = dirs[c] + noise * rng.standard_normal(dim)
+            rows.append(v / np.linalg.norm(v))
+    V = np.asarray(rows, dtype="float32")
+    d = tmp_path / "clustered"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(V)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in V],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(V), pa.int32()),
+        }),
+        str(d / "embeddings.parquet"))
+    brute = {tuple(r)
+             for r in sim_range_search(spark, str(d), thresh).collect()}
+    with artifact_base(str(tmp_path / "arts")):
+        pruned = {tuple(r) for r in sim_range_search_pruned(
+            spark, str(d), thresh).collect()}
+        emb = _emb(spark, str(d))
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        n_probe_rows = _range_probe_frame(
+            spark, str(d), q, thresh).count()
+    assert pruned == brute
+    assert brute, "degenerate pin: empty result set"
+    grid = N_QUERIES * N_CELLS
+    assert n_probe_rows <= grid // 2, (
+        f"pruning did not bite: {n_probe_rows}/{grid} probe rows kept")
+
+
+def test_rag_diverse_demotes_duplicate_chunks(spark, tmp_path):
+    """Planted-geometry pin for rag_context_diverse (the same
+    demotion-pin pattern as the embedding MMR's): three IDENTICAL
+    high-relevance docs (pairwise token Jaccard = 10⁶) and one
+    moderately-relevant diverse doc — pure relevance would rank the
+    three copies 1-2-3; MMR must select ONE copy, then the diverse
+    doc (λ·Δrel = 0.7·250k < redundancy swing 0.3·(10⁶−181818)), then
+    the remaining copies. The full greedy order is asserted, not just
+    the demotion, so tie-breaks (lower composite key first) are
+    pinned too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kstore_spark.functions.corpus import rag_context_diverse
+
+    dup = "merge join merge join alpha beta gamma delta"      # n_hits 4
+    div = "merge join merge epsilon zeta eta theta kappa"     # n_hits 3
+    tail = "join lambda mu nu xi omicron pi rho"              # n_hits 1
+    texts = [dup, dup, dup, div, tail]
+    d = tmp_path / "ragdup"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["s0"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }),
+        str(d / "documents.parquet"))
+    got = {r["rank"]: r["doc_id"]
+           for r in rag_context_diverse(spark, str(d)).collect()}
+    assert got == {1: 0, 2: 3, 3: 1, 4: 2, 5: 4}

@@ -638,3 +638,16 @@ def test_rag_context_indexed_prunes_and_pushes(spark):
     assert "BroadcastHashJoin" in txt, txt
     assert "SortMergeJoin" not in txt, txt
     assert "Python" not in txt
+
+
+def test_range_pruned_uses_dynamic_partition_pruning(spark):
+    """sim_range_search_pruned's scale claim made concrete: the
+    surviving-cell probe join against the cell-partitioned IVF-Flat
+    store must plan a dynamic partition pruning filter on the store
+    scan (only surviving cells' files read) — the same DPP shape as
+    sim_ann_ivf_stored, here carrying an EXACT bound instead of an
+    approximation knob."""
+    from kstore_spark.functions.similarity import sim_range_search_pruned
+
+    plan = _plan(sim_range_search_pruned(spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower()

@@ -541,3 +541,40 @@ def test_postings_expr_linear_long_document(spark):
                  .alias("positions"))
         ).collect())
     assert got == want and len(got) == 500
+
+
+def test_tombstone_log_idempotent_and_complete(spark):
+    """The tombstone maintainer's log must contain each takedown id
+    EXACTLY once even though the staged request feed carries every id
+    twice across separate micro-batch files (client retries /
+    multi-region fan-in) — the idempotence half of streaming DELETE.
+    Completeness (no dropped request) rides the same assertion."""
+    from kstore_spark.functions.similarity import RETRACT_VEC_IDS
+    from kstore_spark.streaming.indexing import _tombstone_log
+
+    log = sorted(r["doc_id"]
+                 for r in _tombstone_log(spark, RETRACT_VEC_IDS,
+                                         "vec").collect())
+    assert log == sorted(set(RETRACT_VEC_IDS))
+
+
+def test_stream_retractions_equal_batch_compaction(spark):
+    """Log-served takedown == batch-rewrite takedown, both families:
+    the tombstone log's anti-join serve and the physically compacted
+    store (retract_ivf_pq_store / retract_token_index) must answer
+    identically — the log/compaction equivalence that makes the
+    streaming DELETE leg a faithful half of the Lucene applyDeletes
+    design rather than a second delete semantics."""
+    from kstore_spark.functions.similarity import sim_ann_retracted
+    from kstore_spark.functions.text import text_search_retracted
+    from kstore_spark.streaming.indexing import (
+        stream_index_retractions, stream_store_retractions)
+
+    got = sorted(map(tuple,
+                     stream_store_retractions(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, sim_ann_retracted(spark, SF_DIR).collect()))
+    assert got == want and got
+    got = sorted(map(tuple,
+                     stream_index_retractions(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, text_search_retracted(spark, SF_DIR).collect()))
+    assert got == want and got

@@ -135,6 +135,11 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                # width varies per corpus; empty neighborhoods are a
                # valid empty==empty differential
                "rag_context_fuzzy",
+               # r12: MMR-diversified RAG — every score integer
+               # (n_hits, ppm rel, token-set Jaccard), so the chained
+               # greedy CTEs are exact on ANY corpus; planted
+               # duplicate docs make redundancy demotion real work
+               "rag_context_diverse",
                # round-5 additions: cross-source pair audit (random s0/s1
                # tags exercise the straddle filter), trusted-slice LM
                "dedup_cross_source", "text_lm_score_trusted",
@@ -330,6 +335,10 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
                # r11 ANN takedown: widened knobs ⇒ exact over the
                # survivors of the fixed retraction set on every draw
                "sim_ann_retracted",
+               # r12 range search: threshold filter on continuous
+               # Gaussian cosines — a flip needs a draw within ~1e-15
+               # of RANGE_COS, the same basis as embedding_neardup
+               "sim_range_search",
                "sim_ann_ivf", "sim_ann_ivf_incremental", "hybrid_search",
                # RRF fuses this corpus's BM25 list (the 'scan' RANKED
                # term lands in ~half the docs) with the cosine top-k
@@ -385,6 +394,17 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
             spark, str(d), n_probe=wide, rerank=10**9).collect()}
     assert got == truth, (
         f"sim_ann_ivf_pq_kmeans_stored degeneration diverged at seed {seed}")
+    # r12: the exact-bound pruned range search must equal its brute
+    # twin on every random corpus — cell radii and query-centroid
+    # angles vary with the draw, the spherical-triangle bound may not
+    # (a false prune surfaces as a missing row here)
+    rtruth = {tuple(r)
+              for r in similarity.sim_range_search(spark, str(d)).collect()}
+    with artifact_base(str(d / "arts_range")):
+        rgot = {tuple(r) for r in similarity.sim_range_search_pruned(
+            spark, str(d)).collect()}
+    assert rgot == rtruth, (
+        f"sim_range_search_pruned diverged at seed {seed}")
 
 
 def test_fuzzy_multi_unions_both_neighborhoods(spark):
