@@ -57,17 +57,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # staleness floor moves from r7 to r9 (29 r9 entries remain).
 #
 # r13 queue (the land-late/lead-next pattern, fourth round running):
-# first rows for the five r12 ops that landed after this window
+# first rows for the seven r12 ops that landed after this window
 # filled — sim_range_search, sim_range_search_pruned (cosine radius
 # query: brute twin + exact spherical-triangle cell pruning off the
 # IVF-Flat store), stream_store_retractions, stream_index_retractions
 # (streaming DELETE: tombstone log + anti-join serve, == the batch
 # compaction), rag_context_diverse (MMR-diversified RAG, integer
-# token-Jaccard greedy) — each oracle-green at both SFs locally,
-# tested, fuzzer-joined, benched; then the REMAINING 29 r9-green
-# entries (compute the set from the committed CORRECTNESS files, not
-# from memory), re-rows for r13-touched code, and the 3 standing
-# suites.
+# token-Jaccard greedy), text_search_negation (Lucene prohibited
+# clause), text_search_prefix (PrefixQuery via the prefix-partitioned
+# vocab sidecar) — each oracle-green at both SFs locally, tested,
+# fuzzer-joined, benched; then the REMAINING 29 r9-green entries
+# (compute the set from the committed CORRECTNESS files, not from
+# memory), re-rows for r13-touched code, and the 3 standing suites.
 #
 # Cohorts below are ordered family-wise for readability; the driver
 # compares each windowed entry independently, so order within the

@@ -383,6 +383,13 @@ def headline_queries():
         # r12 diversified RAG: one scoring scan + pool²-bounded
         # token-Jaccard grid + single-group greedy + O(k) stitch
         "rag_context_diverse": corpus.rag_context_diverse,
+        # r12 boolean NOT: |pos|+|neg| pruned postings partitions +
+        # one AQE-chosen anti-join on doc_id (text never read)
+        "text_search_negation": text.text_search_negation,
+        # r12 prefix query: one vocab-sidecar partition listing +
+        # the resolved terms' postings partitions (fuzzy's
+        # resolve-then-probe shape, lexicographic neighborhood)
+        "text_search_prefix": text.text_search_prefix,
     }
 
 

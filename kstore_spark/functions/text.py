@@ -790,6 +790,136 @@ HAVING COUNT(DISTINCT tok) >= {MSM_MIN}
 """
 
 
+NEG_POS_TERMS = ("dup", "join")  # must contain ALL of these...
+NEG_NEG_TERMS = ("merge",)       # ...and NONE of these (Lucene +a +b -c);
+                                 # survivors 4/21 (sf0.001) and 7/20
+                                 # (sf0.01): nonempty at both SFs AND
+                                 # the prohibited clause visibly bites
+
+
+def text_search_negation(spark, sf_dir,
+                         pos_terms: tuple[str, ...] = NEG_POS_TERMS,
+                         neg_terms: tuple[str, ...] = NEG_NEG_TERMS,
+                         buckets: int = TOKEN_BUCKETS):
+    """Boolean NOT retrieval (the Lucene `+a +b -c` prohibited clause
+    — with AND=text_search_indexed and min-should-match this completes
+    the boolean query algebra the index serves): docs containing EVERY
+    positive term and NONE of the negative terms, n_hits counting
+    positive occurrences only. Access path: |pos|+|neg| pruned
+    postings partitions (the negative side reads doc_id ONLY — a
+    prohibited clause never needs tf/positions), then one LEFT ANTI
+    join on doc_id; join strategy left to AQE (a rare negative term
+    broadcasts, a corpus-common one shuffle-joins ids — either way
+    document text is never touched). Exact oracle: the contains-scan
+    SQL with the NOT-IN subquery."""
+    pos = _index_postings(spark, sf_dir, pos_terms, buckets)
+    neg = (_index_postings(spark, sf_dir, neg_terms, buckets)
+           .select("doc_id").distinct())
+    return (
+        pos.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("n_hits"))
+        .filter(F.col("n_terms") == len(pos_terms))
+        .join(neg, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
+TEXT_SEARCH_NEGATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM t
+WHERE tok IN ({", ".join("'" + t + "'" for t in NEG_POS_TERMS)})
+  AND doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM t
+    WHERE tok IN ({", ".join("'" + t + "'" for t in NEG_NEG_TERMS)}))
+GROUP BY doc_id
+HAVING COUNT(DISTINCT tok) = {len(NEG_POS_TERMS)}
+"""
+
+
+PREFIX_QUERY = "jo"   # the prefix query ('jo*' → join, joib, ...)
+VOCAB_PREFIX_LEN = 2  # vocab sidecar partition key = first 2 chars
+
+
+def vocab_index_dir(spark, sf_dir, buckets: int = TOKEN_BUCKETS) -> str:
+    """Prefix-partitioned VOCABULARY sidecar of the token index — the
+    TermsEnum/term-dictionary analog the hash-bucketed postings can't
+    provide (xxhash64 destroys lexicographic locality, so a prefix
+    query against the postings alone would list every bucket): (term,
+    df) partitioned by the term's first VOCAB_PREFIX_LEN characters.
+    Built from the INDEX's postings rows (one groupBy over ids+counts
+    — the corpus text is not re-tokenized), registered under the
+    standard ArtifactStore contract against the same documents
+    version. A prefix probe then LISTS exactly the partitions covering
+    the prefix and resolves matching terms with a vocab-bounded read —
+    the same resolve-then-probe shape as the SymSpell deletion index
+    (text_search_fuzzy), with lexicographic instead of edit-distance
+    neighborhoods."""
+    import os
+
+    from kstore_spark.catalog import ArtifactStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = ArtifactStore()
+    params = f"vocab{VOCAB_PREFIX_LEN}b{buckets}"
+    version = ArtifactStore.source_version(src, params)
+
+    def build(out_dir: str) -> None:
+        idx = spark.read.parquet(token_index_dir(spark, sf_dir, buckets))
+        (idx.groupBy("tok")
+         .agg(F.count(F.lit(1)).alias("df"))
+         .withColumn("p", F.substring("tok", 1, VOCAB_PREFIX_LEN))
+         .write.mode("overwrite").partitionBy("p").parquet(out_dir))
+
+    return store.get_or_build(f"vocabidx:{src}:{params}", version, build,
+                              src=src)
+
+
+def text_search_prefix(spark, sf_dir, prefix: str = PREFIX_QUERY,
+                       buckets: int = TOKEN_BUCKETS):
+    """Prefix retrieval (the Lucene PrefixQuery `jo*`): resolve the
+    prefix to its VOCABULARY terms through the prefix-partitioned
+    sidecar (vocab_index_dir — for a prefix of ≥ VOCAB_PREFIX_LEN
+    chars exactly ONE partition is listed; shorter prefixes list the
+    partitions sharing the leading chars, still pruned at LISTING time
+    via the partition-column startswith filter), then OR-probe the
+    postings with the resolved set — text_search_fuzzy's
+    resolve-then-probe shape with a lexicographic neighborhood.
+    Output (doc_id, n_terms, n_hits): distinct matching terms and
+    total occurrences per doc. The resolved-terms collect is
+    vocab-prefix-bounded driver state, the same bound the fuzzy
+    family's neighborhood collect carries. Exact oracle: the LIKE-scan
+    SQL over the documents table."""
+    vdir = vocab_index_dir(spark, sf_dir, buckets)
+    vocab = (spark.read.parquet(vdir)
+             .filter(F.col("p").startswith(prefix[:VOCAB_PREFIX_LEN]))
+             .filter(F.col("tok").startswith(prefix)))
+    terms = tuple(sorted(r["tok"] for r in vocab.select("tok").collect()))
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_terms bigint, n_hits bigint")
+    hits = _index_postings(spark, sf_dir, terms, buckets)
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("n_hits"))
+        .select("doc_id", F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
+TEXT_SEARCH_PREFIX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS n_hits
+FROM t
+WHERE tok LIKE '{PREFIX_QUERY}%'
+GROUP BY doc_id
+"""
+
+
 RANKED_TERMS = ("dup", "join", "scan")  # one rare + two common terms:
                                         # the low-df term dominates the
                                         # idf-weighted score, as it should
@@ -1853,6 +1983,8 @@ QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_gopher_quality": text_gopher_quality,
     "text_search_indexed": text_search_indexed,
+    "text_search_negation": text_search_negation,
+    "text_search_prefix": text_search_prefix,
     "text_search_min_should_match": text_search_min_should_match,
     "text_search_ranked": text_search_ranked,
     "text_search_bm25": text_search_bm25,
@@ -1885,6 +2017,12 @@ ORACLES = {
     # index path == scan path on the same corpus (postings are exact
     # per-doc term counts; conjunction = HAVING all terms)
     "text_search_indexed": TEXT_SEARCH_SQL,
+    # prohibited clause: same index == scan identity; the anti-join
+    # mirrors the NOT-IN subquery exactly (both sides integer counts)
+    "text_search_negation": TEXT_SEARCH_NEGATION_SQL,
+    # prefix: vocab-sidecar resolution == the LIKE scan's term set by
+    # construction (the sidecar is derived from the same postings)
+    "text_search_prefix": TEXT_SEARCH_PREFIX_SQL,
     # same index == scan identity; only the HAVING bound differs
     "text_search_min_should_match": TEXT_SEARCH_MSM_SQL,
     # index path == scan path: per-term df over the pruned postings is

@@ -686,3 +686,61 @@ def test_lsh_and_span_compaction_fold_and_match_scratch(spark, tmp_path):
         f"SELECT * FROM ({_stream_dedup_spans_sql(width=5)}) "
         "WHERE doc_id >= 48").fetchall())
     assert cuts == exp
+
+
+def test_negation_prohibited_clause_bites(spark):
+    """text_search_negation: the prohibited clause must EXCLUDE real
+    docs (result strictly smaller than the positive conjunction) while
+    keeping real survivors (nonempty) — empty==empty or all==all would
+    be vacuous evidence. Also re-derives the exclusion from the raw
+    text: no surviving doc contains a prohibited term."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.text import (
+        NEG_NEG_TERMS, NEG_POS_TERMS, text_search_negation)
+    from kstore_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"] for r in text_search_negation(spark, sf).collect()}
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t"))
+    conj = docs
+    for t in NEG_POS_TERMS:
+        conj = conj.filter(F.array_contains("t", t))
+    conj_ids = {r["doc_id"] for r in conj.select("doc_id").collect()}
+    assert got and got < conj_ids, "prohibited clause did not bite"
+    bad = docs.filter(F.col("doc_id").isin(list(got)))
+    for t in NEG_NEG_TERMS:
+        assert bad.filter(F.array_contains("t", t)).count() == 0
+
+
+def test_vocab_index_layout_and_prefix_resolution(spark):
+    """vocab_index_dir: the sidecar is physically partitioned by the
+    2-char prefix (a 'jo*' probe lists ONE partition directory), and
+    text_search_prefix's resolved term set equals the LIKE-scan
+    vocabulary — the resolution-equivalence half its oracle identity
+    rests on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.text import (
+        PREFIX_QUERY, text_search_prefix, vocab_index_dir)
+    from kstore_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    vdir = vocab_index_dir(spark, sf)
+    parts = [p for p in os.listdir(vdir) if p.startswith("p=")]
+    assert len(parts) > 1, "sidecar not prefix-partitioned"
+    assert f"p={PREFIX_QUERY}" in parts
+    got = text_search_prefix(spark, sf)
+    assert got.count() > 0
+    # resolved vocabulary == the scan's LIKE set
+    vocab = {r["tok"] for r in spark.read.parquet(vdir)
+             .filter(F.col("tok").startswith(PREFIX_QUERY))
+             .select("tok").collect()}
+    scan = {r["tok"] for r in table(spark, sf, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok").startswith(PREFIX_QUERY))
+            .distinct().collect()}
+    assert vocab == scan and vocab

@@ -185,6 +185,13 @@ _CORPUS_OPS = ("dedup_ngram_jaccard", "dedup_ngram_prefix",
                "text_search_indexed", "text_search_ranked",
                # min-should-match: 2-of-4 on VOCAB tokens → real rows
                "text_search_min_should_match",
+               # r12 prohibited clause: 'merge' is a VOCAB token, so
+               # the NOT side excludes real docs on most draws
+               "text_search_negation",
+               # r12 prefix query through the vocab sidecar: salad
+               # corpora carry 'join'/'joib'-family tokens, so 'jo*'
+               # resolves to a draw-dependent term set
+               "text_search_prefix",
                # BM25 through the same index + the norms artifact: the
                # fuzz corpora's skewed dl distribution (1-token salad
                # docs vs long planted dups) exercises the length
