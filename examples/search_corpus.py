@@ -71,8 +71,8 @@ def main() -> None:
         text_search_fuzzy_multi, text_search_fuzzy2,
         text_search_fuzzy2_multi, text_search_fuzzy_ranked,
         text_search_indexed, text_search_min_should_match, text_search_near,
-        text_search_phrase, text_search_ranked, text_search_retracted,
-        text_search_snippets)
+        text_search_negation, text_search_phrase, text_search_prefix,
+        text_search_ranked, text_search_retracted, text_search_snippets)
     from kstore_spark.session import get_spark
 
     spark = get_spark("search-example")
@@ -98,6 +98,12 @@ def main() -> None:
 
     print("== 3b. min-should-match (2 of 4)")
     text_search_min_should_match(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 3b'. prohibited clause (+dup +join -merge)")
+    text_search_negation(spark, sf_dir).orderBy("doc_id").show(5)
+
+    print("== 3b''. prefix query ('jo*' via the vocab sidecar)")
+    text_search_prefix(spark, sf_dir).orderBy("doc_id").show(5)
 
     print("== 3c. ranked TF-IDF top-k")
     text_search_ranked(spark, sf_dir).show(5)
