@@ -68,7 +68,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # vocab sidecar) — each oracle-green at both SFs locally, tested,
 # fuzzer-joined, benched; then the REMAINING 29 r9-green entries
 # (compute the set from the committed CORRECTNESS files, not from
-# memory), re-rows for r13-touched code, and the 3 standing suites.
+# memory), re-rows for r13-touched code — including
+# approx_equivalence_checks (r12 adds the 20th gate, sim_ann_sq8, so
+# its VALUES oracle changed after its r11 green row) — and the 3
+# standing suites.
 #
 # Cohorts below are ordered family-wise for readability; the driver
 # compares each windowed entry independently, so order within the
@@ -162,6 +165,11 @@ _PRUNED = {
     # (19th: widened == brute force AND stored == inline-at-the-
     # stored-tensor), the stored==inline pytest, and its bench key
     "sim_ann_ivf_pq_kmeans_stored",
+    # r12: scalar quantization (SQ8, FAISS QT_8bit) — approximate
+    # top-k like the PQ family, born pruned; evidence is its gate
+    # (20th: widened re-rank == brute force), the recall +
+    # bit-reproducible-codes pytests, and its bench key
+    "sim_ann_sq8",
 }
 
 

@@ -390,6 +390,10 @@ def headline_queries():
         # the resolved terms' postings partitions (fuzzy's
         # resolve-then-probe shape, lexicographic neighborhood)
         "text_search_prefix": text.text_search_prefix,
+        # r12 scalar quantization: dim-byte codes, zero training
+        # floats (per-dim min/max are order-independent aggregates),
+        # one zip_with fold per candidate + exact re-rank
+        "sim_ann_sq8": similarity.sim_ann_sq8,
     }
 
 

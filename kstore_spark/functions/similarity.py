@@ -1068,6 +1068,113 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
     )
 
 
+# -- scalar quantization (SQ8) -----------------------------------------
+
+
+def _sq8_bounds(emb: DataFrame):
+    """Per-dimension (min, max) over the corpus — SQ8's entire
+    training pass. Unlike the PQ trainers (float-average Lloyd
+    sweeps, documented non-bit-reproducible across partition
+    layouts), min/max are ORDER-INDEPENDENT aggregates: SQ8 codes are
+    bit-identical however the data is partitioned. One corpus
+    aggregate; 2×dim doubles of driver state."""
+    dim = len(emb.select("v").first()["v"])
+    row = emb.agg(
+        *[F.min(F.col("v")[j]).alias(f"mn{j}") for j in range(dim)],
+        *[F.max(F.col("v")[j]).alias(f"mx{j}") for j in range(dim)],
+    ).first()
+    mins = [float(row[f"mn{j}"]) for j in range(dim)]
+    maxs = [float(row[f"mx{j}"]) for j in range(dim)]
+    return mins, maxs
+
+
+def sq8_encode(emb: DataFrame, mins, maxs) -> DataFrame:
+    """(vec_id, code) with code[j] = clamp(floor((v_j − mn_j) ·
+    255/(mx_j − mn_j)), 0, 255) — one codegen'd zip_with pass against
+    two literal dim-arrays, no Python anywhere. Zero-span dimensions
+    (constant across the corpus) encode 0 — the decode reproduces the
+    constant from mn_j alone."""
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    scale = F.array(*[
+        F.lit(255.0 / (maxs[j] - mins[j]) if maxs[j] > mins[j] else 0.0)
+        for j in range(len(mins))])
+    code = F.zip_with(
+        F.zip_with("v", mn, lambda x, m: x - m), scale,
+        lambda d, s: F.least(F.lit(255.0),
+                             F.greatest(F.lit(0.0), F.floor(d * s))))
+    return emb.select("vec_id", code.cast("array<int>").alias("code"))
+
+
+def sim_ann_sq8(spark, sf_dir, k: int = TOP_K, rerank: int | None = None):
+    """Scalar-quantized (SQ8) top-k — the FAISS IndexScalarQuantizer
+    QT_8bit shape, the third compression family beside PQ and IVF+PQ:
+    every dimension is affinely mapped to 8 bits using the per-dim
+    corpus (min, max), dim bytes per vector, NO trained floats
+    (bounds are exact order-independent aggregates — reproducible
+    where Lloyd codebooks are not). Candidate ranking uses the affine
+    identity q·v̂ = Σ_j w_j·c_j + const(q) with w_j = q_j·span_j/255
+    — the per-query constant Σ_j q_j·(mn_j + span_j/510) is identical
+    across candidates and cancels in ranking, so the score is ONE
+    zip_with fold of the code against a broadcast per-query weight
+    array (no decode materialized); exact cosine re-ranks the top
+    ``rerank``. rerank ≥ corpus ⇒ brute force — the 20th equivalence
+    gate; born pruned like the PQ family (approximate top-k at the
+    default operating point), its standing evidence is the gate, the
+    recall pytest, and its bench key.
+
+    Scale shape: the scoring scan reads dim bytes a row (8× less than
+    the double pipeline's vectors; PQ's m-byte codes are smaller
+    still — SQ8 trades compression for zero training and higher
+    fidelity per byte); re-rank fetches rerank×|queries| vectors."""
+    emb = _emb(spark, sf_dir)
+    mins, maxs = _sq8_bounds(emb)
+    codes = sq8_encode(emb, mins, maxs)
+    if rerank is None:
+        rerank = max(PQ_RERANK, emb.count() // 100)
+
+    spans = [(maxs[j] - mins[j]) / 255.0 for j in range(len(mins))]
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    w_rows = [
+        (r["vec_id"],
+         [float(r["v"][j]) * spans[j] for j in range(len(spans))])
+        for r in q_rows]
+    w_df = spark.createDataFrame(w_rows, "query_id long, w array<double>")
+
+    scored = (
+        codes.crossJoin(F.broadcast(w_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("code", "w", lambda c, wj: c * wj),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("sq_s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sq_s"),
+                                               F.asc("neighbor_id"))
+    cands = scored.withColumn("crn", F.row_number().over(w)).filter(
+        F.col("crn") <= rerank).select("query_id", "neighbor_id")
+
+    qv_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nv_df = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("v").alias("nv"))
+    exact = (
+        cands.join(F.broadcast(qv_df), "query_id").join(nv_df, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                _cosine(F.col("qv"), F.col("nv")).alias("s"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("s"),
+                                                F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
                    n_cells: int = N_CELLS, rerank: int | None = None,
                    books=None):
@@ -2949,6 +3056,7 @@ QUERIES = {
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
     "knn_graph_ivf": knn_graph_ivf,
     "sim_ann_pq": sim_ann_pq,
+    "sim_ann_sq8": sim_ann_sq8,
     "sim_ann_pq_kmeans": sim_ann_pq_kmeans,
     "sim_ann_ivf_pq": sim_ann_ivf_pq,
     "sim_ann_ivf_pq_res": sim_ann_ivf_pq_res,

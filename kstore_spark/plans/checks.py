@@ -115,6 +115,19 @@ def _gate_pq(spark, sf_dir, ctx):
     return _symdiff(sim_ann_pq(spark, sf_dir, rerank=10**9), truth)
 
 
+def _gate_sq8(spark, sf_dir, ctx):
+    """SQ8 with the re-rank pool widened to the whole corpus IS brute
+    force — same degeneration theorem as PQ: the affine 8-bit scores
+    only choose candidates; with every vector a candidate the
+    exact-cosine re-rank decides all ranks, whatever the per-dim
+    bounds look like."""
+    from kstore_spark.functions.similarity import (
+        sim_ann_sq8, sim_topk_bruteforce)
+
+    truth = _shared(ctx, "truth", lambda: sim_topk_bruteforce(spark, sf_dir))
+    return _symdiff(sim_ann_sq8(spark, sf_dir, rerank=10**9), truth)
+
+
 def _gate_ivf_pq(spark, sf_dir, ctx):
     """IVF+PQ with BOTH approximation knobs widened — all cells probed,
     re-rank pool = corpus — IS brute force: cell pruning drops nothing
@@ -353,6 +366,7 @@ GATES = {
     "sim_ann_ivf_incremental":
         lambda s, d, c: _gate_ivf(s, d, c, "incremental"),
     "sim_ann_pq": _gate_pq,
+    "sim_ann_sq8": _gate_sq8,
     "sim_ann_pq_kmeans": _gate_pq_kmeans,
     "sim_ann_ivf_pq": _gate_ivf_pq,
     "sim_ann_ivf_pq_res": _gate_ivf_pq_res,
@@ -483,7 +497,7 @@ def single_gate_query(name: str):
 CHECK_NAMES = (
     "dedup_simhash", "dedup_simhash_wide", "sim_ann_ivf",
     "sim_ann_ivf_kmeans", "sim_ann_ivf_stored", "sim_ann_ivf_incremental",
-    "sim_ann_pq", "sim_ann_pq_kmeans", "sim_ann_ivf_pq",
+    "sim_ann_pq", "sim_ann_sq8", "sim_ann_pq_kmeans", "sim_ann_ivf_pq",
     "sim_ann_ivf_pq_res", "sim_ann_ivf_pq_res_stored",
     "sim_ann_ivf_pq_stored", "sim_ann_ivf_pq_kmeans_stored",
     "multimodal_neardup",

@@ -1604,3 +1604,33 @@ def test_rag_diverse_demotes_duplicate_chunks(spark, tmp_path):
     got = {r["rank"]: r["doc_id"]
            for r in rag_context_diverse(spark, str(d)).collect()}
     assert got == {1: 0, 2: 3, 3: 1, 4: 2, 5: 4}
+
+
+def test_ann_sq8_recall_degeneration_and_reproducibility(spark):
+    """SQ8 scalar quantization: (a) with the re-rank pool widened to
+    the corpus it degenerates to EXACT brute force (affine 8-bit
+    scores only choose candidates); (b) at the default re-rank depth,
+    recall on structureless Gaussians (the quantizer worst case)
+    clears 60%; (c) the differentiating claim vs the PQ family —
+    codes are BIT-REPRODUCIBLE across partition layouts, because the
+    per-dim min/max bounds are order-independent aggregates where
+    Lloyd averages are not."""
+    from kstore_spark.functions.similarity import (
+        _emb, _sq8_bounds, sim_ann_sq8, sim_topk_bruteforce, sq8_encode)
+
+    truth = {tuple(r) for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    wide = {tuple(r)
+            for r in sim_ann_sq8(spark, SF_DIR, rerank=10**9).collect()}
+    assert wide == truth
+    got = {tuple(r) for r in sim_ann_sq8(spark, SF_DIR).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"SQ8 recall {recall}"
+    emb = _emb(spark, SF_DIR)
+    mins, maxs = _sq8_bounds(emb)
+    one = sorted(
+        (r["vec_id"], tuple(r["code"]))
+        for r in sq8_encode(emb.repartition(1), mins, maxs).collect())
+    many = sorted(
+        (r["vec_id"], tuple(r["code"]))
+        for r in sq8_encode(emb.repartition(7), mins, maxs).collect())
+    assert one == many and one

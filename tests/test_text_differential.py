@@ -379,6 +379,10 @@ def test_embedding_ops_differential(spark, tmp_path, seed):
     for name, fn in (
         ("sim_ann_pq",
          lambda: similarity.sim_ann_pq(spark, str(d), rerank=10**9)),
+        # r12: SQ8's widened-rerank degeneration on every random
+        # corpus — per-draw bounds vary, the identity must not
+        ("sim_ann_sq8",
+         lambda: similarity.sim_ann_sq8(spark, str(d), rerank=10**9)),
         ("sim_ann_pq_kmeans",
          lambda: similarity.sim_ann_pq_kmeans(spark, str(d), rerank=10**9)),
         ("sim_ann_ivf_pq",
