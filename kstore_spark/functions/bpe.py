@@ -159,11 +159,23 @@ def _apply_merge(sym_col, a: str, b: str):
 def _learn(spark, sf_dir, n_merges: int):
     """Run the BPE training loop; returns (merges, final symbol table).
     merges = [(rank, a, b, count)]; one 1-row driver collect per round
-    (the argmax pair — bounded driver traffic by construction)."""
-    wf = _word_freqs(spark, sf_dir).persist()
-    wf.count()
+    (the argmax pair — bounded driver traffic by construction).
+
+    Action discipline (r12, guide §1.2: per-round cost here is Spark
+    ACTIONS on a vocab-sized frame, not data): ONE job per round — the
+    round's argmax collect scans every row of the current symbol table,
+    so it MATERIALIZES that table's persist as a side effect; the
+    parent generation is unpersisted only after that scan has filled
+    the child's cache (unpersisting earlier would chain recomputation
+    of every fold back to the corpus aggregation). The pre-r12 shape
+    paid 2 jobs per round (argmax + an explicit count()) plus two
+    warm-up counts — 2n+2 jobs for n rounds vs n+2 now. The final
+    count() materializes the LAST generation before its parent cache
+    is dropped, so consumers (bpe_token_counts' lazy join) read one
+    cached table, not an n-deep fold chain."""
+    wf = _word_freqs(spark, sf_dir)  # single-use: cached via syms below
     syms = wf.select("word", "f", _chars(F.col("word")).alias("sym")).persist()
-    syms.count()
+    prev = None
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
         best = (
@@ -173,16 +185,18 @@ def _learn(spark, sf_dir, n_merges: int):
             .orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b"))
             .limit(1)
             .collect()
-        )
+        )  # full scan of syms ⇒ its persist is materialized now
+        if prev is not None:
+            prev.unpersist()
         if not best:
             break
         a, b, n = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["n"]
         merges.append((r, a, b, int(n)))
-        nxt = syms.withColumn("sym", _apply_merge(F.col("sym"), a, b)).persist()
-        nxt.count()
-        syms.unpersist()
-        syms = nxt
-    wf.unpersist()
+        prev = syms
+        syms = syms.withColumn("sym", _apply_merge(F.col("sym"), a, b)).persist()
+    if prev is not None:
+        syms.count()  # materialize the final generation from prev's cache
+        prev.unpersist()
     return merges, syms
 
 

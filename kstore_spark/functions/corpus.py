@@ -542,12 +542,12 @@ def rag_context_indexed(spark, sf_dir, terms: tuple[str, ...] = RAG_TERMS,
 
     import os
 
+    from kstore_spark.functions.xxh import bucket_of
+
     base = chunk_index_dir(spark, sf_dir, width, stride, buckets)
-    term_buckets = sorted({
-        r["b"] for r in spark.createDataFrame(
-            [(t,) for t in terms], "tok string"
-        ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
-    })
+    # driver-side bucket map (pure-Python xxhash64 twin, engine-pinned)
+    # — r12: same Spark-job-per-probe removal as text._pruned_postings
+    term_buckets = sorted({bucket_of(t, buckets) for t in terms})
     paths = [p for p in (os.path.join(base, f"bucket={b}")
                          for b in term_buckets) if _fs_exists(spark, p)]
     if paths:

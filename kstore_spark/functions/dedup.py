@@ -227,10 +227,19 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
             F.least("doc_a", "doc_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the count below
     )
+    # nodes is only consumed by the FINAL label join — lazy checkpoint
+    # (materialized by that one action) instead of an eager job here;
+    # it reads the already-materialized edges checkpoint either way
     nodes = edges.select(F.col("a").alias("node")).union(
-        edges.select(F.col("b").alias("node"))).distinct().localCheckpoint(eager=True)
+        edges.select(F.col("b").alias("node"))).distinct().localCheckpoint(eager=False)
+    # r12 (guide §1.2: the per-round cost here is Spark ACTIONS, not
+    # data — the edge set is sparse): one count() per round instead of
+    # three jobs. The checkpoint is lazy and materialized by the same
+    # count() that the fixed-point test needs anyway; the previous
+    # round's count is carried in a variable instead of re-counted.
+    edges_count = edges.count()
     for _ in range(max_iter):
         # the large-star output feeds 3-4 branches of the small-star
         # round (both nbrs selects, the min groupBy, the re-point join);
@@ -238,16 +247,16 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
         large = _star_round(edges, larger_side=True).persist()
         contracted = _star_round(
             large, larger_side=False
-        ).localCheckpoint(eager=True)
-        large.unpersist()  # outer round materialized by the checkpoint
+        ).localCheckpoint(eager=False)
+        n = contracted.count()  # materializes the checkpoint
+        large.unpersist()  # this round's branches are materialized now
         # exact fixed-point test: the (large; small) round is idempotent
         # exactly at the star-forest fixed point, so set equality (cheap
         # count + anti-join over the sparse edge set) is the precise stop
-        if contracted.count() == edges.count() and \
-                contracted.exceptAll(edges).isEmpty():
+        if n == edges_count and contracted.exceptAll(edges).isEmpty():
             edges = contracted
             break
-        edges = contracted
+        edges, edges_count = contracted, n
     else:
         raise RuntimeError(
             f"cluster_pairs did not converge in {max_iter} star rounds — "

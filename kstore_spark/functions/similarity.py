@@ -275,18 +275,32 @@ N_CELLS = 16   # coarse-quantizer cells (√N-ish at corpus scale)
 N_PROBE = 4    # cells searched per query
 
 
-def _centroids(emb: DataFrame, k: int = N_CELLS):
+def _prefix_rows(emb: DataFrame, n: int):
+    """ONE collect of the ``vec_id < n`` id-prefix as [(vec_id, v)]
+    ascending — shared by every bounded-driver-state consumer (coarse
+    centroids, PQ codebook samples, residual training samples, the
+    query vectors). Before r12 each consumer ran its own driver job
+    over the same tiny prefix, so a stored-ANN query paid 3-4 separate
+    collects per invocation (guide §1.2: remove repeated passes —
+    measured, the per-job overhead was the cost, not the rows)."""
+    return [
+        (r["vec_id"], r["v"])
+        for r in emb.filter(F.col("vec_id") < n).orderBy("vec_id").collect()
+    ]
+
+
+def _centroids(emb: DataFrame, k: int = N_CELLS, rows=None):
     """Deterministic coarse quantizer: the first `k` vectors by id act
     as centroids (a production system would k-means; determinism matters
     more here and the IVF machinery is identical). The collect is
     bounded k×dim driver state — at the 100 TB operating point
     (√N ≈ 10⁴-10⁵ cells × 64 dims) that is tens of MB, which the
     driver holds fine; what must NOT hold it is the Catalyst plan
-    (see _nearest_cells)."""
-    return [
-        (r["vec_id"], r["v"])
-        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
+    (see _nearest_cells). ``rows`` (a _prefix_rows result covering at
+    least k) skips the collect."""
+    if rows is not None:
+        return [(i, v) for i, v in rows if i < k]
+    return _prefix_rows(emb, k)
 
 
 def _nearest_cells(vcol, cents, n: int):
@@ -310,7 +324,6 @@ def _nearest_cells(vcol, cents, n: int):
     sequential cosine fold — so argmax/rank output is identical and
     the exact DuckDB oracles built on assignment
     (cluster_balanced_sample) are unaffected."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
@@ -320,39 +333,81 @@ def _nearest_cells(vcol, cents, n: int):
     # getActiveSession is per-thread — fall back to the (single, shared)
     # session so worker-thread callers don't see None
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-    cells = np.asarray([cid for cid, _ in cents], dtype="int64")
-    C = np.stack([np.asarray(cv, dtype="float64") for _, cv in cents])
-    # descending cell id: stable argsort then breaks sim ties toward the
-    # HIGHER cell id (the (s DESC, cell DESC) contract the oracle mirrors)
-    order = np.argsort(cells)[::-1]
-    cells_desc = cells[order]
-    Cn = C[order] / np.linalg.norm(C[order], axis=1, keepdims=True)
+    cells_desc, Cn = _cells_desc_matrix(cents)
     bc = spark.sparkContext.broadcast((cells_desc, Cn))
-    take = min(n, len(cells))
+    take = min(n, len(cells_desc))
 
     def _nn(col):
         cdesc, cn = bc.value
         if len(col) == 0:
             return pd.Series([], dtype=object)
+        import numpy as np
+
         X = np.stack(col.to_numpy())
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        S = Xn @ cn.T                                   # batch × cells
-        if take == 1:
-            j = np.argmax(S, axis=1)                    # first max = high id
-            return pd.Series([
-                [{"s": float(S[i, ji]), "cell": int(cdesc[ji])}]
-                for i, ji in enumerate(j)
-            ])
-        idx = np.argsort(-S, axis=1, kind="stable")[:, :take]
         return pd.Series([
-            [{"s": float(S[i, j]), "cell": int(cdesc[j])} for j in idx[i]]
-            for i in range(len(X))
+            [{"s": s, "cell": c} for s, c in row]
+            for row in _nn_scores(X, cdesc, cn, take)
         ])
 
     _nn.__annotations__ = {"col": pd.Series, "return": pd.Series}
     udf = pandas_udf(ArrayType(StructType([
         StructField("s", DoubleType()), StructField("cell", LongType())])))(_nn)
     return udf(vcol)
+
+
+def _cells_desc_matrix(cents):
+    """(cells_desc, Cn): cell ids sorted DESCENDING plus the matching
+    row-normalized centroid matrix — the precomputed half of the
+    nearest-cell kernel, shared by the executor pandas_udf
+    (_nearest_cells) and the driver-side bounded-query probe
+    (_probe_cells). Descending id order + stable argsort is what makes
+    similarity ties break toward the HIGHER cell id (the (s DESC,
+    cell DESC) contract the oracles mirror)."""
+    import numpy as np
+
+    cells = np.asarray([cid for cid, _ in cents], dtype="int64")
+    C = np.stack([np.asarray(cv, dtype="float64") for _, cv in cents])
+    order = np.argsort(cells)[::-1]
+    return cells[order], C[order] / np.linalg.norm(
+        C[order], axis=1, keepdims=True)
+
+
+def _nn_scores(X, cdesc, cn, take):
+    """The ONE nearest-cell scoring core (r10-review rule: assignment
+    kernels must never fork): normalized matmul + stable top-``take``.
+    Returns per-row [(s, cell), ...] in (s DESC, cell DESC) order."""
+    import numpy as np
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ cn.T                                       # batch × cells
+    if take == 1:
+        j = np.argmax(S, axis=1)                        # first max = high id
+        return [[(float(S[i, ji]), int(cdesc[ji]))]
+                for i, ji in enumerate(j)]
+    idx = np.argsort(-S, axis=1, kind="stable")[:, :take]
+    return [[(float(S[i, j]), int(cdesc[j])) for j in idx[i]]
+            for i in range(len(X))]
+
+
+def _probe_cells(q_rows, cents, n):
+    """Driver-side probe list for a BOUNDED query set: the same
+    _nn_scores kernel _nearest_cells runs on executors, applied to the
+    already-collected [(vec_id, v)] query rows. An N_QUERIES-row probe
+    does not need an Arrow stage, a centroid broadcast, and a scan
+    subtree per query invocation (guide §4: the boundary itself was
+    the cost — measured as one extra job + python-worker round-trip
+    per ANN call). Returns [(vec_id, [cell, ...n]), ...]."""
+    import numpy as np
+
+    if not q_rows:
+        return []
+    X = np.stack([np.asarray(v, dtype="float64") for _, v in q_rows])
+    cdesc, cn = _cells_desc_matrix(cents)
+    take = min(n, len(cdesc))
+    return [
+        (qid, [c for _, c in row])
+        for (qid, _), row in zip(q_rows, _nn_scores(X, cdesc, cn, take))
+    ]
 
 
 def kmeans_centroids(emb: DataFrame, k: int = N_CELLS, iters: int = 4):
@@ -364,9 +419,11 @@ def kmeans_centroids(emb: DataFrame, k: int = N_CELLS, iters: int = 4):
     the centroids themselves are float averages, so anything built on
     them stays rows-only for the driver (the IVF recall/exactness gates
     in tests are centroid-agnostic)."""
-    dim = len(emb.select("v").first()["v"])
     cents = [(r["vec_id"], r["v"]) for r in
              emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()]
+    # dim from the seed collect — the separate first() was one more job
+    # per training call for a value the k-row collect already holds (r12)
+    dim = len(cents[0][1])
     for _ in range(iters):
         assigned = emb.withColumn(
             "cell", _nearest_cells(F.col("v"), cents, 1)[0]["cell"])
@@ -844,15 +901,18 @@ PQ_RERANK = 50      # re-rank floor; default pool = max(this, corpus/100)
                     # 0.82 at 2000, same wall — PERF.md r6)
 
 
-def _pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K):
+def _pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K, rows=None):
     """(m, k, sub_dim) ndarray: codebook j = the j-th dim-slice of the
     first k vectors by id. Bounded driver state (m*k*sub_dim doubles),
     broadcast to executors — never in the plan (same rule as
-    _nearest_cells)."""
+    _nearest_cells). ``rows`` (a _prefix_rows result covering at least
+    k) skips the collect."""
     import numpy as np
 
-    rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    X = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+    if rows is None:
+        rows = _prefix_rows(emb, k)
+    X = np.stack([np.asarray(v, dtype="float64")
+                  for i, v in rows if i < k])
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by {m} subspaces")
@@ -925,7 +985,7 @@ PQ_KMEANS_ITERS = 4  # fixed Lloyd iterations (deterministic plan shape,
 
 
 def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
-                        iters: int = PQ_KMEANS_ITERS):
+                        iters: int = PQ_KMEANS_ITERS, rows=None):
     """k-means-REFINED PQ codebooks — distributed per-subspace Lloyd
     over the WHOLE corpus (the PQ twin of kmeans_centroids, same
     discipline): assignment is the shared _pq_argmin_codes Arrow
@@ -947,7 +1007,7 @@ def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     values). The refinement adapts codewords to the actual subvector
     distribution — the standard recall lift over the first-K sample at
     identical query cost (codes stay m bytes; the LUT stays m×k)."""
-    books = _pq_codebooks(emb, m, k)
+    books = _pq_codebooks(emb, m, k, rows=rows)
     sub = books.shape[2]
     for _ in range(iters):
         enc, bc = _pq_code_udf(books)
@@ -1018,23 +1078,24 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
     import numpy as np
 
     emb = _emb(spark, sf_dir)
+    rows = _prefix_rows(emb, max(PQ_K, N_QUERIES))  # one collect for both
     if books is None:  # default deterministic first-K sample; callers
-        books = _pq_codebooks(emb)  # may pass refined codebooks (kmeans)
+        books = _pq_codebooks(emb, rows=rows)  # may get kmeans books
     codes = pq_encode(emb, books)
     if rerank is None:
         rerank = max(PQ_RERANK, emb.count() // 100)
 
-    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_rows = [(i, v) for i, v in rows if i < N_QUERIES]
     m, kw, sub = books.shape
     # per-query LUT: lut[q][j][c] = q_sub_j · codeword_c / |q| (cosine
     # numerator contribution; |x| is handled in the re-rank — PQ scores
     # only RANK candidates, so the un-normalized dot suffices and skew
     # from |x| is what the exact re-rank corrects)
     lut_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["v"], dtype="float64")
+    for qid, v in q_rows:
+        qv = np.asarray(v, dtype="float64")
         lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
-        lut_rows.append((r["vec_id"], [[float(x) for x in row] for row in lut]))
+        lut_rows.append((qid, [[float(x) for x in row] for row in lut]))
     lut_df = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
 
     scored = (
@@ -1052,8 +1113,11 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
     cands = scored.withColumn("crn", F.row_number().over(w)).filter(
         F.col("crn") <= rerank).select("query_id", "neighbor_id")
 
-    qv_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # query vectors are already on the driver — broadcast side built
+    # from them instead of a second emb scan (r12, guide §1.2)
+    qv_df = spark.createDataFrame(
+        [(qid, list(v)) for qid, v in q_rows],
+        "query_id long, qv array<double>")
     nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     exact = (
         cands.join(F.broadcast(qv_df), "query_id").join(nv_df, "neighbor_id")
@@ -1196,19 +1260,21 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
     in plans/checks.py runs exactly that composition). Recall floor on
     the structureless-Gaussian worst case pinned in pytest."""
     emb = _emb(spark, sf_dir)
-    cents = _centroids(emb, n_cells)
+    rows = _prefix_rows(emb, max(n_cells, PQ_K, N_QUERIES))
+    cents = _centroids(emb, n_cells, rows=rows)
     if books is None:
-        books = _pq_codebooks(emb)
+        books = _pq_codebooks(emb, rows=rows)
     codes = pq_encode(emb, books).join(
         emb.select("vec_id",
                    _nearest_cells(F.col("v"), cents, 1)[0]["cell"]
                    .alias("cell")),
         "vec_id")
-    return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank)
+    return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
+                         q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
-                  residual: bool = False):
+                  residual: bool = False, q_rows=None):
     """The ONE IVF+PQ query kernel (r9 review: the in-memory and stored
     variants had diverging copies — a tie-break or LUT fix in one would
     silently invalidate the stored==in-memory gate's premise): per-query
@@ -1231,13 +1297,14 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
     if rerank is None:
         rerank = max(PQ_RERANK, emb.count() // 100)
 
-    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    if q_rows is None:  # callers with a _prefix_rows slice pass it in
+        q_rows = _prefix_rows(emb, N_QUERIES)
     m, kw, sub = books.shape
     lut_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["v"], dtype="float64")
+    for qid, v in q_rows:
+        qv = np.asarray(v, dtype="float64")
         lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
-        lut_rows.append((r["vec_id"], [[float(x) for x in row] for row in lut]))
+        lut_rows.append((qid, [[float(x) for x in row] for row in lut]))
     lut_df = spark.createDataFrame(
         lut_rows, "query_id long, lut array<array<double>>")
     # the query's probed cells (N_QUERIES × n_probe 2-int rows). r10
@@ -1249,25 +1316,39 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
     # that contradicted the "per-query broadcast" claim). Each LUT now
     # ships exactly once; the duplication happens only executor-side in
     # the joined stream, where it is a column reference, not bytes.
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.explode(
-            F.transform(_nearest_cells(F.col("v"), cents, n_probe),
-                        lambda s: s["cell"])).alias("cell"))
+    # r12: the probe list is computed DRIVER-side from the collected
+    # query rows via the SAME _nn_scores kernel the executor udf runs
+    # (_probe_cells) — an N_QUERIES×n_probe list of ints does not need
+    # an Arrow stage + centroid broadcast + scan subtree per query
+    # invocation. The residual bias q·c_cell is a sequential left-to-
+    # right fold, bit-identical to the zip_with/aggregate JVM fold it
+    # replaces (float64 addition is deterministic given the order).
+    probes = _probe_cells(q_rows, cents, n_probe)
+    # STATIC partition pruning: the probed cells are driver-side ints
+    # now, so the store scan carries a literal PartitionFilters IN-list
+    # instead of the DPP subquery the old scan-derived probe side
+    # induced — the planner no longer has to discover the pruning at
+    # runtime, and the unprobed cell partitions are never even listed.
+    # (Semantically a no-op: the cell equi-join below restricts to the
+    # same set.) Plan-pinned in tests/test_pipeline_functions.py.
+    probed_cells = sorted({int(c) for _, cl in probes for c in cl})
+    codes = codes.filter(F.col("cell").isin(probed_cells))
     if residual:
-        # q·c_cell bias per probe row — JVM-side dot against the
-        # broadcast centroid frame (n_cells rows; tiny)
-        cent_df = spark.createDataFrame(
-            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
-            "cell long, cv array<double>")
-        q = (q.join(F.broadcast(cent_df), "cell")
-              .select("query_id", "cell",
-                      F.aggregate(
-                          F.zip_with("qv", "cv", lambda a, b: a * b),
-                          F.lit(0.0), lambda acc, x: acc + x,
-                      ).alias("bias")))
+        cent_map = {int(cid): cv for cid, cv in cents}
+        q_tuples = []
+        for (qid, v), (_, cell_list) in zip(q_rows, probes):
+            for cell in cell_list:
+                bias = 0.0
+                for a, b in zip(v, cent_map[cell]):
+                    bias += a * b
+                q_tuples.append((qid, cell, bias))
+        q = spark.createDataFrame(
+            q_tuples, "query_id long, cell long, bias double")
     else:
-        q = q.select("query_id", "cell")
+        q = spark.createDataFrame(
+            [(qid, cell) for qid, cell_list in probes
+             for cell in cell_list],
+            "query_id long, cell long")
 
     lut_sum = F.aggregate(
         F.zip_with("code", "lut", lambda c, row: row[c]),
@@ -1286,8 +1367,11 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
     cands = scored.withColumn("crn", F.row_number().over(w)).filter(
         F.col("crn") <= rerank).select("query_id", "neighbor_id")
 
-    qv_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # query vectors are already on the driver (q_rows) — build the
+    # re-rank's broadcast side from them instead of a second emb scan
+    qv_df = spark.createDataFrame(
+        [(qid, list(v)) for qid, v in q_rows],
+        "query_id long, qv array<double>")
     nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     exact = (
         cands.join(F.broadcast(qv_df), "query_id").join(nv_df, "neighbor_id")
@@ -1302,7 +1386,8 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
     )
 
 
-def _pq_res_codebooks(emb: DataFrame, cents, m: int = PQ_M, k: int = PQ_K):
+def _pq_res_codebooks(emb: DataFrame, cents, m: int = PQ_M, k: int = PQ_K,
+                      rows=None):
     """(m, k, sub_dim) RESIDUAL codebooks — the IVFADC training set is
     v − centroid(cell(v)) instead of v (Jégou, Douze, Schmid 2011 §V:
     'the residual vector is encoded' — one codebook set shared across
@@ -1322,9 +1407,16 @@ def _pq_res_codebooks(emb: DataFrame, cents, m: int = PQ_M, k: int = PQ_K):
     import numpy as np
 
     n_cells = len(cents)
-    rows = (emb.filter((F.col("vec_id") >= n_cells)
-                       & (F.col("vec_id") < n_cells + k))
-            .orderBy("vec_id").collect())
+    # ``rows`` (a _prefix_rows result covering n_cells + k) skips the
+    # collect — the slice below is exactly the filter it replaces
+    prefix = rows
+    if prefix is not None:
+        rows = [(i, v) for i, v in prefix if n_cells <= i < n_cells + k]
+    else:
+        rows = [(r["vec_id"], r["v"]) for r in
+                (emb.filter((F.col("vec_id") >= n_cells)
+                            & (F.col("vec_id") < n_cells + k))
+                 .orderBy("vec_id").collect())]
     if len(rows) < k:  # tiny corpus: reuse the raw variant's sample
         # ADVICE r10: this fallback trains on the centroid vectors
         # themselves (residuals ≈ 0 → a near-zero codebook, measured
@@ -1343,8 +1435,13 @@ def _pq_res_codebooks(emb: DataFrame, cents, m: int = PQ_M, k: int = PQ_K):
             "includes the centroids (residuals ~0) and measurably "
             "degrades candidate recall vs raw PQ",
             stacklevel=2)
-        rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    X = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+        if prefix is not None:
+            rows = [(i, v) for i, v in prefix if i < k]
+        else:
+            rows = [(r["vec_id"], r["v"]) for r in
+                    emb.filter(F.col("vec_id") < k)
+                    .orderBy("vec_id").collect()]
+    X = np.stack([np.asarray(v, dtype="float64") for _, v in rows])
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by {m} subspaces")
@@ -1412,11 +1509,13 @@ def sim_ann_ivf_pq_res(spark, sf_dir, k: int = TOP_K,
     like the parents (gate row in plans/checks.py); recall ≥ the raw
     variant at equal m pinned in pytest."""
     emb = _emb(spark, sf_dir)
-    cents = _centroids(emb, n_cells)
-    books = _pq_res_codebooks(emb, cents)
+    rows = _prefix_rows(emb, max(n_cells + PQ_K, N_QUERIES))
+    cents = _centroids(emb, n_cells, rows=rows)
+    books = _pq_res_codebooks(emb, cents, rows=rows)
     codes = pq_encode_res(emb, books, cents)
     return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe,
-                         rerank, residual=True)
+                         rerank, residual=True,
+                         q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
@@ -1485,7 +1584,8 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
         emb = _emb(spark, sf_dir)
         if max_vec is not None:
             emb = emb.filter(F.col("vec_id") < max_vec)
-        cents = _centroids(emb, n_cells)
+        rows = _prefix_rows(emb, n_cells + PQ_K)  # one collect for both
+        cents = _centroids(emb, n_cells, rows=rows)
         if kind == "res":
             # ADVICE r10: the bounded slice refuses a degenerate
             # residual sample via the max_vec floor assert above, but
@@ -1503,7 +1603,7 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
                     "degraded-recall index")
             # pq_encode_res assigns cells itself (the residual depends
             # on the assignment) and returns (vec_id, cell, code)
-            books = _pq_res_codebooks(emb, cents)
+            books = _pq_res_codebooks(emb, cents, rows=rows)
             frame = pq_encode_res(emb, books, cents)
         else:
             # ADVICE r11: kind="kmeans" inherited the unguarded
@@ -1529,7 +1629,7 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
             # must READ the books, never re-derive them, or the codes
             # in this store and the query LUT silently disagree.
             books = (pq_codebooks_kmeans(emb) if kind == "kmeans"
-                     else _pq_codebooks(emb))
+                     else _pq_codebooks(emb, rows=rows))
             assigned = emb.select(
                 "vec_id",
                 _nearest_cells(F.col("v"), cents, 1)[0]["cell"].alias("cell"))
@@ -1620,13 +1720,14 @@ def compact_ivf_pq_store(spark, sf_dir, old_min: int, new_min: int,
 
     def build(out_dir: str) -> None:
         emb = _emb(spark, sf_dir).filter(F.col("vec_id") < new_min)
-        cents = _centroids(emb, n_cells)
+        rows = _prefix_rows(emb, n_cells + PQ_K)  # one collect for both
+        cents = _centroids(emb, n_cells, rows=rows)
         inc_emb = emb.filter(F.col("vec_id") >= old_min)
         if kind == "res":
-            books = _pq_res_codebooks(emb, cents)
+            books = _pq_res_codebooks(emb, cents, rows=rows)
             inc = pq_encode_res(inc_emb, books, cents)
         else:
-            books = _pq_codebooks(emb)
+            books = _pq_codebooks(emb, rows=rows)
             inc = pq_encode(inc_emb, books).join(
                 inc_emb.select(
                     "vec_id",
@@ -1668,9 +1769,11 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
         emb = emb.filter(F.col("vec_id") < max_vec)
     store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=max_vec)
     data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
-    cents = _centroids(emb, n_cells)
-    books = _pq_codebooks(emb)
-    return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank)
+    rows = _prefix_rows(emb, max(n_cells, PQ_K, N_QUERIES))
+    cents = _centroids(emb, n_cells, rows=rows)
+    books = _pq_codebooks(emb, rows=rows)
+    return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank,
+                         q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
@@ -1693,10 +1796,12 @@ def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
     store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=max_vec,
                              kind="res")
     data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
-    cents = _centroids(emb, n_cells)
-    books = _pq_res_codebooks(emb, cents)
+    rows = _prefix_rows(emb, max(n_cells + PQ_K, N_QUERIES))
+    cents = _centroids(emb, n_cells, rows=rows)
+    books = _pq_res_codebooks(emb, cents, rows=rows)
     return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe,
-                         rerank, residual=True)
+                         rerank, residual=True,
+                         q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 def compact_ivf_pq_store_kmeans(spark, sf_dir, old_min: int, new_min: int,
@@ -1795,9 +1900,11 @@ def sim_ann_ivf_pq_kmeans_stored(spark, sf_dir, k: int = TOP_K,
     store = ivf_pq_store_dir(spark, sf_dir, n_cells, max_vec=max_vec,
                              kind="kmeans")
     data = spark.read.parquet(store)  # (vec_id, code, cell=partition col)
-    cents = _centroids(emb, n_cells)
+    rows = _prefix_rows(emb, max(n_cells, N_QUERIES))
+    cents = _centroids(emb, n_cells, rows=rows)
     books = load_pq_books(spark, store)
-    return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank)
+    return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank,
+                         q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 ANN_FOLD_OLD_MIN = 400  # the ANN lifecycle entry's pre-fold boundary
@@ -1964,10 +2071,12 @@ def sim_ann_retracted(spark, sf_dir, k: int = TOP_K,
     emb = _emb(spark, sf_dir)
     store = retract_ivf_pq_store(spark, sf_dir, deleted_ids, n_cells)
     data = spark.read.parquet(store)
-    cents = _centroids(emb, n_cells)
-    books = _pq_codebooks(emb)
+    rows = _prefix_rows(emb, max(n_cells, PQ_K, N_QUERIES))
+    cents = _centroids(emb, n_cells, rows=rows)
+    books = _pq_codebooks(emb, rows=rows)
     return _ivf_pq_query(spark, emb, data, cents, books, k,
-                         n_cells, 10**9)
+                         n_cells, 10**9,
+                         q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 def sim_ann_retracted_kmeans(spark, sf_dir, k: int = TOP_K,
@@ -1993,10 +2102,12 @@ def sim_ann_retracted_kmeans(spark, sf_dir, k: int = TOP_K,
     store = retract_ivf_pq_store(spark, sf_dir, deleted_ids, n_cells,
                                  kind="kmeans")
     data = spark.read.parquet(store)
-    cents = _centroids(emb, n_cells)
+    rows = _prefix_rows(emb, max(n_cells, N_QUERIES))
+    cents = _centroids(emb, n_cells, rows=rows)
     books = load_pq_books(spark, store)
     return _ivf_pq_query(spark, emb, data, cents, books, k,
-                         n_cells, 10**9)
+                         n_cells, 10**9,
+                         q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 def _sim_topk_retracted_sql(ids) -> str:
@@ -2056,9 +2167,12 @@ def lifecycle_fold_ann_kmeans(spark, sf_dir, k: int = TOP_K):
             spark, sf_dir, ANN_FOLD_OLD_MIN, n_total)
         data = spark.read.parquet(folded)
         books = load_pq_books(spark, folded)
-        cents = _centroids(emb)
+        rows = _prefix_rows(emb, max(N_CELLS, N_QUERIES))
+        cents = _centroids(emb, rows=rows)
         return _ivf_pq_query(spark, emb, data, cents, books, k,
-                             N_CELLS, 10**9)
+                             N_CELLS, 10**9,
+                             q_rows=[(i, v) for i, v in rows
+                                     if i < N_QUERIES])
 
 
 # -- cosine range search (radius query) --------------------------------

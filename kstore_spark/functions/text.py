@@ -694,14 +694,18 @@ def _index_postings(spark, sf_dir, terms, buckets, max_doc=None):
 def _pruned_postings(spark, base, terms, buckets):
     """The O(|terms|) pruned read of _index_postings against an
     EXPLICIT index dir — split out (r11) so derived indexes (the
-    retracted takedown artifacts) share the identical probe path."""
+    retracted takedown artifacts) share the identical probe path.
+
+    r12 (guide §1.2): the term→bucket map is computed DRIVER-side with
+    the pure-Python XXH64 twin of Spark's xxhash64 (functions/xxh.py,
+    engine-pinned) instead of a createDataFrame+collect round-trip —
+    that one-task Spark job was ~0.1-0.2 s of pure scheduling overhead
+    on EVERY indexed-search call (~17 bench keys probe through here)."""
     import os
 
-    term_buckets = sorted({
-        r["b"] for r in spark.createDataFrame(
-            [(t,) for t in terms], "tok string"
-        ).select(F.pmod(F.xxhash64("tok"), F.lit(buckets)).alias("b")).collect()
-    })
+    from kstore_spark.functions.xxh import bucket_of
+
+    term_buckets = sorted({bucket_of(t, buckets) for t in terms})
     paths = [p for p in (os.path.join(base, f"bucket={b}")
                          for b in term_buckets) if _fs_exists(spark, p)]
     if paths:
@@ -1396,12 +1400,12 @@ def _fuzzy_neighborhood(spark, sf_dir, q_terms: tuple[str, ...],
             f"{FUZZY_MAX_TERM_LEN}): {too_long}")
     idx = spark.read.parquet(
         deletion_index_dir(spark, sf_dir, buckets, depth=max_dist))
+    from kstore_spark.functions.xxh import bucket_of
+
     q_vars = sorted({v for t in q_terms for v in _del_variants(t, max_dist)})
-    var_buckets = sorted({
-        r["b"] for r in spark.createDataFrame(
-            [(v,) for v in q_vars], "variant string"
-        ).select(F.pmod(F.xxhash64("variant"), F.lit(buckets)).alias("b"))
-        .collect()})
+    # driver-side bucket map (pure-Python xxhash64 twin, engine-pinned)
+    # — same r12 job-overhead removal as _pruned_postings
+    var_buckets = sorted({bucket_of(v, buckets) for v in q_vars})
     lev_min = F.least(*[F.levenshtein(F.col("term"), F.lit(t))
                         for t in q_terms]) if len(q_terms) > 1 else \
         F.levenshtein(F.col("term"), F.lit(q_terms[0]))

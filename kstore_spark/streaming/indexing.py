@@ -316,20 +316,32 @@ def _stage_id_stream(ids, name: str) -> str:
     return stage
 
 
-def _tombstone_log(spark: SparkSession, ids, name: str) -> DataFrame:
+def _tombstone_log(spark: SparkSession, ids, name: str,
+                   files_per_trigger: int | None = None) -> DataFrame:
     """Run the streaming tombstone maintainer over the staged request
     feed: per-id stateful dedup (state bounded by the TAKEDOWN set,
     never the corpus — the same bound the batch anti-filter carries by
     definition) appended to the log sink with file-sink exactly-once.
     The log content is the distinct request set regardless of
     micro-batch boundaries (pinned in pytest: 1-file-per-trigger ==
-    all-in-one-batch)."""
+    all-in-one-batch — test_tombstone_log_idempotent_and_complete
+    runs BOTH trigger shapes and asserts set equality).
+
+    ``files_per_trigger=None`` (the serving default) lets availableNow
+    drain the staged feed in ONE micro-batch: each micro-batch pays a
+    fixed planning + offset-log + state-commit cost (~0.3 s here, and
+    a driver round-trip on any deployment), so replaying a 2·|ids|-file
+    feed one file at a time multiplied that fixed cost by the request
+    count — guide §1/§2: the per-batch overhead, not the data, was the
+    whole serving cost. Boundary-crossing behaviour stays exercised by
+    the pytest pin, which passes files_per_trigger=1 explicitly."""
     from kstore_spark.streaming.dedup import _run_to_parquet
 
+    reader = spark.readStream.schema("doc_id long")
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
     stream = (
-        spark.readStream.schema("doc_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stage_id_stream(ids, name))
+        reader.parquet(_stage_id_stream(ids, name))
         .dropDuplicates(["doc_id"])
     )
     return _run_to_parquet(stream, f"tomb_{name}")
@@ -353,8 +365,9 @@ def stream_store_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot hash-match. Cost shape: micro-batch = its own request
     count; serve = one broadcast anti-join over code rows."""
     from kstore_spark.functions.similarity import (
-        N_CELLS, RETRACT_VEC_IDS, TOP_K, _centroids, _emb,
-        _ivf_pq_query, _pq_codebooks, ivf_pq_store_dir)
+        N_CELLS, N_QUERIES, PQ_K, RETRACT_VEC_IDS, TOP_K, _centroids,
+        _emb, _ivf_pq_query, _pq_codebooks, _prefix_rows,
+        ivf_pq_store_dir)
 
     log = _tombstone_log(spark, RETRACT_VEC_IDS, "vec").select(
         F.col("doc_id").alias("vec_id"))
@@ -362,10 +375,13 @@ def stream_store_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = ivf_pq_store_dir(spark, sf_dir, N_CELLS)
     data = (spark.read.parquet(store)
             .join(F.broadcast(log), "vec_id", "left_anti"))
-    cents = _centroids(emb, N_CELLS)
-    books = _pq_codebooks(emb)
+    rows = _prefix_rows(emb, max(N_CELLS, PQ_K, N_QUERIES))
+    cents = _centroids(emb, N_CELLS, rows=rows)
+    books = _pq_codebooks(emb, rows=rows)
     return _ivf_pq_query(spark, emb, data, cents, books, TOP_K,
-                         N_CELLS, 10**9)
+                         N_CELLS, 10**9,
+                         q_rows=[(i, v) for i, v in rows
+                                 if i < N_QUERIES])
 
 
 def stream_index_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -360,16 +360,19 @@ def test_ann_ivf_pq_res_recall_degeneration_and_beats_raw(spark):
 def test_ann_ivf_pq_stored_equals_inline_and_prunes(spark):
     """The persisted inverted list (r9): (a) output == the in-memory
     composition at equal knobs (same first-K centroids/codebooks, so
-    the stored assignments/codes are bit-equal); (b) the broadcast
-    probe join plans a DYNAMIC PARTITION PRUNING filter on the store
-    scan — only the probed cells' code files are read (the whole point
-    of moving assignment+encoding to ingest)."""
+    the stored assignments/codes are bit-equal); (b) the store scan is
+    STATICALLY partition-pruned to the probed cells — r12: the probe
+    cells are computed driver-side (_probe_cells), so the scan carries
+    a literal PartitionFilters IN-list instead of the DPP subquery the
+    old scan-derived probe side induced (strictly stronger: unprobed
+    cell partitions are never even listed, no runtime discovery)."""
     from kstore_spark.functions.similarity import (
         sim_ann_ivf_pq, sim_ann_ivf_pq_stored)
 
     df = sim_ann_ivf_pq_stored(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower()
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "partitionfilters: [cell" in plan and (
+        " in (" in plan or " inset " in plan)
     assert {tuple(r) for r in df.collect()} == \
         {tuple(r) for r in sim_ann_ivf_pq(spark, SF_DIR).collect()}
 
@@ -390,8 +393,10 @@ def test_ann_ivf_pq_res_stored_equals_inline_and_prunes(spark):
         sim_ann_ivf_pq_res_stored)
 
     df = sim_ann_ivf_pq_res_stored(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower()
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    # r12: static literal PartitionFilters (driver-side probe cells)
+    assert "partitionfilters: [cell" in plan and (
+        " in (" in plan or " inset " in plan)
     assert {tuple(r) for r in df.collect()} == \
         {tuple(r) for r in sim_ann_ivf_pq_res(spark, SF_DIR).collect()}
     with _pytest.raises(AssertionError):
@@ -405,8 +410,9 @@ def test_ann_ivf_pq_kmeans_stored_equals_inline_and_prunes(spark):
     at equal knobs — loading, not retraining, is the contract, because
     distributed Lloyd averages are not bit-reproducible (an
     inline-RETRAIN comparison would be flaky by design, which is the
-    entire reason the tensor is persisted); (b) the probe join plans
-    DPP on the store scan like every stored variant; (c) the _books
+    entire reason the tensor is persisted); (b) the store scan is
+    statically partition-pruned to the probed cells like every stored
+    variant (r12: literal IN-list from the driver-side probe); (c) the _books
     sidecar round-trips deterministically (two loads bit-equal, right
     m×k geometry) and stays INVISIBLE to the data read (underscore
     convention — a sidecar row leaking into the inverted list would
@@ -416,8 +422,10 @@ def test_ann_ivf_pq_kmeans_stored_equals_inline_and_prunes(spark):
         sim_ann_ivf_pq_kmeans_stored)
 
     df = sim_ann_ivf_pq_kmeans_stored(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower()
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    # r12: static literal PartitionFilters (driver-side probe cells)
+    assert "partitionfilters: [cell" in plan and (
+        " in (" in plan or " inset " in plan)
     store = ivf_pq_store_dir(spark, SF_DIR, kind="kmeans")
     b1 = load_pq_books(spark, store)
     b2 = load_pq_books(spark, store)

@@ -556,6 +556,15 @@ def test_tombstone_log_idempotent_and_complete(spark):
                  for r in _tombstone_log(spark, RETRACT_VEC_IDS,
                                          "vec").collect())
     assert log == sorted(set(RETRACT_VEC_IDS))
+    # 1-file-per-trigger replay (requests crossing micro-batch
+    # boundaries) == the serving path's single availableNow drain —
+    # the boundary-crossing half of the pin now that the serving path
+    # no longer pays one micro-batch per staged file (r12 optimization)
+    log1 = sorted(r["doc_id"]
+                  for r in _tombstone_log(spark, RETRACT_VEC_IDS,
+                                          "vec", files_per_trigger=1
+                                          ).collect())
+    assert log1 == log
 
 
 def test_stream_retractions_equal_batch_compaction(spark):

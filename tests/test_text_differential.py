@@ -584,3 +584,33 @@ def test_symspell_deletion_lemma_distance2():
         assert _del_variants(a, 2) & _del_variants(b, 2), (a, b)
 
     check()
+
+
+def test_python_xxh64_matches_spark(spark):
+    """The driver-side bucket hash (functions/xxh.py — r12: replaces a
+    one-task Spark job per index probe) must equal the engine's
+    xxhash64/pmod EXACTLY, or partition pruning would silently read the
+    wrong bucket and drop every posting for the affected term. Covers
+    every length class of the XXH64 finalization ladder (0, <4, <8,
+    8-31, >=32 bytes), multi-byte UTF-8 (the hash runs over UTF-8
+    bytes, not code points), and the two live modulus values."""
+    from pyspark.sql import functions as F
+
+    from kstore_spark.functions.text import FUZZY_BUCKETS, TOKEN_BUCKETS
+    from kstore_spark.functions.xxh import bucket_of, spark_xxhash64
+
+    cases = ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg",
+             "abcdefgh", "abcdefghi", "hello world", "x" * 13, "y" * 16,
+             "z" * 31, "w" * 32, "v" * 33, "t" * 64, "s" * 100,
+             "naïve", "héllo wörld",
+             "日本語テスト",
+             "emoji \U0001f642 test", "ship", "special", "pmod"]
+    rows = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s", F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(TOKEN_BUCKETS)).alias("bt"),
+        F.pmod(F.xxhash64("s"), F.lit(FUZZY_BUCKETS)).alias("bf"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64(r["s"]) == r["h"], r["s"]
+        assert bucket_of(r["s"], TOKEN_BUCKETS) == r["bt"], r["s"]
+        assert bucket_of(r["s"], FUZZY_BUCKETS) == r["bf"], r["s"]
