@@ -175,6 +175,49 @@ WHERE {_J_DEN} * i >= {_J_NUM} * (x.n + y.n - i)
 
 # -- near-dup cluster formation (connected components) -----------------
 
+_STAR_SMALL_EDGES = 2_000_000  # below this, star rounds plan without AQE
+                               # and with count-proportional partitions
+                               # (see cluster_pairs — latency, not data,
+                               # dominates tiny rounds)
+
+_CLUSTER_DRIVER_EDGES = 200_000  # below this MEASURED edge count the
+                                 # components run as a driver union-find
+                                 # (~3 MB collected; the same
+                                 # size-gated strategy choice a
+                                 # broadcast join makes) instead of
+                                 # ~10 sequential distributed rounds
+
+
+def _cluster_pairs_driver(spark, edges: DataFrame) -> DataFrame:
+    """Exact connected components over a BOUNDED collected edge set:
+    path-compressed union-find, label = component minimum — definitionally
+    the same (doc_id, cluster_id = min of component) relation the star
+    rounds converge to (differential-pinned on random graphs in
+    tests/test_pipeline_functions.py). Only reachable under
+    _CLUSTER_DRIVER_EDGES measured rows (guide §1.2: ten sequential
+    count-per-round jobs over a few thousand edges were pure scheduling
+    latency; the data fits in one task, let alone the driver)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        parent[find(r["a"])] = find(r["b"])
+    label: dict = {}
+    for n in parent:
+        root = find(n)
+        if root not in label or n < label[root]:
+            label[root] = n
+    atype = dict(edges.dtypes)["a"]
+    out = sorted((n, label[find(n)]) for n in parent)
+    return spark.createDataFrame(
+        out, f"doc_id {atype}, cluster_id {atype}")
+
 def _star_round(edges: DataFrame, larger_side: bool) -> DataFrame:
     """One star-contraction round (Kiveris et al., 'Connected Components
     in MapReduce and Beyond'): every node u computes m = min(Γ(u) ∪ {u})
@@ -195,7 +238,8 @@ def _star_round(edges: DataFrame, larger_side: bool) -> DataFrame:
     return pointed.filter(F.col("a") != F.col("b")).distinct()
 
 
-def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+def cluster_pairs(pairs: DataFrame, max_iter: int = 40,
+                  driver_cutover: int = _CLUSTER_DRIVER_EDGES) -> DataFrame:
     """Connected components over a (doc_a, doc_b) near-dup pair frame:
     (doc_id, cluster_id = min doc_id in the component). Pair output is
     not enough for canonical-doc selection — a-b and b-c pairs must
@@ -240,27 +284,62 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     # count() that the fixed-point test needs anyway; the previous
     # round's count is carried in a variable instead of re-counted.
     edges_count = edges.count()
-    for _ in range(max_iter):
-        # the large-star output feeds 3-4 branches of the small-star
-        # round (both nbrs selects, the min groupBy, the re-point join);
-        # persist it or every branch recomputes the large-star shuffles
-        large = _star_round(edges, larger_side=True).persist()
-        contracted = _star_round(
-            large, larger_side=False
-        ).localCheckpoint(eager=False)
-        n = contracted.count()  # materializes the checkpoint
-        large.unpersist()  # this round's branches are materialized now
-        # exact fixed-point test: the (large; small) round is idempotent
-        # exactly at the star-forest fixed point, so set equality (cheap
-        # count + anti-join over the sparse edge set) is the precise stop
-        if n == edges_count and contracted.exceptAll(edges).isEmpty():
-            edges = contracted
-            break
-        edges, edges_count = contracted, n
-    else:
-        raise RuntimeError(
-            f"cluster_pairs did not converge in {max_iter} star rounds — "
-            "refusing to return possibly-wrong cluster labels")
+    # SIZE-GATED STRATEGY CHOICE (r12): a measured-small edge set
+    # (< ``driver_cutover`` rows — broadcast-join-sized) skips the
+    # distributed rounds entirely for an exact driver union-find; the
+    # star machinery below is the ≥cutover path and stays
+    # differential-pinned (tests force it with driver_cutover=0).
+    if edges_count < driver_cutover:
+        return _cluster_pairs_driver(pairs.sparkSession, edges)
+    # SCALE-ADAPTIVE round planning (r12, guide §2: derive partitioning
+    # from the MEASURED input, never a constant): below _STAR_SMALL_EDGES
+    # the rounds are pure scheduling latency — each round's 3-4
+    # exchanges become separate AQE stage-jobs over 32-way shuffles of
+    # a few thousand rows. For small measured edge sets, plan the loop
+    # with AQE off (one job per count, stages pipelined) and shuffle
+    # partitions proportional to the edge count (ceil(n / 100k), so a
+    # graph that grows gets partitions back smoothly, long before the
+    # AQE cutover). Results are partitioning-invariant (set semantics
+    # + exact fixed-point test); at or above the bound nothing changes.
+    # Session conf is restored in the finally even on the
+    # non-convergence raise.
+    sess = pairs.sparkSession
+    small = edges_count < _STAR_SMALL_EDGES
+    if small:
+        old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
+        old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set("spark.sql.shuffle.partitions",
+                      str(edges_count // 100_000 + 1))
+    try:
+        for _ in range(max_iter):
+            # the large-star output feeds 3-4 branches of the small-star
+            # round (both nbrs selects, the min groupBy, the re-point
+            # join); persist it or every branch recomputes the
+            # large-star shuffles
+            large = _star_round(edges, larger_side=True).persist()
+            contracted = _star_round(
+                large, larger_side=False
+            ).localCheckpoint(eager=False)
+            n = contracted.count()  # materializes the checkpoint
+            large.unpersist()  # this round's branches are materialized
+            # exact fixed-point test: the (large; small) round is
+            # idempotent exactly at the star-forest fixed point, so set
+            # equality (cheap count + anti-join over the sparse edge
+            # set) is the precise stop
+            if n == edges_count and contracted.exceptAll(edges).isEmpty():
+                edges = contracted
+                break
+            edges, edges_count = contracted, n
+        else:
+            raise RuntimeError(
+                f"cluster_pairs did not converge in {max_iter} star "
+                "rounds — refusing to return possibly-wrong cluster "
+                "labels")
+    finally:
+        if small:
+            sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            sess.conf.set("spark.sql.shuffle.partitions", old_sp)
     # star forest: every node's min(Γ ∪ self) IS its component min; keep
     # original singleton-in-pairs nodes (self-pairs filtered above) too
     nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(

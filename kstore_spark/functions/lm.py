@@ -126,7 +126,8 @@ N_BUCKETS = 3  # CCNet's head / middle / tail
 
 
 def text_lm_buckets(spark: SparkSession, sf_dir: str,
-                    n_buckets: int = N_BUCKETS, docs=None) -> DataFrame:
+                    n_buckets: int = N_BUCKETS, docs=None,
+                    scored: DataFrame | None = None) -> DataFrame:
     """(doc_id, lang, bucket): CCNet's final step — per-language
     perplexity terciles (bucket 1 = head/most-predictable under the
     corpus LM, 3 = tail). NTILE over (lang ORDER BY score DESC, doc_id)
@@ -141,10 +142,17 @@ def text_lm_buckets(spark: SparkSession, sf_dir: str,
     bucketed: the LM stays corpus-trained (the trusted-corpus analog),
     but the terciles are computed over the restricted set, so a
     pipeline's tail cut removes a third of its SURVIVORS per language
-    rather than a third of a set that includes already-deleted docs."""
+    rather than a third of a set that includes already-deleted docs.
+
+    ``scored`` — an already-materialized text_lm_score frame — lets a
+    composition (curate_stages) train the corpus LM CONCURRENTLY with
+    its other corpus passes (guide §2.6) instead of serially inside
+    this call; ownership of its cache transfers here (released after
+    the bucket materialization, same as the internally-built frame)."""
     from pyspark.sql.window import Window
 
-    scored = text_lm_score(spark, sf_dir)
+    if scored is None:
+        scored = text_lm_score(spark, sf_dir)
     bucketed = scored
     if docs is not None:
         bucketed = scored.join(docs.select("doc_id"), "doc_id", "left_semi")

@@ -71,34 +71,72 @@ def curate_stages(spark: SparkSession, sf_dir: str,
     from kstore_spark.functions.text import (
         scrub_pii, text_langid, text_repetition)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kstore_spark.functions.lm import text_lm_score
+
     docs = table(spark, sf_dir, "documents")
     stages: dict[str, DataFrame] = {"input": docs}
 
-    # 1. exact dedup: canonical doc per distinct text
-    keep = dedup_exact(spark, sf_dir).select("doc_id")
-    stages["exact_dedup"] = keep
-
-    # 2. near-dup removal: transitive clusters over the verified pair
-    #    graph; keep each cluster's canonical minimum doc_id
-    pairs = dedup_minhash_lsh(spark, sf_dir)  # persisted — see _caches
-    clusters = cluster_pairs(pairs)
-    non_canonical = clusters.filter(
-        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    keep = keep.join(non_canonical, "doc_id", "left_anti")
-    stages["near_dedup"] = keep
-
-    # 3. benchmark decontamination
-    dirty = decontaminate_ngram(spark, sf_dir).select("doc_id")
-    keep = keep.join(dirty, "doc_id", "left_anti")
-    stages["decontaminated"] = keep
-
-    # 4. quality: drop repetitive + language-unidentifiable docs
+    # The five corpus passes below (exact dedup, decontamination,
+    # repetition, langid, LM scoring) are INDEPENDENT of the MinHash
+    # pair graph — only their outputs meet in the survivor anti-joins.
+    # Before r12 they all materialized serially inside stage 4c's
+    # bucket count; now their doc_id sets are cached and materialized
+    # from a small thread pool WHILE the main thread runs the
+    # LSH + component chain, so the pair stages' straggler tails are
+    # back-filled instead of idling 30 cores (guide §2.6). Values are
+    # unchanged — this reorders no data, only job submission.
+    keep1 = dedup_exact(spark, sf_dir).select("doc_id").persist()
+    dirty = decontaminate_ngram(spark, sf_dir).select("doc_id").persist()
     rep = text_repetition(spark, sf_dir).filter(
-        "flag_repetitive").select("doc_id")
+        "flag_repetitive").select("doc_id").persist()
     unk = text_langid(spark, sf_dir).filter(
-        F.col("pred_lang") == "unk").select("doc_id")
-    keep = (keep.join(rep, "doc_id", "left_anti")
-            .join(unk, "doc_id", "left_anti"))
+        F.col("pred_lang") == "unk").select("doc_id").persist()
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        side_futs = [pool.submit(f.count) for f in (keep1, dirty, rep, unk)]
+        # text_lm_score materializes eagerly inside the call (its own
+        # persist+count) — submitting the CALL runs the LM training
+        # concurrently too; text_lm_buckets receives the frame below
+        scored_fut = pool.submit(text_lm_score, spark, sf_dir)
+
+        # 1. exact dedup: canonical doc per distinct text
+        keep = keep1
+        stages["exact_dedup"] = keep
+
+        # 2. near-dup removal: transitive clusters over the verified
+        #    pair graph; keep each cluster's canonical minimum doc_id
+        pairs = dedup_minhash_lsh(spark, sf_dir)  # persisted — _caches
+        # clusters feeds TWO distant consumers (the stage-2 anti-join
+        # and the stage-8 split representative); persisted so the label
+        # join over the fixed-point edges runs once (r12, guide §5)
+        clusters = cluster_pairs(pairs).persist()
+        non_canonical = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+        keep = keep.join(non_canonical, "doc_id", "left_anti")
+        stages["near_dedup"] = keep
+
+        # 3. benchmark decontamination
+        keep = keep.join(dirty, "doc_id", "left_anti")
+        stages["decontaminated"] = keep
+
+        # 4. quality: drop repetitive + language-unidentifiable docs
+        keep = (keep.join(rep, "doc_id", "left_anti")
+                .join(unk, "doc_id", "left_anti"))
+        for fut in side_futs:
+            fut.result()  # surface any side-pass failure here
+        scored = scored_fut.result()
+    finally:
+        pool.shutdown(wait=True)
+    # the stage-1..4 survivor chain (exact dedup's full-text groupBy +
+    # four anti-joins) feeds BOTH sides of the quota stage (its docs
+    # restriction and the semi-join back) and, through 4c's eager
+    # count, would otherwise be recomputed branch-by-branch in every
+    # downstream action. It is a doc_id-only frame — cache it (r12,
+    # guide §1.2/§5: don't recompute the expensive chain to re-derive
+    # a small set)
+    keep = keep.persist()
     stages["quality"] = keep
 
     # 4b. per-source quota over the SURVIVORS (longest docs win)
@@ -108,8 +146,10 @@ def curate_stages(spark: SparkSession, sf_dir: str,
     keep = keep.join(quota, "doc_id", "left_semi")
     stages["source_quota"] = keep
 
-    # 4c. LM tail-tercile cut over the SURVIVORS (corpus-trained LM)
-    lm_buckets = text_lm_buckets(spark, sf_dir, docs=keep)  # persisted
+    # 4c. LM tail-tercile cut over the SURVIVORS (corpus-trained LM —
+    #     trained concurrently above, handed in as ``scored``)
+    lm_buckets = text_lm_buckets(spark, sf_dir, docs=keep,
+                                 scored=scored)  # persisted
     head_mid = lm_buckets.filter(
         F.col("bucket") < N_BUCKETS).select("doc_id")
     keep = keep.join(head_mid, "doc_id", "left_semi")
@@ -121,6 +161,10 @@ def curate_stages(spark: SparkSession, sf_dir: str,
         .join(keep, "doc_id", "left_semi")
         .filter(F.col("clean_text") != "")
         .groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
+        # cleaned's passage strip + full-text re-dedup feeds the PII
+        # scrub AND (as doc_ids) the sampling/packing branches —
+        # survivor-sized, cached so the clean_text groupBy runs once
+        .persist()
     )
     keep = cleaned.select("doc_id")
     stages["boilerplate"] = keep
@@ -141,7 +185,10 @@ def curate_stages(spark: SparkSession, sf_dir: str,
     stages["sampled"] = keep
 
     # 8. leakage-safe split by stage-2 cluster representative
-    survivors = scrubbed.join(keep, "doc_id", "left_semi")
+    # survivors (the scrubbed text of the sampled set) feeds the split
+    # join, the packing stage AND the final text join — cache it so
+    # the three regex scrub passes run once per row, not per branch
+    survivors = scrubbed.join(keep, "doc_id", "left_semi").persist()
     with_rep = (
         survivors.join(clusters, "doc_id", "left")
         .select("doc_id", "text",
@@ -158,7 +205,12 @@ def curate_stages(spark: SparkSession, sf_dir: str,
         .select("split", "shard", "batch_id", "doc_id", "lang",
                 "n_tokens", "text")
     )
-    return stages, [pairs, lm_buckets]
+    # caches: everything persisted above, released by the caller once
+    # its consumers are materialized (r12 adds the survivor-chain,
+    # side-pass doc_id sets and text-bearing intermediates — same
+    # ownership contract)
+    return stages, [pairs, lm_buckets, clusters, keep1, dirty, rep, unk,
+                    stages["quality"], cleaned, survivors]
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

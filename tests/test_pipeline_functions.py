@@ -1290,7 +1290,11 @@ def test_cluster_pairs_high_diameter_chain(spark):
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(299)], "doc_a long, doc_b long")
-    got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    # driver_cutover=0 forces the DISTRIBUTED star path (r12 added a
+    # driver union-find below a measured edge bound; this test is about
+    # the star rounds' diameter behavior, so bypass the fast path)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_pairs(pairs, driver_cutover=0).collect()}
     assert got == {i: 0 for i in range(300)}
 
 
@@ -1324,8 +1328,18 @@ def test_cluster_pairs_random_graph_matches_union_find(spark):
     want = {n: min(m) for m in comps.values() for n in m}
 
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
-    assert got == want
+    # star path forced (driver_cutover=0): this differential pins the
+    # DISTRIBUTED algorithm against the reference union-find
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in cluster_pairs(pairs, driver_cutover=0).collect()}
+    assert star == want
+    # the r12 driver fast path (default under the measured-size bound)
+    # must emit the identical relation, same schema
+    fast_df = cluster_pairs(pairs)
+    assert [f.dataType.simpleString() for f in fast_df.schema.fields] == \
+        ["bigint", "bigint"]
+    fast = {r["doc_id"]: r["cluster_id"] for r in fast_df.collect()}
+    assert fast == want
 
 
 def test_ann_ivf_kmeans_full_probe_is_exact(spark):
