@@ -147,11 +147,12 @@ def _attribute(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
 
     rows: list[tuple[int, int, str, float]] = []
     for pdf in pdf_iter:
+        # ts_ms is pre-computed in the JVM (see stream_attribution) —
+        # the per-group work here is a plain tuple walk, no datetime
         rows.extend(
-            (int(t.value // 1000), int(e), str(k), float(v))
-            for t, e, k, v in zip(pd.to_datetime(pdf["ts"]),
-                                  pdf["event_id"], pdf["event_type"],
-                                  pdf["value"]))
+            (int(t), int(e), str(k), float(v))
+            for t, e, k, v in zip(pdf["ts_ms"], pdf["event_id"],
+                                  pdf["event_type"], pdf["value"]))
     rows.sort(key=lambda r: (r[0], r[1]))  # total order: event_id unique
     touch = state.get[0] if state.exists else ""
     out_t: list[str] = []
@@ -184,10 +185,30 @@ def stream_attribution(spark: SparkSession, sf_dir: str,
     the batch window formulation row-for-row, so the oracle is
     EVENTS_ATTRIBUTION_SQL verbatim. State is O(#users) strings, hash-
     partitioned by the groupBy — executors scale it linearly."""
+    from kstore_spark.plans.analytics import ATTR_TOUCH_TYPES
     from kstore_spark.streaming.windows import _events_stream_chunked
 
     stream = _events_stream_chunked(spark, sf_dir, n_chunks)
-    credited = stream.groupBy("user_id").applyInPandasWithState(
+    # The fold is a no-op for every event that is neither a touch nor a
+    # purchase, and reads only 4 of the 6 columns — so filter and
+    # project in the JVM BEFORE the stateful exchange and the Arrow
+    # boundary (guide §2.3 "project before the exchange", §4.1 "pass
+    # only the columns the function needs": neither the shuffle nor the
+    # per-group pandas frames carry no-op rows or the props blob). ts
+    # is pre-converted to the fold's exact epoch-ms key in the JVM
+    # (``unix_micros(ts) div 1000`` == pandas ``Timestamp.value //
+    # 1000`` — both truncate positive µs to ms), so the per-group
+    # Python work is a pure int/str walk with no pd.to_datetime.
+    slim = (
+        stream
+        .where(F.col("event_type").isin(*ATTR_TOUCH_TYPES, "purchase"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+            "event_id", "event_type", "value",
+        )
+    )
+    credited = slim.groupBy("user_id").applyInPandasWithState(
         _attribute,
         outputStructType=ATTR_OUT_SCHEMA,
         stateStructType=_ATTR_STATE_SCHEMA,

@@ -47,6 +47,26 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count of a parquet file or directory, read from the
+    file FOOTER metadata driver-side — no Spark job. Parquet footers
+    record the exact per-file row count, so on an immutable input this
+    equals ``spark.read.parquet(path).count()``; query paths use it to
+    absorb the per-call count() job that only sized a knob (guide
+    §1.2: the job's scheduling latency was the cost, not the rows).
+    Computed fresh from the input files on every call — nothing is
+    memoized across invocations."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_")))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet may store TIMESTAMP(NANOS), which the vectorized
