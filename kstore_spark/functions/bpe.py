@@ -188,6 +188,10 @@ def _learn(spark, sf_dir, n_merges: int):
         )  # full scan of syms ⇒ its persist is materialized now
         if prev is not None:
             prev.unpersist()
+            prev = None  # consumed: the argmax scan above materialized
+            # syms, so a break below must not re-unpersist this frame
+            # or re-count an already-materialized generation (ADVICE
+            # r12 — keeps the one-job-per-round discipline exact)
         if not best:
             break
         a, b, n = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["n"]

@@ -67,7 +67,8 @@ def curate_stages(spark: SparkSession, sf_dir: str,
         cluster_pairs, decontaminate_ngram, dedup_exact, dedup_minhash_lsh)
     from kstore_spark.functions.lm import N_BUCKETS, text_lm_buckets
     from kstore_spark.functions.sampling import (
-        assign_split, pack_token_budget, sample_stratified, source_quota_cap)
+        PACK_BUDGET, PACK_SHARDS, assign_split, sample_stratified,
+        source_quota_cap)
     from kstore_spark.functions.text import (
         scrub_pii, text_langid, text_repetition)
 
@@ -87,12 +88,23 @@ def curate_stages(spark: SparkSession, sf_dir: str,
     # LSH + component chain, so the pair stages' straggler tails are
     # back-filled instead of idling 30 cores (guide §2.6). Values are
     # unchanged — this reorders no data, only job submission.
-    keep1 = dedup_exact(spark, sf_dir).select("doc_id").persist()
-    dirty = decontaminate_ngram(spark, sf_dir).select("doc_id").persist()
-    rep = text_repetition(spark, sf_dir).filter(
-        "flag_repetitive").select("doc_id").persist()
-    unk = text_langid(spark, sf_dir).filter(
-        F.col("pred_lang") == "unk").select("doc_id").persist()
+    # every frame this composition persists, in persist order — the
+    # happy path hands the list to the caller to release; ANY failure
+    # after the first persist releases them here instead of leaking
+    # session-lifetime cache entries (ADVICE r12)
+    caches: list[DataFrame] = []
+
+    def _cached(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        caches.append(df)
+        return df
+
+    keep1 = _cached(dedup_exact(spark, sf_dir).select("doc_id"))
+    dirty = _cached(decontaminate_ngram(spark, sf_dir).select("doc_id"))
+    rep = _cached(text_repetition(spark, sf_dir).filter(
+        "flag_repetitive").select("doc_id"))
+    unk = _cached(text_langid(spark, sf_dir).filter(
+        F.col("pred_lang") == "unk").select("doc_id"))
     pool = ThreadPoolExecutor(max_workers=3)
     try:
         side_futs = [pool.submit(f.count) for f in (keep1, dirty, rep, unk)]
@@ -105,13 +117,21 @@ def curate_stages(spark: SparkSession, sf_dir: str,
         keep = keep1
         stages["exact_dedup"] = keep
 
+        # a side pass that died instantly (bad input, analysis error)
+        # should abort BEFORE the expensive pair-graph work, not after
+        # it (ADVICE r12): surface any already-failed future now
+        for fut in side_futs:
+            if fut.done():
+                fut.result()
+
         # 2. near-dup removal: transitive clusters over the verified
         #    pair graph; keep each cluster's canonical minimum doc_id
-        pairs = dedup_minhash_lsh(spark, sf_dir)  # persisted — _caches
+        pairs = dedup_minhash_lsh(spark, sf_dir)  # persisted inside
+        caches.append(pairs)
         # clusters feeds TWO distant consumers (the stage-2 anti-join
         # and the stage-8 split representative); persisted so the label
         # join over the fixed-point edges runs once (r12, guide §5)
-        clusters = cluster_pairs(pairs).persist()
+        clusters = _cached(cluster_pairs(pairs))
         non_canonical = clusters.filter(
             F.col("doc_id") != F.col("cluster_id")).select("doc_id")
         keep = keep.join(non_canonical, "doc_id", "left_anti")
@@ -127,90 +147,130 @@ def curate_stages(spark: SparkSession, sf_dir: str,
         for fut in side_futs:
             fut.result()  # surface any side-pass failure here
         scored = scored_fut.result()
+        caches.append(scored)  # released by text_lm_buckets below, but
+        # tracked so a failure in between cannot leak it (unpersist of
+        # an already-released frame is a no-op)
+    except BaseException:
+        pool.shutdown(wait=True)
+        for cached in caches:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        raise
     finally:
         pool.shutdown(wait=True)
-    # the stage-1..4 survivor chain (exact dedup's full-text groupBy +
-    # four anti-joins) feeds BOTH sides of the quota stage (its docs
-    # restriction and the semi-join back) and, through 4c's eager
-    # count, would otherwise be recomputed branch-by-branch in every
-    # downstream action. It is a doc_id-only frame — cache it (r12,
-    # guide §1.2/§5: don't recompute the expensive chain to re-derive
-    # a small set)
-    keep = keep.persist()
-    stages["quality"] = keep
+    try:
+        # the stage-1..4 survivor chain (exact dedup's full-text groupBy
+        # + four anti-joins) feeds BOTH sides of the quota stage (its
+        # docs restriction and the semi-join back) and, through 4c's
+        # eager count, would otherwise be recomputed branch-by-branch in
+        # every downstream action. It is a doc_id-only frame — cache it
+        # (r12, guide §1.2/§5: don't recompute the expensive chain to
+        # re-derive a small set)
+        keep = _cached(keep)
+        stages["quality"] = keep
 
-    # 4b. per-source quota over the SURVIVORS (longest docs win)
-    quota = source_quota_cap(
-        spark, sf_dir, docs=docs.join(keep, "doc_id", "left_semi")
-    ).select("doc_id")
-    keep = keep.join(quota, "doc_id", "left_semi")
-    stages["source_quota"] = keep
+        # 4b. per-source quota over the SURVIVORS (longest docs win)
+        quota = source_quota_cap(
+            spark, sf_dir, docs=docs.join(keep, "doc_id", "left_semi")
+        ).select("doc_id")
+        keep = keep.join(quota, "doc_id", "left_semi")
+        stages["source_quota"] = keep
 
-    # 4c. LM tail-tercile cut over the SURVIVORS (corpus-trained LM —
-    #     trained concurrently above, handed in as ``scored``)
-    lm_buckets = text_lm_buckets(spark, sf_dir, docs=keep,
-                                 scored=scored)  # persisted
-    head_mid = lm_buckets.filter(
-        F.col("bucket") < N_BUCKETS).select("doc_id")
-    keep = keep.join(head_mid, "doc_id", "left_semi")
-    stages["lm_quality"] = keep
+        # 4c. LM tail-tercile cut over the SURVIVORS (corpus-trained LM
+        #     — trained concurrently above, handed in as ``scored``)
+        lm_buckets = text_lm_buckets(spark, sf_dir, docs=keep,
+                                     scored=scored)  # persisted inside
+        caches.append(lm_buckets)
+        head_mid = lm_buckets.filter(
+            F.col("bucket") < N_BUCKETS).select("doc_id")
+        keep = keep.join(head_mid, "doc_id", "left_semi")
+        stages["lm_quality"] = keep
 
-    # 5. boilerplate strip; empty docs die; re-dedup identical cleaned
-    cleaned = (
-        dedup_passages(spark, sf_dir)
-        .join(keep, "doc_id", "left_semi")
-        .filter(F.col("clean_text") != "")
-        .groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
-        # cleaned's passage strip + full-text re-dedup feeds the PII
-        # scrub AND (as doc_ids) the sampling/packing branches —
-        # survivor-sized, cached so the clean_text groupBy runs once
-        .persist()
-    )
-    keep = cleaned.select("doc_id")
-    stages["boilerplate"] = keep
+        # 5. boilerplate strip; empty docs die; re-dedup identical docs
+        cleaned = _cached(
+            dedup_passages(spark, sf_dir)
+            .join(keep, "doc_id", "left_semi")
+            .filter(F.col("clean_text") != "")
+            .groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
+            # cleaned's passage strip + full-text re-dedup feeds the PII
+            # scrub AND (as doc_ids) the sampling/packing branches —
+            # survivor-sized, cached so the clean_text groupBy runs once
+        )
+        keep = cleaned.select("doc_id")
+        stages["boilerplate"] = keep
 
-    # 6. PII scrub over the surviving cleaned text
-    scrubbed = scrub_pii(
-        cleaned.select("doc_id", F.col("clean_text").alias("text"))
-    ).select("doc_id", F.col("clean").alias("text"),
-             "n_emails", "n_ips", "n_phones")
-    stages["pii_scrubbed"] = scrubbed
+        # 6. PII scrub over the surviving cleaned text
+        scrubbed = scrub_pii(
+            cleaned.select("doc_id", F.col("clean_text").alias("text"))
+        ).select("doc_id", F.col("clean").alias("text"),
+                 "n_emails", "n_ips", "n_phones")
+        stages["pii_scrubbed"] = scrubbed
 
-    # 7. stratified sample over the SURVIVORS
-    sampled = sample_stratified(
-        spark, sf_dir, k=sample_every,
-        docs=docs.select("doc_id", "lang").join(keep, "doc_id", "left_semi"),
-    ).select("doc_id")
-    keep = keep.join(sampled, "doc_id", "left_semi")
-    stages["sampled"] = keep
+        # 7. stratified sample over the SURVIVORS
+        sampled = sample_stratified(
+            spark, sf_dir, k=sample_every,
+            docs=docs.select("doc_id", "lang").join(
+                keep, "doc_id", "left_semi"),
+        ).select("doc_id")
+        keep = keep.join(sampled, "doc_id", "left_semi")
+        stages["sampled"] = keep
 
-    # 8. leakage-safe split by stage-2 cluster representative
-    # survivors (the scrubbed text of the sampled set) feeds the split
-    # join, the packing stage AND the final text join — cache it so
-    # the three regex scrub passes run once per row, not per branch
-    survivors = scrubbed.join(keep, "doc_id", "left_semi").persist()
-    with_rep = (
-        survivors.join(clusters, "doc_id", "left")
-        .select("doc_id", "text",
-                F.coalesce("cluster_id", "doc_id").alias("rep"))
-    )
-    split = assign_split(with_rep, "rep").select("doc_id", "split")
+        # 8+9. leakage-safe split + token-budget packing, fused onto ONE
+        # survivor frame (r13, guide §2.4): the split decision is a
+        # row-local CASE over the cluster representative and the packing
+        # columns are a window over (shard, doc_id) — neither needs its
+        # own doc_id-keyed join back onto the survivors. Attach rep (one
+        # left join against the small cluster frame), compute split in
+        # place, run the SAME pack window over the enriched frame, and
+        # only the lang lookup remains a join. Two doc_id Exchanges
+        # (packed⋈survivors and ⋈split) disappear; every output row is
+        # identical — same survivor set, same window keys/order, same
+        # CASE arithmetic.
+        # survivors (the scrubbed text of the sampled set) feeds the
+        # fused frame and the final text column — cache it so the three
+        # regex scrub passes run once per row, not per branch
+        survivors = _cached(scrubbed.join(keep, "doc_id", "left_semi"))
+        from pyspark.sql.window import Window
 
-    # 9. token-budget packing of the scrubbed survivor text
-    packed = pack_token_budget(spark, sf_dir, docs=survivors)
-    stages["final"] = (
-        packed.join(survivors.select("doc_id", "text"), "doc_id")
-        .join(split, "doc_id")
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("split", "shard", "batch_id", "doc_id", "lang",
-                "n_tokens", "text")
-    )
+        enriched = assign_split(
+            survivors.join(clusters, "doc_id", "left")
+            .select("doc_id", "text",
+                    F.coalesce("cluster_id", "doc_id").alias("rep")),
+            "rep",
+        )
+        # pack_token_budget's exact window, inlined so split/text ride
+        # along (its docs= form projects them away); expressions shared
+        # via the same constants — the oracle template pins the math
+        pw = (Window.partitionBy("shard").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        packed = (
+            enriched.select(
+                "doc_id", "split", "text",
+                F.pmod("doc_id", F.lit(PACK_SHARDS)).alias("shard"),
+                F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+            .withColumn("batch_id", F.floor(
+                F.coalesce(F.sum("n_tokens").over(pw), F.lit(0))
+                / PACK_BUDGET))
+        )
+        stages["final"] = (
+            packed.join(docs.select("doc_id", "lang"), "doc_id")
+            .select("split", "shard", "batch_id", "doc_id", "lang",
+                    "n_tokens", "text")
+        )
+    except BaseException:
+        for cached in caches:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        raise
     # caches: everything persisted above, released by the caller once
     # its consumers are materialized (r12 adds the survivor-chain,
     # side-pass doc_id sets and text-bearing intermediates — same
     # ownership contract)
-    return stages, [pairs, lm_buckets, clusters, keep1, dirty, rep, unk,
-                    stages["quality"], cleaned, survivors]
+    return stages, caches
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
