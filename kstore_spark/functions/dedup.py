@@ -221,8 +221,11 @@ def _cluster_pairs_driver(spark, edges: DataFrame) -> DataFrame:
             label[root] = n
     atype = dict(edges.dtypes)["a"]
     out = sorted((n, label[find(n)]) for n in parent)
-    return spark.createDataFrame(
-        out, f"doc_id {atype}, cluster_id {atype}")
+    from kstore_spark.tables import one_slice_df
+
+    # one RDD slice: the label frame is read whole by every consumer —
+    # 32 Python slices just multiply the boundary round trips (r13)
+    return one_slice_df(spark, out, f"doc_id {atype}, cluster_id {atype}")
 
 def _star_round(edges: DataFrame, larger_side: bool) -> DataFrame:
     """One star-contraction round (Kiveris et al., 'Connected Components

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kstore_spark.tables import table
+from kstore_spark.tables import one_slice_df, table
 
 TOP_K = 5
 N_QUERIES = 10          # vec_id < 10 play the query-vector role
@@ -39,6 +39,20 @@ def _emb(spark, sf_dir) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+
+
+def _n_emb(spark, sf_dir) -> int:
+    """Corpus vector count from the parquet FOOTER, driver-side — no
+    Spark job. Exact for every consumer below because ``_emb`` is an
+    unfiltered row-preserving projection of embeddings.parquet; used
+    where a count only sizes a knob (the 1% re-rank pool, the fold
+    boundary), absorbing the one remaining per-call action the shared
+    prefix collect didn't (VERDICT r12 item 6, guide §1.2)."""
+    import os
+
+    from kstore_spark.tables import parquet_row_count
+
+    return parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _cosine(a, b):
@@ -983,9 +997,51 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
 PQ_KMEANS_ITERS = 4  # fixed Lloyd iterations (deterministic plan shape,
                      # same discipline as kmeans_centroids' iters=4)
 
+_KMEANS_DRIVER_VECS = 65_536  # below this MEASURED training-slice size
+                              # the Lloyd loop runs driver-side on the
+                              # collected matrix (≤ 32 MB at dim 64 —
+                              # the same broadcast-build-side budget as
+                              # the union-find cutover) instead of
+                              # iters sequential corpus jobs. Training
+                              # numerics are layout-dependent either
+                              # way (the module's standing caveat: the
+                              # distributed F.avg sums in partition
+                              # order), and every declared query built
+                              # on these books is widened-knobs exact
+                              # — the driver twin only changes WHICH
+                              # non-reproducible float average you
+                              # get, and is itself the more
+                              # reproducible one (vec_id-ordered sums).
+
+
+def _pq_kmeans_driver(X, books, iters: int):
+    """Driver-side twin of the distributed Lloyd loop below: the SAME
+    _pq_argmin_codes assignment kernel on the collected (n, dim)
+    matrix, mean-per-(subspace, codeword) update in vec_id order,
+    empty codewords keep their previous value. Reachable only under
+    the _KMEANS_DRIVER_VECS measured cutover; differential-pinned
+    against the distributed path's fixed points in pytest (both are
+    exact Lloyd — identical assignments whenever the float means
+    agree to assignment precision)."""
+    import numpy as np
+
+    m, k, sub = books.shape
+    parts = X.reshape(len(X), m, sub)
+    for _ in range(iters):
+        codes = _pq_argmin_codes(X, books)
+        new = books.copy()
+        for j in range(m):
+            for c in range(k):
+                mask = codes[:, j] == c
+                if mask.any():
+                    new[j, c] = parts[mask, j, :].mean(axis=0)
+        books = new
+    return books
+
 
 def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
-                        iters: int = PQ_KMEANS_ITERS, rows=None):
+                        iters: int = PQ_KMEANS_ITERS, rows=None,
+                        n_vec: int | None = None):
     """k-means-REFINED PQ codebooks — distributed per-subspace Lloyd
     over the WHOLE corpus (the PQ twin of kmeans_centroids, same
     discipline): assignment is the shared _pq_argmin_codes Arrow
@@ -1008,6 +1064,24 @@ def pq_codebooks_kmeans(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     distribution — the standard recall lift over the first-K sample at
     identical query cost (codes stay m bytes; the LUT stays m×k)."""
     books = _pq_codebooks(emb, m, k, rows=rows)
+    # SIZE-GATED strategy choice (r13, guide §1.2/§2: derive the plan
+    # from the MEASURED input): a measured-small training slice runs
+    # the whole loop driver-side — one collect instead of ``iters``
+    # sequential assignment+update jobs whose cost was scheduling
+    # latency, not data (the kmeans lifecycle trains on a 400-vector
+    # history slice; each distributed round cost ~2 s of overhead for
+    # microseconds of arithmetic). ``n_vec`` lets callers that know
+    # the slice size driver-side (footer count / fold boundary) skip
+    # the count() job too.
+    import numpy as np
+
+    n = n_vec if n_vec is not None else emb.count()
+    if n < _KMEANS_DRIVER_VECS:
+        X = np.array(
+            [r["v"] for r in
+             emb.select("vec_id", "v").orderBy("vec_id").collect()],
+            dtype="float64")
+        return _pq_kmeans_driver(X, books, iters)
     sub = books.shape[2]
     for _ in range(iters):
         enc, bc = _pq_code_udf(books)
@@ -1052,7 +1126,8 @@ def sim_ann_pq_kmeans(spark, sf_dir, k: int = TOP_K,
     ±1 pair flips the comparison, and it DOES flip at sf0.001)."""
     emb = _emb(spark, sf_dir)
     return sim_ann_pq(spark, sf_dir, k=k, rerank=rerank,
-                      books=pq_codebooks_kmeans(emb, iters=iters))
+                      books=pq_codebooks_kmeans(
+                          emb, iters=iters, n_vec=_n_emb(spark, sf_dir)))
 
 
 def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
@@ -1083,7 +1158,7 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
         books = _pq_codebooks(emb, rows=rows)  # may get kmeans books
     codes = pq_encode(emb, books)
     if rerank is None:
-        rerank = max(PQ_RERANK, emb.count() // 100)
+        rerank = max(PQ_RERANK, _n_emb(spark, sf_dir) // 100)
 
     q_rows = [(i, v) for i, v in rows if i < N_QUERIES]
     m, kw, sub = books.shape
@@ -1096,7 +1171,8 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
         qv = np.asarray(v, dtype="float64")
         lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
         lut_rows.append((qid, [[float(x) for x in row] for row in lut]))
-    lut_df = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+    lut_df = one_slice_df(
+        spark, lut_rows, "query_id long, lut array<array<double>>")
 
     scored = (
         codes.crossJoin(F.broadcast(lut_df))
@@ -1115,8 +1191,8 @@ def sim_ann_pq(spark, sf_dir, k: int = TOP_K, rerank: int | None = None,
 
     # query vectors are already on the driver — broadcast side built
     # from them instead of a second emb scan (r12, guide §1.2)
-    qv_df = spark.createDataFrame(
-        [(qid, list(v)) for qid, v in q_rows],
+    qv_df = one_slice_df(
+        spark, [(qid, list(v)) for qid, v in q_rows],
         "query_id long, qv array<double>")
     nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     exact = (
@@ -1194,7 +1270,7 @@ def sim_ann_sq8(spark, sf_dir, k: int = TOP_K, rerank: int | None = None):
     mins, maxs = _sq8_bounds(emb)
     codes = sq8_encode(emb, mins, maxs)
     if rerank is None:
-        rerank = max(PQ_RERANK, emb.count() // 100)
+        rerank = max(PQ_RERANK, _n_emb(spark, sf_dir) // 100)
 
     spans = [(maxs[j] - mins[j]) / 255.0 for j in range(len(mins))]
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
@@ -1202,7 +1278,7 @@ def sim_ann_sq8(spark, sf_dir, k: int = TOP_K, rerank: int | None = None):
         (r["vec_id"],
          [float(r["v"][j]) * spans[j] for j in range(len(spans))])
         for r in q_rows]
-    w_df = spark.createDataFrame(w_rows, "query_id long, w array<double>")
+    w_df = one_slice_df(spark, w_rows, "query_id long, w array<double>")
 
     scored = (
         codes.crossJoin(F.broadcast(w_df))
@@ -1270,10 +1346,12 @@ def sim_ann_ivf_pq(spark, sf_dir, k: int = TOP_K, n_probe: int = N_PROBE,
                    .alias("cell")),
         "vec_id")
     return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
+                         n_emb=_n_emb(spark, sf_dir),
                          q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
 def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
+                  n_emb=None,
                   residual: bool = False, q_rows=None):
     """The ONE IVF+PQ query kernel (r9 review: the in-memory and stored
     variants had diverging copies — a tie-break or LUT fix in one would
@@ -1295,7 +1373,11 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
     import numpy as np
 
     if rerank is None:
-        rerank = max(PQ_RERANK, emb.count() // 100)
+        # n_emb: the caller's driver-side footer count (exact when its
+        # emb frame is the unfiltered corpus); only a filtered history
+        # slice still pays the count() job
+        rerank = max(PQ_RERANK,
+                     (n_emb if n_emb is not None else emb.count()) // 100)
 
     if q_rows is None:  # callers with a _prefix_rows slice pass it in
         q_rows = _prefix_rows(emb, N_QUERIES)
@@ -1305,8 +1387,8 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
         qv = np.asarray(v, dtype="float64")
         lut = np.einsum("js,jks->jk", qv.reshape(m, sub), books)
         lut_rows.append((qid, [[float(x) for x in row] for row in lut]))
-    lut_df = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>")
+    lut_df = one_slice_df(
+        spark, lut_rows, "query_id long, lut array<array<double>>")
     # the query's probed cells (N_QUERIES × n_probe 2-int rows). r10
     # (ADVICE r9): broadcast this bare probe list for the cell-pruning
     # join and attach the LUT AFTERWARD with a second broadcast join on
@@ -1342,10 +1424,11 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
                 for a, b in zip(v, cent_map[cell]):
                     bias += a * b
                 q_tuples.append((qid, cell, bias))
-        q = spark.createDataFrame(
-            q_tuples, "query_id long, cell long, bias double")
+        q = one_slice_df(
+            spark, q_tuples, "query_id long, cell long, bias double")
     else:
-        q = spark.createDataFrame(
+        q = one_slice_df(
+            spark,
             [(qid, cell) for qid, cell_list in probes
              for cell in cell_list],
             "query_id long, cell long")
@@ -1369,8 +1452,8 @@ def _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe, rerank,
 
     # query vectors are already on the driver (q_rows) — build the
     # re-rank's broadcast side from them instead of a second emb scan
-    qv_df = spark.createDataFrame(
-        [(qid, list(v)) for qid, v in q_rows],
+    qv_df = one_slice_df(
+        spark, [(qid, list(v)) for qid, v in q_rows],
         "query_id long, qv array<double>")
     nv_df = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     exact = (
@@ -1514,7 +1597,7 @@ def sim_ann_ivf_pq_res(spark, sf_dir, k: int = TOP_K,
     books = _pq_res_codebooks(emb, cents, rows=rows)
     codes = pq_encode_res(emb, books, cents)
     return _ivf_pq_query(spark, emb, codes, cents, books, k, n_probe,
-                         rerank, residual=True,
+                         rerank, n_emb=_n_emb(spark, sf_dir), residual=True,
                          q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
@@ -1628,7 +1711,8 @@ def ivf_pq_store_dir(spark, sf_dir, n_cells: int = N_CELLS,
             # pq_codebooks_kmeans docstring's standing caveat): serving
             # must READ the books, never re-derive them, or the codes
             # in this store and the query LUT silently disagree.
-            books = (pq_codebooks_kmeans(emb) if kind == "kmeans"
+            books = (pq_codebooks_kmeans(emb, n_vec=n)
+                     if kind == "kmeans"
                      else _pq_codebooks(emb, rows=rows))
             assigned = emb.select(
                 "vec_id",
@@ -1653,8 +1737,16 @@ def _write_pq_books(spark, store_dir: str, books) -> None:
 
     rows = [(int(j), int(c), [float(x) for x in books[j, c]])
             for j in range(books.shape[0]) for c in range(books.shape[1])]
-    (spark.createDataFrame(rows, "j int, c int, w array<double>")
-     .coalesce(1)  # m×k rows — one tiny file
+    # ONE-slice parallelize, not createDataFrame(...).coalesce(1): the
+    # plain form parallelizes the rows into defaultParallelism Python
+    # slices, and coalesce(1) then chains all of them into a single
+    # task that round-trips the Python worker once PER SLICE — measured
+    # 5-7 s of pure boundary latency for 128 rows at local[32] (r13,
+    # guide §4: control how often the JVM↔Python boundary is paid).
+    # One slice = one worker round trip = one tiny file, same bytes.
+    (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "j int, c int, w array<double>")
      .write.mode("overwrite").parquet(os.path.join(store_dir, "_books")))
 
 
@@ -1773,6 +1865,8 @@ def sim_ann_ivf_pq_stored(spark, sf_dir, k: int = TOP_K,
     cents = _centroids(emb, n_cells, rows=rows)
     books = _pq_codebooks(emb, rows=rows)
     return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank,
+                         n_emb=_n_emb(spark, sf_dir) if max_vec is None
+                         else None,
                          q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
@@ -1800,7 +1894,10 @@ def sim_ann_ivf_pq_res_stored(spark, sf_dir, k: int = TOP_K,
     cents = _centroids(emb, n_cells, rows=rows)
     books = _pq_res_codebooks(emb, cents, rows=rows)
     return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe,
-                         rerank, residual=True,
+                         rerank,
+                         n_emb=_n_emb(spark, sf_dir) if max_vec is None
+                         else None,
+                         residual=True,
                          q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
@@ -1904,6 +2001,8 @@ def sim_ann_ivf_pq_kmeans_stored(spark, sf_dir, k: int = TOP_K,
     cents = _centroids(emb, n_cells, rows=rows)
     books = load_pq_books(spark, store)
     return _ivf_pq_query(spark, emb, data, cents, books, k, n_probe, rerank,
+                         n_emb=_n_emb(spark, sf_dir) if max_vec is None
+                         else None,
                          q_rows=[(i, v) for i, v in rows if i < N_QUERIES])
 
 
@@ -1931,7 +2030,7 @@ def lifecycle_fold_ann(spark, sf_dir, k: int = TOP_K):
 
     from kstore_spark.catalog import artifact_base
 
-    n_total = _emb(spark, sf_dir).count()
+    n_total = _n_emb(spark, sf_dir)  # footer count — no job
     base = os.path.join(
         tempfile.gettempdir(),
         f"kstore_fold_{spark.sparkContext.applicationId}")
@@ -1966,7 +2065,7 @@ def lifecycle_fold_ann_res(spark, sf_dir, k: int = TOP_K):
 
     from kstore_spark.catalog import artifact_base
 
-    n_total = _emb(spark, sf_dir).count()
+    n_total = _n_emb(spark, sf_dir)  # footer count — no job
     base = os.path.join(
         tempfile.gettempdir(),
         f"kstore_foldres_{spark.sparkContext.applicationId}")
@@ -2156,7 +2255,7 @@ def lifecycle_fold_ann_kmeans(spark, sf_dir, k: int = TOP_K):
     from kstore_spark.catalog import artifact_base
 
     emb = _emb(spark, sf_dir)
-    n_total = emb.count()
+    n_total = _n_emb(spark, sf_dir)  # footer count — no job
     base = os.path.join(
         tempfile.gettempdir(),
         f"kstore_foldkm_{spark.sparkContext.applicationId}")
@@ -2249,8 +2348,8 @@ def ivf_cellstats_dir(spark, sf_dir, n_cells: int = N_CELLS) -> str:
     def build(out_dir: str) -> None:
         emb = _emb(spark, sf_dir)
         cents = _centroids(emb, n_cells)
-        cent_df = spark.createDataFrame(
-            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        cent_df = one_slice_df(
+            spark, [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
             "cell long, cv array<double>")
         data = spark.read.parquet(ivf_store_dir(spark, sf_dir, n_cells))
         (data.withColumn("cell", F.col("cell").cast("long"))
@@ -2272,8 +2371,8 @@ def _range_probe_frame(spark, sf_dir, q, threshold: float,
     pruning bites on clustered corpora)."""
     emb = _emb(spark, sf_dir)
     cents = _centroids(emb, n_cells)
-    cent_df = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+    cent_df = one_slice_df(
+        spark, [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
         "cell long, cv array<double>")
     stats = (spark.read.parquet(ivf_cellstats_dir(spark, sf_dir, n_cells))
              .join(cent_df, "cell"))

@@ -67,6 +67,19 @@ def parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def one_slice_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """createDataFrame for BOUNDED driver-built row lists (query
+    vectors, LUTs, centroid tables, driver union-find labels): one
+    RDD slice instead of defaultParallelism slices. The plain form
+    splits even a 10-row list into 32 Python-worker partitions — every
+    downstream task pays one JVM↔Python round trip per slice it reads
+    (a coalesce(1) consumer pays all 32 SERIALLY — measured 5-7 s for
+    128 rows at local[32]; r13, guide §4). One slice = one round trip;
+    values and schema are identical."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet may store TIMESTAMP(NANOS), which the vectorized

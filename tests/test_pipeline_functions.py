@@ -324,6 +324,33 @@ def test_pq_kmeans_codebooks_lift(spark):
         assert r_k >= r_f + 0.01, (rr, r_f, r_k)
 
 
+def test_pq_kmeans_driver_matches_distributed(spark):
+    """r13 differential pin for the size-gated driver-side Lloyd
+    (_KMEANS_DRIVER_VECS): at the same init and iteration count, the
+    driver twin and the distributed loop compute the SAME Lloyd
+    updates — identical assignments, means differing only in float
+    summation order — so the codebook tensors must agree to within
+    sum-reassociation error (≪ 1e-9 relative at test scale). Forces
+    the distributed path with an impossible n_vec; the driver path is
+    what the measured-small default takes."""
+    import numpy as np
+
+    from kstore_spark.functions.similarity import (
+        _emb, _pq_argmin_codes, pq_codebooks_kmeans)
+
+    sf = "/root/testdata/sf0.01"
+    emb = _emb(spark, sf)
+    driver_books = pq_codebooks_kmeans(emb)            # n=500 → driver
+    dist_books = pq_codebooks_kmeans(emb, n_vec=10**9)  # forced dist.
+    assert driver_books.shape == dist_books.shape
+    assert np.allclose(driver_books, dist_books, rtol=1e-9, atol=1e-12)
+    # and the encodings they induce agree exactly
+    rows = emb.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+    assert (_pq_argmin_codes(X, driver_books)
+            == _pq_argmin_codes(X, dist_books)).all()
+
+
 def test_ann_ivf_pq_res_recall_degeneration_and_beats_raw(spark):
     """IVFADC-residual (r10): (a) both knobs widened ⇒ exact brute
     force, same as the raw parent; (b) recall ≥ the RAW variant at
